@@ -1,0 +1,71 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing methodology: each query's plan is built and executed to completion
+with a count-style full materialization (``df.toPandas()`` would add
+Arrow transfer cost unrelated to engine throughput; ``collect()`` of tiny
+aggregate results is negligible — but large row sets are drained with
+``count()`` after a ``cache()``-free run so the measured time is plan
+execution, not driver materialization). One warm-up run of the flagship
+query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kingsfoil_seed_data_ingestor_spark import plans  # noqa: F401
+from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES
+from kingsfoil_seed_data_ingestor_spark.session import get_spark, pin_comparable_conf
+
+
+def drain(df) -> int:
+    """Fully execute a DataFrame plan, returning the row count.
+
+    ``write.format("noop")`` is the canonical full-execution sink: every
+    row is produced and discarded executor-side, nothing funnels to the
+    driver.
+    """
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="kingsfoil-bench")
+    pin_comparable_conf(spark)
+
+    # Warm-up: JVM JIT + codegen + parquet footer caches.
+    QUERIES["q1_pricing_summary"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t0 = time.perf_counter()
+        drain(q.spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,44 @@
+"""Query registry plumbing.
+
+Every named query carries BOTH a Spark DataFrame builder and (when
+SQL-expressible) an ANSI-SQL oracle string for DuckDB. The driver
+harness runs both at sf=0.01 and hash-compares values, so the builders
+follow strict determinism rules:
+
+* column names are aliased identically on both sides;
+* floating-point **sums** are never compared raw — money-style columns
+  are cast to DECIMAL before aggregation (exact, order-independent)
+  and the final value cast back to DOUBLE (the exact decimal → double
+  conversion is IEEE-deterministic in both engines);
+* LIMIT/top-k queries order by a key combination that is provably
+  unique so the selected set is engine-independent;
+* timestamps are compared under UTC session time (see session.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    doc: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None ⇒ non-SQL-expressible, rows-only check
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = Query(name=name, doc=doc or (fn.__doc__ or ""), spark=fn, oracle=oracle)
+        return fn
+
+    return deco

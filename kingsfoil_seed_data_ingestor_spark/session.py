@@ -1,0 +1,67 @@
+"""SparkSession construction tuned for this engine.
+
+Local mode is the test bed; the conf values are chosen so the same code
+scales to a multi-executor cluster: AQE on (runtime re-plan, skew-join,
+partition coalescing), shuffle partitions sized to the parallelism at
+hand rather than the 200 default, Arrow enabled for the few pandas-UDF
+operators, UTC session time zone so results are comparable across
+engines (DuckDB oracle included).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "kingsfoil-spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    ``SPARK_GRAFT_CPUS`` (driver harness convention) controls local
+    parallelism; shuffle partitions default to that same number — on a
+    real cluster you would set this to ~2-3x total executor cores.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("KINGSFOIL_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_comparable_conf(spark: SparkSession) -> None:
+    """Runtime confs that make results engine-comparable.
+
+    Safe to call on a session we did not build (the driver harness
+    builds its own): only mutates runtime-mutable SQL confs.
+
+    ``nanosAsLong`` lets Spark read the testdata's nanosecond parquet
+    timestamps (events.ts) as epoch-nanos BIGINT; the loader derives a
+    microsecond timestamp from it, matching DuckDB's own ns→µs
+    truncation at read time so both engines see identical values.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
