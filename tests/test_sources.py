@@ -1,0 +1,231 @@
+"""Sources layer: untyped grid readers + header detection.
+
+Ports the observable behaviors the reference pins in
+``tests/test_file_parser.py`` and ``tests/test_header_detector.py``
+(citations inline) onto the Spark-first implementations.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kingsfoil_seed_data_ingestor_spark.sources import (
+    detect_header,
+    file_extension,
+    read_grid,
+)
+from kingsfoil_seed_data_ingestor_spark.sources.grid import with_row_idx
+
+MAPPINGS = {
+    "hcpcs_code": {"headers": ["HCPCS", "HCPC", "CPT"], "is_required": True},
+    "description": {"headers": ["DESCRIPTION", "DESC"], "is_required": False},
+    "work_rvu": {"headers": ["WORK RVU", "WRVU"], "is_required": False},
+}
+
+
+def grid_rows(grid):
+    """Collect the distributed grid back in file order as cell lists."""
+    cols = [c for c in grid.df.columns if c.startswith("_c")]
+    rows = grid.df.orderBy("row_idx").select(*cols).collect()
+    return [[r[c] for c in cols] for r in rows]
+
+
+# ----------------------------------------------------------------------
+# readers
+# ----------------------------------------------------------------------
+
+
+def test_csv_all_strings_preserves_leading_zeros(spark, tmp_path):
+    # reference tests/test_file_parser.py:90-107
+    p = tmp_path / "codes.csv"
+    p.write_text("HCPCS,VALUE\n00100,5\n0012A,7\n")
+    grid = read_grid(spark, str(p))
+    rows = grid_rows(grid)
+    assert rows[1][0] == "00100"
+    assert rows[2][0] == "0012A"
+    assert all(isinstance(c, str) for row in rows for c in row)
+
+
+def test_csv_empty_cells_stay_empty_string(spark, tmp_path):
+    # reference tests/test_file_parser.py:109-125 — "" not NaN/null
+    p = tmp_path / "gaps.csv"
+    p.write_text("A,B,C\n1,,3\n,,\n")
+    grid = read_grid(spark, str(p))
+    rows = grid_rows(grid)
+    assert rows[1] == ["1", "", "3"]
+    assert rows[2] == ["", "", ""]
+
+
+def test_csv_quoted_commas(spark, tmp_path):
+    # reference tests/test_file_parser.py:41-55
+    p = tmp_path / "quoted.csv"
+    p.write_text('CODE,DESC\nA1,"injection, intramuscular"\n')
+    grid = read_grid(spark, str(p))
+    assert grid_rows(grid)[1] == ["A1", "injection, intramuscular"]
+
+
+def test_txt_tab_delimiter_sniff(spark, tmp_path):
+    # reference tests/test_file_parser.py:57-71
+    p = tmp_path / "data.txt"
+    p.write_text("CODE\tDESC\nA1\tfoo\nB2\tbar\n")
+    grid = read_grid(spark, str(p))
+    assert grid.delimiter == "\t"
+    assert grid_rows(grid)[2] == ["B2", "bar"]
+
+
+def test_txt_pipe_delimiter_sniff(spark, tmp_path):
+    p = tmp_path / "data.txt"
+    p.write_text("CODE|DESC\nA1|foo\n")
+    grid = read_grid(spark, str(p))
+    assert grid.delimiter == "|"
+    assert grid_rows(grid)[1] == ["A1", "foo"]
+
+
+def test_missing_file_and_unsupported_ext(spark, tmp_path):
+    # reference tests/test_file_parser.py:73-88
+    with pytest.raises(FileNotFoundError):
+        read_grid(spark, str(tmp_path / "nope.csv"))
+    p = tmp_path / "data.parquet"
+    p.write_text("x")
+    with pytest.raises(ValueError):
+        read_grid(spark, str(p))
+
+
+def test_latin1_encoding_fallback(spark, tmp_path):
+    # reference file_parser.py:73-101 — utf-8 → latin-1 fallback
+    p = tmp_path / "enc.csv"
+    p.write_bytes("CODE,DESC\nA1,caf\xe9\n".encode("latin-1"))
+    grid = read_grid(spark, str(p))
+    assert grid.encoding == "latin-1"
+    assert grid_rows(grid)[1] == ["A1", "café"]
+
+
+def test_ragged_rows_backfilled_to_empty(spark, tmp_path):
+    p = tmp_path / "ragged.csv"
+    p.write_text("A,B,C\n1,2\n4,5,6\n")
+    grid = read_grid(spark, str(p))
+    assert grid_rows(grid)[1] == ["1", "2", ""]
+
+
+def test_row_as_list_and_extension_helpers(spark, tmp_path):
+    # reference tests/test_file_parser.py:128-180
+    p = tmp_path / "r.csv"
+    p.write_text("  A ,B\n1,2\n")
+    grid = read_grid(spark, str(p))
+    assert grid.row_as_list(0) == ["A", "B"]  # stripped
+    assert grid.row_as_list(99) == []
+    assert file_extension("Data.XLSX") == "xlsx"
+    assert file_extension("noext") == ""
+
+
+def test_row_idx_contiguous_and_file_ordered(spark, tmp_path):
+    p = tmp_path / "big.csv"
+    p.write_text("\n".join(f"row{i},{i}" for i in range(500)) + "\n")
+    grid = read_grid(spark, str(p))
+    rows = grid.df.orderBy("row_idx").select("row_idx", "_c0").collect()
+    assert [r.row_idx for r in rows] == list(range(500))
+    assert rows[0]._c0 == "row0" and rows[499]._c0 == "row499"
+
+
+def test_with_row_idx_on_repartitioned_frame(spark):
+    df = spark.range(1000).selectExpr("CAST(id AS STRING) AS _c0").repartition(7)
+    out = with_row_idx(df)
+    got = sorted(r.row_idx for r in out.select("row_idx").collect())
+    assert got == list(range(1000))
+
+
+# ----------------------------------------------------------------------
+# header detection
+# ----------------------------------------------------------------------
+
+
+def test_header_on_first_row():
+    # reference tests/test_header_detector.py:17-38
+    det = detect_header([["HCPCS", "DESCRIPTION", "WORK RVU"], ["00100", "x", "1.5"]], MAPPINGS)
+    assert det.found and det.header_row_index == 0
+    assert det.column_index == {"hcpcs_code": 0, "description": 1, "work_rvu": 2}
+
+
+def test_header_after_preamble_rows():
+    # reference tests/test_header_detector.py:40-58
+    rows = [
+        ["CMS Physician Fee Schedule", "", ""],
+        ["Copyright 2024", "", ""],
+        ["", "", ""],
+        ["HCPCS", "DESC", "WRVU"],
+        ["00100", "anesthesia", "1.5"],
+    ]
+    det = detect_header(rows, MAPPINGS)
+    assert det.found and det.header_row_index == 3
+    assert det.column_map["description"] == "DESC"
+
+
+def test_header_case_insensitive():
+    # reference tests/test_header_detector.py:60-75
+    det = detect_header([["hcpcs", "description"]], MAPPINGS)
+    assert det.found
+    assert det.column_index["hcpcs_code"] == 0
+
+
+def test_missing_required_column_fails_with_message():
+    # reference tests/test_header_detector.py:77-92
+    det = detect_header([["DESCRIPTION", "WORK RVU"], ["x", "1.0"]], MAPPINGS)
+    assert not det.found
+    assert det.header_row_index is None
+    assert "hcpcs_code" in det.error
+
+
+def test_optional_column_absent_is_fine():
+    # reference tests/test_header_detector.py:94-110
+    det = detect_header([["HCPCS"]], MAPPINGS)
+    assert det.found
+    assert "work_rvu" not in det.column_map
+
+
+def test_unmapped_columns_reported():
+    # reference tests/test_header_detector.py:112-128
+    det = detect_header([["HCPCS", "MYSTERY COL", "DESC"]], MAPPINGS)
+    assert det.found
+    assert det.unmapped_columns == ["MYSTERY COL"]
+
+
+def test_partial_match_verbose_header():
+    # reference tests/test_header_detector.py:130-146
+    mappings = {
+        "modifier_indicator": {"headers": ["Modifier"], "is_required": True},
+    }
+    det = detect_header([["Modifier 0=not allowed 1=allowed 9=N/A"]], mappings)
+    assert det.found
+    assert det.column_index["modifier_indicator"] == 0
+
+
+def test_partial_match_abbreviation_needs_3_chars():
+    det = detect_header([["DESC"]], {"description": {"headers": ["DESCRIPTION"], "is_required": True}})
+    assert det.found
+    det2 = detect_header([["DE"]], {"description": {"headers": ["DESCRIPTION"], "is_required": True}})
+    assert not det2.found
+
+
+def test_synonym_alternatives():
+    # reference tests/test_header_detector.py:148-165
+    det = detect_header([["HCPC", "DESC", "WRVU"]], MAPPINGS)
+    assert det.found
+    assert det.column_map == {"hcpcs_code": "HCPC", "description": "DESC", "work_rvu": "WRVU"}
+
+
+def test_not_found_beyond_scan_range():
+    # reference tests/test_header_detector.py:167-182
+    rows = [["junk", ""] for _ in range(16)] + [["HCPCS", "DESC"]]
+    det = detect_header(rows, MAPPINGS)
+    assert not det.found
+
+
+def test_each_file_column_claimed_once():
+    # one file column can satisfy at most one canonical column
+    mappings = {
+        "a": {"headers": ["CODE"], "is_required": True},
+        "b": {"headers": ["CODE"], "is_required": False},
+    }
+    det = detect_header([["CODE", "CODE"]], mappings)
+    assert det.found
+    assert det.column_index == {"a": 0, "b": 1}
