@@ -1,0 +1,21 @@
+"""Engine operators: dedup, typed ingest pipeline, versioning, orchestration."""
+
+from kingsfoil_seed_data_ingestor_spark.operators.dedup import keep_first
+from kingsfoil_seed_data_ingestor_spark.operators.ingest import (
+    IngestPlan,
+    build_ingest_plan,
+    empty_row_predicate,
+    typed_projection,
+)
+from kingsfoil_seed_data_ingestor_spark.operators.versioning import VersionStore
+from kingsfoil_seed_data_ingestor_spark.operators.pipeline import ingest_file
+
+__all__ = [
+    "keep_first",
+    "IngestPlan",
+    "build_ingest_plan",
+    "empty_row_predicate",
+    "typed_projection",
+    "VersionStore",
+    "ingest_file",
+]

@@ -1,0 +1,175 @@
+"""End-to-end ingest orchestration (reference V9/V10).
+
+``ingest_file`` is the driver-side conductor tying the layers together
+— the Spark restatement of reference ``ingest_file``
+(``app/services/ingestor.py:691-783``) + the two-phase upload protocol
+(``app/routers/upload.py:196-561``):
+
+1. gates: extension whitelist, size cap, SHA-256 whole-file dedup;
+2. read the untyped grid (distributed) + detect the header (driver);
+3. validation pass (row counts, sampled type check);
+4. version row: delete stale failed → create ``processing``, or
+   resolve the append target for multi-part sources;
+5. the ingest plan (typed select → quarantine split → dedup) executes
+   as one Spark job tree writing partitioned facts;
+6. finalize: ``completed``/``failed`` status, part bookkeeping,
+   optional ``is_current`` flip, result counts.
+
+Any exception between version creation and finalization marks the
+version ``failed`` (same safety net as reference ``ingestor.py:780-783``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from kingsfoil_seed_data_ingestor_spark.operators.ingest import build_ingest_plan
+from kingsfoil_seed_data_ingestor_spark.operators.validate import (
+    MAX_UPLOAD_MB,
+    extension_error,
+    validate_grid,
+)
+from kingsfoil_seed_data_ingestor_spark.operators.versioning import (
+    STATUS_FAILED,
+    VersionStore,
+)
+from kingsfoil_seed_data_ingestor_spark.registry import get_source
+from kingsfoil_seed_data_ingestor_spark.sources import detect_header, read_grid
+
+
+def sha256_file(path: str, chunk_bytes: int = 1 << 20) -> str:
+    """Whole-file content hash (reference ``upload.py:37-49``)."""
+    digest = hashlib.sha256()
+    with open(path, "rb") as f:
+        while chunk := f.read(chunk_bytes):
+            digest.update(chunk)
+    return digest.hexdigest()
+
+
+def ingest_file(
+    spark: SparkSession,
+    store: VersionStore,
+    source_code: str,
+    file_path: str,
+    version_label: str,
+    variant: str | None = None,
+    effective_date: str | None = None,
+    mark_current: bool = True,
+    max_upload_mb: int = MAX_UPLOAD_MB,
+) -> dict:
+    """Ingest one file into the versioned warehouse; returns the result
+    dict (counts, stats, version_id, warnings)."""
+    source = get_source(source_code)
+    path = Path(file_path)
+
+    # -------- gates (reference upload.py:212-294) --------
+    err = extension_error(path.name)
+    if err:
+        return {"success": False, "errors": [err]}
+    if path.exists() and path.stat().st_size > max_upload_mb * 1024 * 1024:
+        return {
+            "success": False,
+            "errors": [f"File exceeds maximum size of {max_upload_mb} MB"],
+        }
+    file_hash = sha256_file(file_path)
+    dup = store.find_by_hash(source.source_code, file_hash)
+    if dup is not None:
+        return {
+            "success": False,
+            "errors": [
+                f"This file was already uploaded as version "
+                f"{dup['version_label']} ({dup['file_name']})"
+            ],
+            "duplicate_of": dup["version_id"],
+        }
+
+    # -------- parse + header resolution --------
+    grid = read_grid(spark, file_path)
+    detection = detect_header(grid.head_rows, source.header_mappings)
+    if not detection.found:
+        return {"success": False, "errors": [detection.error]}
+
+    # -------- validation pass --------
+    prev = None
+    existing_current = [
+        v
+        for v in store._read_versions().to_dict("records")
+        if v["source_code"] == source.source_code and v["status"] == "completed"
+    ]
+    if existing_current:
+        prev = int(max(existing_current, key=lambda v: v["imported_at"] or 0)["record_count"])
+    report = validate_grid(grid.df, source, detection, previous_record_count=prev)
+    if not report.passed:
+        return {"success": False, "errors": report.errors, "warnings": report.warnings}
+
+    # -------- version management (V1/V4/V5) --------
+    existing = store.find_version(source.source_code, version_label, variant)
+    appending = False
+    if existing is not None:
+        if existing["status"] == STATUS_FAILED:
+            # stale failed load blocks re-upload → cascade-delete it
+            store.delete_failed_version(int(existing["version_id"]))
+        elif source.multipart and existing["status"] == "completed":
+            appending = True  # NCCI_PTP multi-part: append part n+1
+        else:
+            return {
+                "success": False,
+                "errors": [
+                    f"Version already exists: ({source.source_code}, "
+                    f"{version_label}, {variant})"
+                ],
+            }
+    if appending:
+        version_id = int(existing["version_id"])
+    else:
+        version_id = store.create_version(
+            source.source_code,
+            version_label,
+            variant=variant,
+            effective_date=effective_date,
+            file_name=path.name,
+            file_hash=file_hash,
+            file_size_bytes=path.stat().st_size,
+            header_row_index=detection.header_row_index,
+        )
+
+    # -------- the Spark job tree --------
+    try:
+        plan = build_ingest_plan(grid.df, source, detection)
+        store.write_records(source, version_id, plan.records)
+        stats = plan.stats()
+        inserted = stats["records_inserted"]
+
+        if appending:
+            store.add_part(version_id, inserted)
+        elif inserted > 0:
+            store.complete_version(version_id, inserted)
+            store.add_part(version_id, 0)  # part 1 of a fresh version
+            if mark_current:
+                store.mark_current(version_id)
+        else:
+            store.fail_version(version_id, "No valid records found in file")
+
+        store.log_event(
+            version_id,
+            "INFO",
+            f"Ingestion complete: {inserted} records inserted",
+            {
+                "records_processed": stats["records_processed"],
+                "duplicates_skipped": stats["duplicates_skipped"],
+                "rows_skipped": stats["rows_skipped"],
+                "quarantined": stats["records_quarantined"],
+            },
+        )
+        stats["version_id"] = version_id
+        stats["warnings"] = report.warnings
+        stats["appended_part"] = appending
+        return stats
+    except Exception as exc:  # the reference's failure net, ingestor.py:780-783
+        if not appending:
+            store.fail_version(version_id, str(exc))
+        store.log_event(version_id, "ERROR", f"Ingestion failed: {exc}", {})
+        raise

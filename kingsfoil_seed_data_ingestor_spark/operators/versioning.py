@@ -1,0 +1,330 @@
+"""Versioned warehouse: meta state machine + partitioned fact storage.
+
+The reference's defining semantic (SURVEY.md §1.4) — every upload is a
+``data_versions`` row with a ``pending → processing → completed |
+failed`` state machine, an exclusive ``is_current`` flag per
+(source, variant), multi-part append, file-hash dedup, FK-cascade
+cleanup of failed loads (reference ``app/services/ingestor.py:101-283,
+670-783``; DDL ``scripts/init_db.py:98-155``).
+
+Storage model here:
+
+* **Fact tables**: parquet under ``{root}/facts/{table}/
+  data_version_id={id}/`` — Spark partition pruning makes the
+  current-version join read only live partitions; deleting a failed
+  version is a partition drop (the cascade).
+* **Meta tables** (versions, logs): tiny, driver-written, single
+  parquet file each, updated read-modify-replace with an atomic
+  ``os.replace``. They are metadata about uploads — the reference
+  keeps them in PostgreSQL; a transactional table format (Delta)
+  would subsume this on a shared cluster, but the state machine and
+  swap discipline (write-new-then-rename, never in-place) already
+  give readers a consistent snapshot on a single writer.
+
+The hot path (fact data) never routes through the driver; only version
+bookkeeping does, exactly like the reference's asyncpg calls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.registry import SOURCES, Source
+
+VERSION_COLUMNS = [
+    "version_id",
+    "source_code",
+    "version_label",
+    "variant",
+    "effective_date",
+    "file_name",
+    "file_hash",
+    "file_size_bytes",
+    "header_row_index",
+    "record_count",
+    "part_count",
+    "is_current",
+    "status",
+    "error_message",
+    "imported_at",
+]
+
+STATUS_PROCESSING = "processing"
+STATUS_COMPLETED = "completed"
+STATUS_FAILED = "failed"
+
+
+class VersionStore:
+    """Driver-side version/state manager over a warehouse directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        (self.root / "meta").mkdir(parents=True, exist_ok=True)
+        (self.root / "facts").mkdir(parents=True, exist_ok=True)
+
+    # ---------------- meta table plumbing ----------------
+
+    @property
+    def _versions_path(self) -> Path:
+        return self.root / "meta" / "data_versions.parquet"
+
+    @property
+    def _logs_path(self) -> Path:
+        return self.root / "meta" / "ingestion_logs.parquet"
+
+    def _read_versions(self) -> pd.DataFrame:
+        if self._versions_path.exists():
+            return pd.read_parquet(self._versions_path)
+        return pd.DataFrame(columns=VERSION_COLUMNS)
+
+    def _write_versions(self, pdf: pd.DataFrame) -> None:
+        # write-new-then-rename so a concurrent reader never sees a
+        # half-written meta table (SURVEY.md §7.4 risk 3)
+        fd, tmp = tempfile.mkstemp(dir=self.root / "meta", suffix=".parquet")
+        os.close(fd)
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, self._versions_path)
+
+    def versions_df(self) -> DataFrame:
+        """The versions meta table as a (tiny, broadcastable) DataFrame."""
+        return self.spark.createDataFrame(
+            self._read_versions().astype(object).where(pd.notnull, None),
+            schema=(
+                "version_id long, source_code string, version_label string, "
+                "variant string, effective_date string, file_name string, "
+                "file_hash string, file_size_bytes long, header_row_index int, "
+                "record_count long, part_count int, is_current boolean, "
+                "status string, error_message string, imported_at double"
+            ),
+        )
+
+    # ---------------- V1/V2: create + status transitions ----------------
+
+    def create_version(
+        self,
+        source_code: str,
+        version_label: str,
+        variant: str | None = None,
+        effective_date: str | None = None,
+        file_name: str | None = None,
+        file_hash: str | None = None,
+        file_size_bytes: int | None = None,
+        header_row_index: int | None = None,
+    ) -> int:
+        """V1 — insert a version row in ``processing`` state.
+
+        Enforces the reference's unique (source, label, variant)
+        constraint (``init_db.py:114``).
+        """
+        pdf = self._read_versions()
+        clash = pdf[
+            (pdf.source_code == source_code)
+            & (pdf.version_label == version_label)
+            & (pdf.variant.isna() if variant is None else (pdf.variant == variant))
+        ]
+        if not clash.empty:
+            raise ValueError(
+                f"Version already exists: ({source_code}, {version_label}, {variant})"
+            )
+        version_id = int(pdf.version_id.max()) + 1 if len(pdf) else 1
+        row = {
+            "version_id": version_id,
+            "source_code": source_code,
+            "version_label": version_label,
+            "variant": variant,
+            "effective_date": effective_date,
+            "file_name": file_name,
+            "file_hash": file_hash,
+            "file_size_bytes": file_size_bytes,
+            "header_row_index": header_row_index,
+            "record_count": 0,
+            "part_count": 0,
+            "is_current": False,
+            "status": STATUS_PROCESSING,
+            "error_message": None,
+            "imported_at": None,
+        }
+        new = pd.DataFrame([row])
+        self._write_versions(new if pdf.empty else pd.concat([pdf, new], ignore_index=True))
+        return version_id
+
+    def _mutate(self, version_id: int, **updates) -> None:
+        pdf = self._read_versions()
+        mask = pdf.version_id == version_id
+        if not mask.any():
+            raise KeyError(f"No such version: {version_id}")
+        for k, v in updates.items():
+            pdf.loc[mask, k] = v
+        self._write_versions(pdf)
+
+    def complete_version(self, version_id: int, record_count: int) -> None:
+        """V2 — ``processing`` → ``completed`` with counts + timestamp."""
+        self._mutate(
+            version_id,
+            status=STATUS_COMPLETED,
+            record_count=record_count,
+            imported_at=time.time(),
+        )
+
+    def fail_version(self, version_id: int, error: str) -> None:
+        """V2 — ``processing`` → ``failed`` with the error message."""
+        self._mutate(version_id, status=STATUS_FAILED, error_message=error[:1000])
+
+    # ---------------- V3: exclusive is_current flip ----------------
+
+    def mark_current(self, version_id: int) -> None:
+        """V3 — set ``is_current`` on the target, clearing it for every
+        other version of the same (source, variant) in one swap
+        (reference ``ingestor.py:226-259``)."""
+        pdf = self._read_versions()
+        target = pdf[pdf.version_id == version_id]
+        if target.empty:
+            raise KeyError(f"No such version: {version_id}")
+        src = target.iloc[0].source_code
+        var = target.iloc[0].variant
+        group = (pdf.source_code == src) & (
+            pdf.variant.isna() if pd.isna(var) else (pdf.variant == var)
+        )
+        pdf.loc[group, "is_current"] = False
+        pdf.loc[pdf.version_id == version_id, "is_current"] = True
+        self._write_versions(pdf)
+
+    # ---------------- V4: lookups + multi-part append ----------------
+
+    def find_version(
+        self, source_code: str, version_label: str, variant: str | None = None
+    ) -> dict | None:
+        pdf = self._read_versions()
+        hit = pdf[
+            (pdf.source_code == source_code)
+            & (pdf.version_label == version_label)
+            & (pdf.variant.isna() if variant is None else (pdf.variant == variant))
+        ]
+        return None if hit.empty else hit.iloc[0].to_dict()
+
+    def find_by_hash(self, source_code: str, file_hash: str) -> dict | None:
+        """V6 — whole-file duplicate probe (reference validator.py:178-214)."""
+        pdf = self._read_versions()
+        hit = pdf[
+            (pdf.source_code == source_code)
+            & (pdf.file_hash == file_hash)
+            & (pdf.status == STATUS_COMPLETED)
+        ]
+        return None if hit.empty else hit.iloc[0].to_dict()
+
+    def add_part(self, version_id: int, part_records: int) -> None:
+        """V4 — multi-part bookkeeping: bump totals for an appended part
+        (reference ``ingestor.py:178-195``)."""
+        pdf = self._read_versions()
+        mask = pdf.version_id == version_id
+        pdf.loc[mask, "record_count"] = pdf.loc[mask, "record_count"].fillna(0) + part_records
+        pdf.loc[mask, "part_count"] = pdf.loc[mask, "part_count"].fillna(0) + 1
+        self._write_versions(pdf)
+
+    # ---------------- V5: failed-version cascade delete ----------------
+
+    def delete_failed_version(self, version_id: int) -> None:
+        """V5 — drop a failed version row and its fact partition (the
+        FK-cascade analogue; reference ``ingestor.py:670-688``)."""
+        pdf = self._read_versions()
+        hit = pdf[pdf.version_id == version_id]
+        if hit.empty:
+            return
+        if hit.iloc[0].status != STATUS_FAILED:
+            raise ValueError(f"Version {version_id} is not failed; refusing delete")
+        src = SOURCES.get(hit.iloc[0].source_code)
+        if src is not None:
+            part_dir = (
+                self.root / "facts" / src.target_table / f"data_version_id={version_id}"
+            )
+            if part_dir.exists():
+                shutil.rmtree(part_dir)
+        self._write_versions(pdf[pdf.version_id != version_id])
+
+    # ---------------- fact writes + current views ----------------
+
+    def fact_path(self, source: Source) -> str:
+        return str(self.root / "facts" / source.target_table)
+
+    def write_records(self, source: Source, version_id: int, records: DataFrame) -> None:
+        """Append typed records under their version partition.
+
+        Partitioning by ``data_version_id`` is the scale move: the
+        current-version join prunes to live partitions, and failed-load
+        cleanup is a directory drop, not a rewrite.
+        """
+        out = records.drop("row_number", "row_idx", *[
+            c for c in records.columns if c.startswith("_c")
+        ])
+        (
+            out.withColumn("data_version_id", F.lit(version_id).cast("long"))
+            .write.mode("append")
+            .partitionBy("data_version_id")
+            .parquet(self.fact_path(source))
+        )
+
+    def current_view(self, source: Source, variant: str | None = None) -> DataFrame:
+        """The ``{table}_current`` view (reference ``init_db.py:418-517``):
+        fact rows of the current completed version only.
+
+        The version list is tiny and broadcast; with partitioned facts
+        the version filter prunes at the directory level.
+        """
+        pdf = self._read_versions()
+        live = pdf[
+            (pdf.source_code == source.source_code)
+            & (pdf.status == STATUS_COMPLETED)
+            & (pdf.is_current.fillna(False))
+        ]
+        if variant is not None:
+            live = live[live.variant == variant]
+        ids = [int(v) for v in live.version_id.tolist()]
+        facts = self.spark.read.parquet(self.fact_path(source))
+        return facts.filter(F.col("data_version_id").isin(ids))
+
+    def register_current_views(self) -> None:
+        """Register ``{table}_current`` temp views for every source that
+        has fact data — the reference's 11-view query surface."""
+        seen = set()
+        for source in SOURCES.values():
+            if source.target_table in seen:
+                continue
+            if (self.root / "facts" / source.target_table).exists():
+                self.current_view(source).createOrReplaceTempView(
+                    f"{source.target_table}_current"
+                )
+                seen.add(source.target_table)
+
+    # ---------------- V8: ingestion event log ----------------
+
+    def log_event(
+        self, version_id: int | None, level: str, message: str, details: dict | None = None
+    ) -> None:
+        """Append one log row (reference ``ingestor.py:267-283``);
+        details JSON-serialized exactly like the JSONB column."""
+        row = {
+            "version_id": version_id,
+            "level": level,
+            "message": message,
+            "details": json.dumps(details or {}),
+            "logged_at": time.time(),
+        }
+        if self._logs_path.exists():
+            logs = pd.read_parquet(self._logs_path)
+            logs = pd.concat([logs, pd.DataFrame([row])], ignore_index=True)
+        else:
+            logs = pd.DataFrame([row])
+        fd, tmp = tempfile.mkstemp(dir=self.root / "meta", suffix=".parquet")
+        os.close(fd)
+        logs.to_parquet(tmp, index=False)
+        os.replace(tmp, self._logs_path)

@@ -1,0 +1,323 @@
+"""Operator layer: dedup, ingest pipeline, validation, versioning.
+
+Golden end-to-end ingest tests modeled on FIXTURES.md — the level the
+reference's own suite skips (SURVEY.md §5) — plus unit semantics ported
+from reference ``tests/test_ingestor.py``.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.operators import (
+    build_ingest_plan,
+    ingest_file,
+    keep_first,
+    VersionStore,
+)
+from kingsfoil_seed_data_ingestor_spark.operators.validate import (
+    extension_error,
+    validate_grid,
+)
+from kingsfoil_seed_data_ingestor_spark.registry import get_source
+from kingsfoil_seed_data_ingestor_spark.sources import detect_header, read_grid
+
+PFS_RVU_CSV = """CMS Physician Fee Schedule,,,,,,,,,,,,
+Copyright 2024 CMS,,,,,,,,,,,,
+,,,,,,,,,,,,
+HCPCS,MOD,DESCRIPTION,STATUS CODE,WORK RVU,NON-FAC PE RVU,FAC PE RVU,MP RVU,NON-FAC TOTAL,FAC TOTAL,PCTC IND,GLOB DAYS,CONV FACTOR
+00100,TC,"Anesth, salivary gland",A,"1,234.56",0.31,0.31,0.08,1.55,1.55,0,XXX,32.7442
+00100,TC,Duplicate of first row,A,1.16,0.31,0.31,0.08,1.55,1.55,0,XXX,32.7442
+0012A,26,Weird code,A,2.5,0.5,0.5,0.1,3.1,3.1,1,010,32.7442
+,,Null key row kept out,A,1.0,0.2,0.2,0.05,1.45,1.45,0,XXX,32.7442
+,,,,,,,,,,,,
+99213,25,"Office visit, est",A,N/A,*,0.97,0.07,2.01,1.5,9,XXX,32.7442
+"""
+
+MUE_CSV = """HCPCS/CPT Code,Practitioner Services MUE Values,MUE Adjudication Indicator,MUE Rationale
+00100,0,3 Date of Service Edit: Clinical,Anatomic consideration
+0213T,2,2 Date of Service Edit: Policy,Code descriptor
+G0008,1,4 Invalid indicator,Nature of service
+J1100,5,,Drug dosing
+"""
+
+PTP_TXT = (
+    "Column 1\tColumn 2\tModifier 0=not allowed 1=allowed 9=N/A\tEffective Date\t"
+    "Deletion Date\tPTP Edit Rationale\t*=in existence prior to 1996\n"
+    "00100\t00102\t1\t20240101\t*\tStandard preparation\t*\n"
+    "00100\t00103\t0\t20230401\t20240331\tMutually exclusive\t\n"
+    "0213T\t0216T\t9\t20240101\t*\tCCI editing\t\n"
+)
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return VersionStore(spark, str(tmp_path / "warehouse"))
+
+
+# ----------------------------------------------------------------------
+# keep-first dedup (reference tests/test_ingestor.py:182-260)
+# ----------------------------------------------------------------------
+
+
+def test_keep_first_basic_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "A", "x1"), (2, "B", "x2"), (3, "A", "x3"), (4, "A", "x4")],
+        "ord int, key string, payload string",
+    )
+    kept, dups = keep_first(df, ["key"], "ord")
+    assert {(r.key, r.payload) for r in kept.collect()} == {("A", "x1"), ("B", "x2")}
+    assert dups.count() == 2
+
+
+def test_keep_first_multi_key(spark):
+    df = spark.createDataFrame(
+        [(1, "A", "m1"), (2, "A", "m2"), (3, "A", "m1")],
+        "ord int, code string, mod string",
+    )
+    kept, dups = keep_first(df, ["code", "mod"], "ord")
+    assert kept.count() == 2 and dups.count() == 1
+    assert dups.first().ord == 3
+
+
+def test_keep_first_null_keys_exempt(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "K", "c"), (4, "K", "d")],
+        "ord int, key string, v string",
+    )
+    kept, dups = keep_first(df, ["key"], "ord")
+    # both null-key rows survive; only the keyed duplicate drops
+    assert kept.count() == 3 and dups.count() == 1
+
+
+# ----------------------------------------------------------------------
+# golden ingest: PFS_RVU fixture
+# ----------------------------------------------------------------------
+
+
+def test_pfs_rvu_golden_ingest(spark, tmp_path):
+    p = tmp_path / "pfs_rvu.csv"
+    p.write_text(PFS_RVU_CSV)
+    grid = read_grid(spark, str(p))
+    source = get_source("PFS_RVU")
+    det = detect_header(grid.head_rows, source.header_mappings)
+    assert det.found and det.header_row_index == 3
+
+    plan = build_ingest_plan(grid.df, source, det)
+    stats = plan.stats()
+    # 6 data rows: 1 all-empty skipped, 1 null-key quarantined,
+    # 1 duplicate dropped, 3 inserted
+    # NB: like the reference (validate_record, ingestor.py:358-375), a row
+    # with ANY null unique-key column — including a blank PFS modifier —
+    # fails key validation and is quarantined, not inserted.
+    assert stats["rows_skipped"] == 1
+    assert stats["records_quarantined"] == 1
+    assert stats["duplicates_skipped"] == 1
+    assert stats["records_inserted"] == 3
+    assert stats["records_processed"] == 4  # valid rows pre-dedup
+
+    rows = {r.hcpcs_code: r for r in plan.records.collect()}
+    first = rows["00100"]
+    assert first.description == "Anesth, salivary gland"  # keep-FIRST
+    assert first.work_rvu == 1234.56  # comma numeric
+    assert rows["0012A"].hcpcs_code == "0012A"  # leading zero preserved
+    v99213 = rows["99213"]
+    assert v99213.work_rvu is None  # N/A sentinel
+    assert v99213.non_fac_pe_rvu is None  # '*' sentinel in numeric
+    assert v99213.facility_pe_rvu == 0.97
+
+    q = plan.quarantine.first()
+    assert "Missing required key" in q.error
+
+
+# ----------------------------------------------------------------------
+# golden ingest: NCCI MUE (cross-column mai_id, zero preserved)
+# ----------------------------------------------------------------------
+
+
+def test_mue_golden_ingest(spark, tmp_path):
+    p = tmp_path / "mue.csv"
+    p.write_text(MUE_CSV)
+    grid = read_grid(spark, str(p))
+    source = get_source("NCCI_MUE_PRAC")
+    det = detect_header(grid.head_rows, source.header_mappings)
+    assert det.found and det.header_row_index == 0
+
+    plan = build_ingest_plan(grid.df, source, det)
+    rows = {r.hcpcs_code: r for r in plan.records.collect()}
+    assert rows["00100"].mue_value == 0  # zero is data, not null
+    assert rows["00100"].mai_id == 3  # extracted from description
+    assert rows["0213T"].mai_id == 2
+    assert rows["G0008"].mai_id is None  # 4 is invalid
+    assert rows["J1100"].mai_id is None  # empty description
+    assert rows["J1100"].mue_value == 5
+
+
+# ----------------------------------------------------------------------
+# golden ingest: NCCI PTP ('*' semantics, partial header match, TXT tabs)
+# ----------------------------------------------------------------------
+
+
+def test_ptp_golden_ingest(spark, tmp_path):
+    p = tmp_path / "ptp.txt"
+    p.write_text(PTP_TXT)
+    grid = read_grid(spark, str(p))
+    assert grid.delimiter == "\t"
+    source = get_source("NCCI_PTP")
+    det = detect_header(grid.head_rows, source.header_mappings)
+    assert det.found
+
+    plan = build_ingest_plan(grid.df, source, det)
+    rows = {(r.comprehensive_code, r.component_code): r for r in plan.records.collect()}
+    active = rows[("00100", "00102")]
+    assert active.deletion_date is None  # '*' = still active
+    assert active.prior_1996_flag is True  # '*' = TRUE here
+    assert active.modifier_indicator == 1
+    assert active.effective_date == datetime.date(2024, 1, 1)  # YYYYMMDD
+    deleted = rows[("00100", "00103")]
+    assert deleted.deletion_date == datetime.date(2024, 3, 31)
+    assert deleted.prior_1996_flag is False  # '' → FALSE
+    assert rows[("0213T", "0216T")].modifier_indicator == 9
+
+
+# ----------------------------------------------------------------------
+# validation gates
+# ----------------------------------------------------------------------
+
+
+def test_extension_whitelist():
+    # reference tests/test_validator.py:10-59
+    assert extension_error("data.csv") is None
+    assert extension_error("data.XLSX") is None
+    assert "not supported" in extension_error("data.parquet")
+    assert extension_error("") == "No filename provided"
+    assert extension_error("noext") == "File has no extension"
+
+
+def test_validate_no_data_rows(spark, tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("HCPCS,MOD,WORK RVU\n")
+    grid = read_grid(spark, str(p))
+    source = get_source("PFS_RVU")
+    det = detect_header(grid.head_rows, source.header_mappings)
+    report = validate_grid(grid.df, source, det)
+    assert not report.passed
+    assert "No data rows" in report.errors[0]
+
+
+def test_validate_row_count_sanity_and_type_warnings(spark, tmp_path):
+    p = tmp_path / "odd.csv"
+    p.write_text("HCPCS,WORK RVU,MOD\nA1,not-a-number,\nA2,1.5,\n")
+    grid = read_grid(spark, str(p))
+    source = get_source("PFS_RVU")
+    det = detect_header(grid.head_rows, source.header_mappings)
+    report = validate_grid(grid.df, source, det, previous_record_count=100)
+    assert report.passed  # warnings only
+    assert any("much lower than previous" in w for w in report.warnings)
+    assert any("non-numeric value 'not-a-number'" in w for w in report.warnings)
+
+
+# ----------------------------------------------------------------------
+# version store state machine
+# ----------------------------------------------------------------------
+
+
+def test_version_lifecycle_and_exclusive_current(store):
+    v1 = store.create_version("PFS_RVU", "2024-Q1")
+    store.complete_version(v1, 100)
+    store.mark_current(v1)
+    v2 = store.create_version("PFS_RVU", "2024-Q2")
+    store.complete_version(v2, 110)
+    store.mark_current(v2)
+    pdf = store._read_versions()
+    current = pdf[pdf.is_current.astype(bool)]
+    assert len(current) == 1 and current.iloc[0].version_id == v2
+
+
+def test_version_unique_constraint_and_variants(store):
+    store.create_version("NCCI_PTP", "2024-Q1", variant="practitioner")
+    store.create_version("NCCI_PTP", "2024-Q1", variant="hospital")  # ok
+    with pytest.raises(ValueError):
+        store.create_version("NCCI_PTP", "2024-Q1", variant="practitioner")
+
+
+def test_current_flip_is_variant_scoped(store):
+    p1 = store.create_version("NCCI_PTP", "2024-Q1", variant="practitioner")
+    h1 = store.create_version("NCCI_PTP", "2024-Q1", variant="hospital")
+    for v in (p1, h1):
+        store.complete_version(v, 10)
+        store.mark_current(v)
+    p2 = store.create_version("NCCI_PTP", "2024-Q2", variant="practitioner")
+    store.complete_version(p2, 12)
+    store.mark_current(p2)
+    pdf = store._read_versions()
+    cur = pdf[pdf.is_current.astype(bool)]
+    assert set(cur.version_id) == {h1, p2}  # hospital current untouched
+
+
+def test_failed_version_delete_and_hash_dedup(store):
+    v = store.create_version("PFS_GPCI", "2024", file_hash="abc123")
+    store.fail_version(v, "boom")
+    assert store.find_by_hash("PFS_GPCI", "abc123") is None  # failed ≠ dup
+    store.delete_failed_version(v)
+    assert store.find_version("PFS_GPCI", "2024") is None
+    v2 = store.create_version("PFS_GPCI", "2024", file_hash="abc123")
+    store.complete_version(v2, 5)
+    assert store.find_by_hash("PFS_GPCI", "abc123")["version_id"] == v2
+
+
+# ----------------------------------------------------------------------
+# full orchestration: ingest_file end-to-end + current view
+# ----------------------------------------------------------------------
+
+
+def test_ingest_file_end_to_end(spark, store, tmp_path):
+    p = tmp_path / "pfs_rvu.csv"
+    p.write_text(PFS_RVU_CSV)
+    result = ingest_file(spark, store, "PFS_RVU", str(p), "2024-Q1")
+    assert result["success"]
+    assert result["records_inserted"] == 3
+
+    # duplicate upload of the same bytes is blocked
+    again = ingest_file(spark, store, "PFS_RVU", str(p), "2024-Q2")
+    assert not again["success"]
+    assert "already uploaded" in again["errors"][0]
+
+    # a new quarter becomes current; the old stays queryable by version
+    p2 = tmp_path / "pfs_rvu_q2.csv"
+    p2.write_text(PFS_RVU_CSV.replace("1,234.56", "2.00") + "99499,59,New row,A,1,1,1,1,1,1,0,XXX,33\n")
+    r2 = ingest_file(spark, store, "PFS_RVU", str(p2), "2024-Q2")
+    assert r2["success"] and r2["records_inserted"] == 4
+
+    source = get_source("PFS_RVU")
+    cur = store.current_view(source)
+    assert cur.count() == 4
+    assert cur.filter(F.col("hcpcs_code") == "00100").first().work_rvu == 2.0
+    assert cur.select(F.max(F.length("hcpcs_code"))).first()[0] == 5
+
+    facts = spark.read.parquet(store.fact_path(source))
+    assert facts.count() == 7  # both versions retained
+
+    store.register_current_views()
+    assert spark.sql("SELECT COUNT(*) AS n FROM pfs_rvu_current").first().n == 4
+
+
+def test_ingest_file_multipart_append(spark, store, tmp_path):
+    part1 = tmp_path / "ptp1.txt"
+    part1.write_text(PTP_TXT)
+    r1 = ingest_file(spark, store, "NCCI_PTP", str(part1), "2024-Q1", variant="practitioner")
+    assert r1["success"] and not r1["appended_part"]
+
+    part2 = tmp_path / "ptp2.txt"
+    part2.write_text(PTP_TXT.replace("00100", "11111").replace("0213T", "22222"))
+    r2 = ingest_file(spark, store, "NCCI_PTP", str(part2), "2024-Q1", variant="practitioner")
+    assert r2["success"] and r2["appended_part"]
+
+    v = store.find_version("NCCI_PTP", "2024-Q1", "practitioner")
+    assert v["record_count"] == 6  # 3 + 3 across parts
+    assert v["part_count"] == 2
+    cur = store.current_view(get_source("NCCI_PTP"), variant="practitioner")
+    assert cur.count() == 6
