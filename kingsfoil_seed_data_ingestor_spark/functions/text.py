@@ -1,0 +1,206 @@
+"""Text-analysis expressions for LLM training-data pipelines.
+
+Extension surface beyond the reference (SURVEY.md §7.2 step 10): token
+counting, shingling, quality metrics, language ID, fingerprinting —
+each a **native Column expression builder** (JVM-side, codegen'd, no
+Python UDFs) so they run at 100 TB the same way the CMS transforms do.
+
+Determinism contract: every expression here has an exact ANSI-SQL
+restatement (used by the DuckDB oracles in ``plans/llm.py``) — hashing
+is md5-based (identical in any engine), ratios are IEEE double
+divisions of integer counts, and no expression depends on row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# tokenization / shingling
+# ----------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Token count — the whitespace half of the reference-free
+    tokenizer (a BPE-ish regex count is ``bpe_piece_count``)."""
+    return F.size(tokens(col))
+
+
+def bpe_piece_count(col: Column) -> Column:
+    """BPE-ish piece count: runs of letters, runs of digits, or single
+    non-alphanumeric non-space characters — a deterministic stand-in
+    for subword tokenization cost estimates."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-grams of words, space-joined (``"a b c"``), the unit
+    for Jaccard near-dup detection. Texts with <n tokens → empty."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ----------------------------------------------------------------------
+# quality metrics
+# ----------------------------------------------------------------------
+
+#: compact English stopword list for quality/lang scoring (public,
+#: standard closed-class words)
+STOPWORDS = {
+    "en": ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine"),
+    "es": ("el", "la", "los", "las", "de", "y", "es", "en", "que", "un", "una", "por", "con"),
+    "fr": ("le", "la", "les", "et", "est", "de", "des", "un", "une", "que", "pour", "dans"),
+}
+
+
+def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, F.lower(t))))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are closed-class stopwords — the classic
+    'is this prose or noise' signal."""
+    t = tokens(col)
+    return F.when(F.size(t) > 0, _hit_count(t, STOPWORDS[lang]) / F.size(t)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation characters per character of text."""
+    n = F.length(col)
+    punct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column) -> Column:
+    n = F.length(col)
+    digits = n - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: length sweet spot + stopword
+    presence − punctuation/digit noise. Deterministic double math; the
+    exact formula is mirrored in the DuckDB oracle.
+    """
+    n_tok = token_count(col)
+    length_component = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    noise = F.least(punct_ratio(col) * 4.0 + digit_ratio(col) * 2.0, F.lit(1.0))
+    score = 0.5 * length_component + 0.5 * stop_component - 0.25 * noise
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+
+
+# ----------------------------------------------------------------------
+# language identification
+# ----------------------------------------------------------------------
+
+
+def lang_ratio_columns(col: Column) -> dict[str, Column]:
+    """Per-language stopword hit ratio expressions, one per language.
+
+    Materialize these as real columns (one ``select``) before the
+    argmax: referencing each ratio several times inside the nested CASE
+    would otherwise duplicate the whole token-scan subtree per
+    reference — a measured ~20× plan blowup at sf0.1.
+    """
+    t = tokens(col)
+    n = F.size(t)
+    return {
+        lang: F.when(n > 0, _hit_count(t, STOPWORDS[lang]) / n).otherwise(F.lit(0.0))
+        for lang in sorted(STOPWORDS)
+    }
+
+
+def langid_from_ratios(ratios: dict[str, Column], min_ratio: float = 0.1) -> Column:
+    """Argmax over precomputed ratio columns with deterministic
+    tie-break: languages evaluated in sorted order, strict ``>`` keeps
+    the earliest maximum; below ``min_ratio`` → 'unknown'."""
+    best_lang = F.lit("unknown")
+    best_ratio = F.lit(min_ratio).cast("double")
+    for lang in sorted(ratios):
+        is_better = ratios[lang] > best_ratio
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(is_better, ratios[lang]).otherwise(best_ratio)
+    return best_lang
+
+
+def langid(col: Column, min_ratio: float = 0.1) -> Column:
+    """Heuristic language ID as a single expression (convenience form;
+    for wide scans prefer ``lang_ratio_columns`` + a select +
+    ``langid_from_ratios`` so each ratio is computed once)."""
+    return langid_from_ratios(lang_ratio_columns(col), min_ratio)
+
+
+# ----------------------------------------------------------------------
+# fingerprinting
+# ----------------------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact-dup hashing: lowercase, collapse runs
+    of whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def content_fingerprint(col: Column) -> Column:
+    """md5 of the normalized text — the exact-dedup grouping key."""
+    return F.md5(normalized_text(col))
+
+
+#: number of simhash bits (one per md5 hex nibble)
+SIMHASH_BITS = 32
+
+
+def simhash_nibble_contrib(token_md5: Column, bit: int) -> Column:
+    """±1 contribution of one token to simhash bit ``bit``: the parity
+    of hex nibble ``bit`` of the token's md5. Engine-portable: md5 +
+    substring + strpos exist everywhere with identical results."""
+    nibble = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(token_md5, bit + 1, 1)) - 1
+    )
+    return (nibble % 2) * 2 - 1
+
+
+def simhash32_agg_exprs(token_md5: Column) -> list[Column]:
+    """The 32 per-bit SUM expressions for a grouped simhash: use after
+    exploding tokens, ``groupBy(doc)``; combine with
+    :func:`assemble_simhash`."""
+    return [
+        F.sum(simhash_nibble_contrib(token_md5, b)).alias(f"_sh{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+
+
+def assemble_simhash(prefix: str = "_sh") -> Column:
+    """Fold the 32 per-bit sums into one integer: bit b set ⟺ sum > 0."""
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"{prefix}{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return out

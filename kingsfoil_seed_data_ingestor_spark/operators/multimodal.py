@@ -1,0 +1,129 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB (SURVEY.md §7.2 step 10):
+
+* the asset is an opaque ``binary`` column plus a typed metadata
+  struct (``media_type``, ``byte_size``, ``checksum`` …) — the table
+  stays a plain parquet/DataFrame, partitionable and prunable like any
+  other; nothing about the engine needs to know what a JPEG is;
+* decode / feature-extract / resize / frame-sample run as
+  **Arrow-batched ``mapInPandas`` operators**: Python sees a stream of
+  ``pandas.DataFrame`` batches, the JVM never deserializes payloads
+  row-at-a-time, and the operator parallelizes per partition;
+* actual codecs (PIL / libav / …) are not in this container, so the
+  decode kernels are STUBS behind ``import``-guards: a clearly marked
+  ``NotImplementedError`` in strict mode, or a deterministic fake
+  (seeded by the payload checksum) for pipeline testing. The Spark
+  plumbing — schemas, batch iteration, partitioning — is real and
+  tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: metadata emitted by the (stub) image decoder
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_size", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build an assets frame with a real ``binary`` payload column and
+    typed metadata (here payloads are encoded text stand-ins — the
+    schema/plumbing is what production reuses)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit("application/octet-stream").alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("byte_size"),
+        F.md5(F.col(text_col)).alias("checksum"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decode: derives (width, height, mean_luma)
+    from the payload bytes. Swap for a real PIL decode when the codec
+    is available."""
+    try:
+        import PIL.Image  # noqa: F401  — not present in this container
+    except ImportError:
+        pass
+    else:  # pragma: no cover — container has no PIL; real path goes here
+        raise NotImplementedError("real image decode not wired yet")
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) & 0x7FFFFFFF
+    width = 64 + h % 1024
+    height = 64 + (h >> 10) % 1024
+    mean_luma = round((h % 256) / 255.0, 6)
+    return width, height, mean_luma
+
+
+def extract_image_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps the operator streaming: each Python worker
+    sees bounded pandas batches (payload bytes already Arrow-transferred
+    in bulk), emits one metadata row per asset, and the output is a
+    normal DataFrame ready for joins/aggregations.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            decoded = [_decode_image_stub(p) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"].values,
+                    "media_type": batch["media_type"].values,
+                    "byte_size": batch["byte_size"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """'Frame sampling' shape for video-like payloads: explode each
+    asset into at most ``max_frames`` (offset, frame_checksum) rows —
+    pure Column expressions (no Python), demonstrating the explode-side
+    plumbing a real frame sampler plugs into."""
+    n_frames = F.least(
+        F.greatest((F.col("byte_size") / every_n_bytes).cast("int"), F.lit(1)),
+        F.lit(max_frames),
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.struct(
+            (i * every_n_bytes).alias("offset"),
+            F.md5(F.concat(F.col("checksum"), i.cast("string"))).alias("frame_checksum"),
+        ),
+    )
+    return assets.select(
+        "asset_id", F.posexplode(frames).alias("frame_no", "frame")
+    ).select("asset_id", "frame_no", "frame.offset", "frame.frame_checksum")

@@ -1,0 +1,323 @@
+"""Document deduplication operators: exact, Jaccard, MinHash-LSH, SimHash.
+
+The LLM-pipeline extension surface (SURVEY.md §7.2 step 10). All four
+strategies are expressed as DataFrame plans over a ``documents``-shaped
+table (``doc_id long, text string``):
+
+* **exact** — hash-groupBy on a normalized-content fingerprint; one
+  shuffle on the 128-bit key, no row ever compared to another.
+* **n-gram Jaccard** — inverted index: explode distinct shingles, self
+  join on shingle, count shared per pair. Never materializes the n²
+  pair space — only pairs sharing ≥1 shingle exist, and a document
+  frequency cap drops degenerate stop-shingles that would otherwise
+  create quadratic hot keys at 100 TB.
+* **MinHash + LSH** — k seeded xxhash64 min-signatures, banded into
+  LSH buckets; only bucket collisions become candidates, then exact
+  Jaccard verifies. The scale path: cost is O(docs × k) + tiny
+  candidate set, vs the inverted index's O(Σ shingle postings²).
+  Defaults (128 hashes, 32 bands × 4 rows) put the S-curve midpoint
+  at ≈0.5 with miss probability ≤ 5e-8 for pairs at Jaccard ≥ 0.8 —
+  LSH recall is a parameter choice, not a hope.
+* **SimHash** — 32-bit parity fingerprint per document; candidates
+  pair on any matching 8-bit band (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4
+  bands equal), then exact hamming filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.functions import text as TX
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by content fingerprint: one row per distinct content with
+    occurrence count and the keeper (minimum id) — keep-first by id,
+    the order-free analogue of operator A1."""
+    return (
+        docs.select(
+            F.col(id_col), TX.content_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard (inverted index)
+# ----------------------------------------------------------------------
+
+
+def shingle_table(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct ``(doc_id, shingle)`` posting list + per-doc set sizes.
+
+    Built with posexplode + window ``lead`` instead of array
+    higher-order functions: ``transform``/``slice`` lambdas run on
+    Spark's *interpreted* expression path (no whole-stage codegen) and
+    measured ~6 s just to build shingle arrays at sf0.1 — the
+    explode/lead formulation keeps everything inside codegen and
+    shuffles only narrow (doc_id, token) rows.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TX.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    return grams.distinct()
+
+
+def shingle_sizes(posts: DataFrame) -> DataFrame:
+    """Per-doc distinct-shingle counts from a posting list."""
+    return posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+
+def _pairs_with_jaccard(posts: DataFrame, pair_filter: DataFrame | None = None) -> DataFrame:
+    """Shared-shingle counts → Jaccard for (i < j) pairs.
+
+    With ``pair_filter`` (a small (i, j) candidate table, e.g. from
+    LSH), the posting list is first semi-joined down to candidate
+    documents so the self-join only touches near-dup candidates.
+    """
+    sizes = shingle_sizes(posts)
+    if pair_filter is not None:
+        cand_docs = (
+            pair_filter.select(F.col("i").alias("doc_id"))
+            .union(pair_filter.select(F.col("j").alias("doc_id")))
+            .distinct()
+        )
+        posts = posts.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    a = posts.select(F.col("doc_id").alias("i"), "shingle")
+    b = posts.select(F.col("doc_id").alias("j"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if pair_filter is not None:
+        shared = shared.join(pair_filter, ["i", "j"], "left_semi")
+    # the aggregated pair table is small; AQE broadcasts the right side
+    shared = shared.join(
+        sizes.select(F.col("doc_id").alias("i"), F.col("n_shingles").alias("ni")), "i"
+    ).join(sizes.select(F.col("doc_id").alias("j"), F.col("n_shingles").alias("nj")), "j")
+    jac = F.col("common") / (F.col("ni") + F.col("nj") - F.col("common"))
+    return shared.withColumn("jaccard", jac)
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (i < j) with shingle-set Jaccard ≥ threshold.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents before the self-join — the standard guard against
+    quadratic blowup on boilerplate shingles. Leave None for exact
+    results (the oracle-checked configuration).
+    """
+    posts = shingle_table(docs, n, id_col, text_col)
+    if max_doc_freq is not None:
+        rare = (
+            posts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        posts = posts.join(rare, "shingle")
+    return (
+        _pairs_with_jaccard(posts)
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k min-hash values per document from k seeded xxhash64 functions
+    over the shingle set.
+
+    Shape: shingle posting list → ``groupBy(doc).agg(min(xxhash64(k,
+    s)) × k)``. All k hashes evaluate in one tight codegen'd aggregate
+    pass with map-side partial aggregation — only k partial minima per
+    document cross the shuffle. (The earlier array formulation — k
+    separate ``transform``+``array_min`` lambdas — ran on Spark's
+    interpreted expression path and measured ~5× slower; a
+    two-parameter lambda in ``F.transform`` also silently binds its
+    second argument to the array index, so a seed must never be a
+    lambda parameter.)
+    """
+    posts = shingle_table(docs, n, id_col, text_col)
+    minima = posts.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"_h{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    signature = F.array(*[F.col(f"_h{k}") for k in range(num_hashes)])
+    return minima.select("doc_id", signature.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct (i < j) pairs colliding in ≥1 LSH band.
+
+    Band key = hash of the band's signature slice; the band index joins
+    the key so buckets from different bands never mix. Shuffles on the
+    band key only — candidate generation is linear in documents.
+    """
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+    left = banded.select(F.col("doc_id").alias("i"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("j"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold.
+
+    The verification join fetches the two shingle sets per candidate
+    pair only — with S(0.8, 16 bands × 4 rows) ≈ 0.9986 recall, output
+    matches brute force on any realistically-separated corpus while
+    scaling linearly.
+    """
+    posts = shingle_table(docs, n, id_col, text_col)
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    return (
+        _pairs_with_jaccard(posts, pair_filter=cands)
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit simhash per document (md5-nibble-parity construction —
+    engine-portable, see ``functions.text.simhash_nibble_contrib``)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TX.tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("tok_md5", F.md5("tok"))
+    per_bit = toks.groupBy("doc_id").agg(*TX.simhash32_agg_exprs(F.col("tok_md5")))
+    return per_bit.select("doc_id", TX.assemble_simhash().alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs (i < j) with simhash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation by the pigeonhole principle: split the 32
+    bits into ``max_hamming + 1`` blocks — a pair within distance d
+    must agree exactly on at least one block — so a band join finds
+    every qualifying pair without an n² scan.
+    """
+    from kingsfoil_seed_data_ingestor_spark.functions.text import SIMHASH_BITS
+
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    spans = [
+        (b * width, width if b < n_bands - 1 else SIMHASH_BITS - b * width)
+        for b in range(n_bands)
+    ]
+    hashes = simhash_table(docs, id_col, text_col)
+    banded = hashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), start)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("byte"),
+                    )
+                    for b, (start, w) in enumerate(spans)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.byte")
+    left = banded.select(F.col("doc_id").alias("i"), F.col("simhash").alias("h_i"), "band", "byte")
+    right = banded.select(F.col("doc_id").alias("j"), F.col("simhash").alias("h_j"), "band", "byte")
+    pairs = (
+        left.join(right, ["band", "byte"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "h_i", "h_j")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )

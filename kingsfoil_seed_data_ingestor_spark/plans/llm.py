@@ -1,0 +1,465 @@
+"""LLM training-data pipeline queries over ``documents``/``embeddings``.
+
+The extension surface (SURVEY.md §7.2 step 10): dedup (exact, n-gram
+Jaccard, MinHash-LSH, SimHash), similarity search (brute-force +
+IVF-partitioned), text analysis (tokens, quality, lang-ID,
+fingerprints), multimodal byte-column metadata.
+
+Every query has a DuckDB oracle generated from the SAME constants
+(thresholds, stopword lists, formulas) by the SQL-fragment builders
+below, so the two implementations cannot drift apart silently. Where
+the Spark plan uses a sub-quadratic algorithm (inverted index, LSH,
+banding), the oracle is the O(n²) brute-force definition — the point
+of the check is that the scalable plan returns the exact answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.functions import text as TX
+from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
+from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
+from kingsfoil_seed_data_ingestor_spark.plans.core import register
+from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+# ----------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring functions/text.py
+# ----------------------------------------------------------------------
+
+SQL_TOKENS = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+def sql_shingles(n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{k + 1}]" for k in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_distinct(list_transform(range(len(toks)-{n - 1}), i -> {parts})) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(len({a})), "
+        f"i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def sql_hits(langwords: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in langwords)
+    return f"len(list_filter(toks, t -> list_contains([{arr}], lower(t))))"
+
+
+SQL_NORMALIZED = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(((strpos('0123456789abcdef', substr(md5(tok), {b + 1}, 1)) - 1) % 2) * 2 - 1)"
+    f" AS _sh{b}"
+    for b in range(TX.SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"CASE WHEN _sh{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(TX.SIMHASH_BITS)
+)
+#: per-doc simhash as a CTE body (expects a `documents`-shaped view)
+SQL_SIMHASH_TABLE = f"""
+    SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash
+    FROM (
+        SELECT doc_id, {_SIMHASH_SUMS}
+        FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents)
+        GROUP BY doc_id
+    )
+"""
+
+_JACCARD_PAIRS_CTE = f"""
+    t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, {sql_shingles(3)} AS sh FROM t),
+    sz AS (SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               len(list_intersect(a.sh, b.sh)) AS common, a.n AS ni, b.n AS nj
+        FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+    )
+"""
+
+
+# ----------------------------------------------------------------------
+# text analysis
+# ----------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, {SQL_TOKENS} AS toks,
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS pieces
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           round(SUM(len(toks))::DOUBLE / COUNT(*), 6) AS avg_tokens,
+           CAST(MAX(len(toks)) AS BIGINT) AS max_tokens,
+           CAST(SUM(len(pieces)) AS BIGINT) AS total_bpe_pieces
+    FROM t GROUP BY lang
+    """,
+    doc="Token counting (whitespace + BPE-ish regex) aggregated per "
+    "language — all JVM-side array expressions, one shuffle on the "
+    "grouping key.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            TX.token_count(F.col("text")).cast("long").alias("n_tok"),
+            TX.bpe_piece_count(F.col("text")).cast("long").alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            F.sum("n_bpe").alias("total_bpe_pieces"),
+        )
+    )
+
+
+_SQL_QUALITY = """
+    least(n_tok / 50.0, 1.0) * 0.5
+    + least(CASE WHEN n_tok > 0 THEN stop_hits::DOUBLE / n_tok ELSE 0.0 END * 5.0, 1.0) * 0.5
+    - least(
+        (CASE WHEN n_chars_ > 0 THEN punct_chars::DOUBLE / n_chars_ ELSE 0.0 END) * 4.0
+        + (CASE WHEN n_chars_ > 0 THEN digit_chars::DOUBLE / n_chars_ ELSE 0.0 END) * 2.0,
+        1.0) * 0.25
+"""
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, {SQL_TOKENS} AS toks, length(text) AS n_chars_,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars
+        FROM documents
+    ), m AS (
+        SELECT source, len(toks) AS n_tok,
+               {sql_hits(TX.STOPWORDS["en"])} AS stop_hits,
+               n_chars_, punct_chars, digit_chars
+        FROM t
+    ), q AS (
+        SELECT source, greatest(least(({_SQL_QUALITY}), 1.0), 0.0) AS score FROM m
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           round(AVG(score), 6) AS avg_quality,
+           round(MIN(score), 6) AS min_quality,
+           CAST(COUNT(*) FILTER (score < 0.5) AS BIGINT) AS n_low_quality
+    FROM q GROUP BY source
+    """,
+    doc="Composite quality scoring (length/stopword/punctuation/digit "
+    "signals) per source — the filter stage of a pretraining pipeline.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    score = TX.quality_score(F.col("text"))
+    return (
+        docs.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_quality"),
+            F.round(F.min("score"), 6).alias("min_quality"),
+            F.sum(F.when(F.col("score") < 0.5, 1).otherwise(0)).alias("n_low_quality"),
+        )
+    )
+
+
+def _sql_langid() -> str:
+    ratios = []
+    for lang in sorted(TX.STOPWORDS):
+        ratios.append(
+            f"CASE WHEN len(toks) > 0 THEN {sql_hits(TX.STOPWORDS[lang])}::DOUBLE"
+            f" / len(toks) ELSE 0.0 END AS r_{lang}"
+        )
+    langs = sorted(TX.STOPWORDS)
+    m = "greatest(" + ", ".join(f"r_{lg}" for lg in langs) + ")"
+    first_max = " ".join(f"WHEN r_{lg} = m THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH t AS (SELECT lang, {SQL_TOKENS} AS toks FROM documents),
+    r AS (SELECT lang, {', '.join(ratios)} FROM t),
+    p AS (
+        SELECT lang, {m} AS m, * FROM r
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN m <= 0.1 THEN 'unknown' {first_max} ELSE 'unknown' END
+               AS predicted
+        FROM p
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_sql_langid(),
+    doc="Heuristic language ID (stopword-ratio argmax, alphabetical "
+    "first-max tie-break, 0.1 floor) — confusion counts of labeled "
+    "lang vs predicted.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ratios = TX.lang_ratio_columns(F.col("text"))
+    with_ratios = docs.select(
+        "lang", *[expr.alias(f"r_{lg}") for lg, expr in ratios.items()]
+    )
+    predicted = TX.langid_from_ratios(
+        {lg: F.col(f"r_{lg}") for lg in ratios}
+    )
+    return (
+        with_ratios.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH sh AS ({SQL_SIMHASH_TABLE})
+    SELECT d.doc_id, md5({SQL_NORMALIZED}) AS fingerprint, sh.simhash
+    FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+    WHERE d.doc_id < 20
+    """,
+    doc="Document fingerprinting: md5 content hash of normalized text "
+    "+ 32-bit simhash (md5-nibble-parity construction, engine-portable).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    hashes = DD.simhash_table(docs)
+    fp = docs.select(
+        "doc_id", TX.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return fp.join(hashes, "doc_id").select("doc_id", "fingerprint", "simhash")
+
+
+# ----------------------------------------------------------------------
+# deduplication
+# ----------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH f AS (
+        SELECT source, md5({SQL_NORMALIZED}) AS fp FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs
+    FROM f GROUP BY source
+    """,
+    doc="Exact dedup via normalized-content md5 hash-groupBy, reported "
+    "per source. One shuffle on the 128-bit fingerprint.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", TX.content_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT i, j, round(common::DOUBLE / (ni + nj - common), 6) AS jaccard
+    FROM p WHERE common::DOUBLE / (ni + nj - common) >= 0.5
+    """,
+    doc="Near-dup pairs at word-3-gram Jaccard ≥ 0.5. Spark side is the "
+    "scalable inverted-index plan (explode shingles → self-join on "
+    "shingle → count); oracle is the O(n²) definition. Only pairs "
+    "sharing a shingle ever materialize.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT i, j, round(common::DOUBLE / (ni + nj - common), 6) AS jaccard
+    FROM p WHERE common::DOUBLE / (ni + nj - common) >= 0.8
+    """,
+    doc="MinHash(128)+LSH(32×4) candidates verified by exact Jaccard "
+    "≥ 0.8 — the linear-scale near-dup path (miss probability ≤ 5e-8 "
+    "per qualifying pair; verification removes all false positives). "
+    "Oracle is brute force: the check asserts LSH loses nothing.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_near_dups(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH sh AS ({SQL_SIMHASH_TABLE})
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs at hamming ≤ 3 over the 32-bit "
+    "fingerprint. Spark side generates candidates by 8-bit pigeonhole "
+    "bands (hamming ≤ 3 ⇒ one of 4 bytes equal) — no n² scan.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3).select(
+        "i", "j", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ----------------------------------------------------------------------
+# similarity search
+# ----------------------------------------------------------------------
+
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+_SQL_KNN_SCORED = f"""
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+    ),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id, v.label,
+               {sql_cosine('q.qv', 'v.embedding')} AS score
+        FROM q JOIN embeddings v ON v.vec_id <> q.query_id
+    )
+"""
+
+
+@register(
+    "embed_knn_bruteforce",
+    oracle=f"""
+    WITH {_SQL_KNN_SCORED}
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(score, 6) AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Exact top-5 cosine neighbors per query vector, brute force. "
+    "Query side broadcast; dot products are left-to-right double folds "
+    "so scores are bit-identical across engines. The reduction is a "
+    "per-query partial top-k, not a global sort.",
+)
+def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.knn_bruteforce(load(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5)
+
+
+@register(
+    "embed_ann_ivf",
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.label AS part, e.embedding AS rep_vec
+        FROM embeddings e
+        JOIN (SELECT label, MIN(vec_id) AS mid FROM embeddings GROUP BY label) r
+          ON e.vec_id = r.mid
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+    ),
+    routed AS (
+        SELECT query_id, qv, part,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {sql_cosine('qv', 'rep_vec')} DESC, part
+               ) AS rn
+        FROM q CROSS JOIN reps
+    ),
+    probe AS (SELECT query_id, qv, part FROM routed WHERE rn = 1),
+    scored AS (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               {sql_cosine('p.qv', 'v.embedding')} AS score
+        FROM probe p JOIN embeddings v
+          ON v.label = p.part AND v.vec_id <> p.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(score, 6) AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="IVF-style ANN: route each query to the partition of its "
+    "nearest deterministic representative (min-id medoid per label, "
+    "nprobe=1), brute-force only inside — a 1/nlist scan instead of a "
+    "full scan, the structure of a billion-vector search.",
+)
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.knn_ivf(load(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5)
+
+
+# ----------------------------------------------------------------------
+# multimodal byte columns
+# ----------------------------------------------------------------------
+
+
+@register(
+    "multimodal_bytes_meta",
+    oracle=f"""
+    WITH b AS (
+        SELECT source, encode(text) AS payload, md5(text) AS content_md5
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes,
+           round(SUM(octet_length(payload))::DOUBLE / COUNT(*), 6) AS avg_bytes,
+           COUNT(DISTINCT content_md5) AS n_distinct_payloads
+    FROM b GROUP BY source
+    """,
+    doc="Multimodal columns modeled as opaque binary payloads with "
+    "typed metadata: per-source byte accounting + payload-level dedup "
+    "counts. The binary column is real (encode → BinaryType); decode/"
+    "feature-extraction runs via the mapInPandas operators in "
+    "operators/multimodal.py (stubbed codecs, real plumbing).",
+)
+def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+    size = F.length("payload").cast("long")
+    return (
+        b.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(size).alias("total_bytes"),
+            F.max(size).alias("max_bytes"),
+            F.round(F.sum(size) / F.count(F.lit(1)), 6).alias("avg_bytes"),
+            F.countDistinct("content_md5").alias("n_distinct_payloads"),
+        )
+    )
