@@ -1,0 +1,153 @@
+"""Event-time queries over ``events`` — batch twins of the streaming
+operators (``streaming/events.py``), oracle-checked.
+
+The same windowing logic runs as a Structured Streaming plan with
+watermarks (tests drive it through a file source + AvailableNow); batch
+execution here makes results DuckDB-comparable. Timestamps: the events
+parquet is ns-precision — both engines truncate to µs at read (Spark
+via ``nanosAsLong`` + integer div in the loader, DuckDB natively), so
+event times agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.plans.core import register
+from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+DEC = "decimal(18,4)"
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time windows × event_type (streaming "
+    "twin: tumbling_window_counts with a 15-min watermark). One shuffle "
+    "on (window, type); decimal-exact value totals.",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value", "n_users")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH starts AS (
+        SELECT value,
+               unnest([
+                   CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+                   CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+               ]) AS window_start
+        FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM starts GROUP BY 1
+    """,
+    doc="Sliding windows (1 h length, 30 min slide): every event lands "
+    "in exactly 2 windows. Oracle assigns both starts arithmetically — "
+    "the same set F.window(ts, '1 hour', '30 minutes') produces.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS session_no
+        FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_no
+    """,
+    doc="Per-user session windows (10-min inactivity gap) via "
+    "F.session_window — dynamic-length event-time sessions, the "
+    "streaming-native operator. Oracle is the classic gaps-and-islands "
+    "rewrite; session end = last event + gap in both.",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Semi-structured props column (the reference's JSONB details, "
+    "ingestor.py:275-283): JSON path extraction + typed cast inside the "
+    "scan, grouped aggregate on the derived key.",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type", (k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )

@@ -1,0 +1,27 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.11) — this package is the
+designated streaming extension: event-time windowed aggregation with
+watermarks, session windows, in-stream dedup, and a custom stateful
+operator, all over the ``events`` table shape.
+"""
+
+from kingsfoil_seed_data_ingestor_spark.streaming.events import (
+    dedup_events,
+    read_event_stream,
+    run_to_memory,
+    session_window_stats,
+    sliding_window_counts,
+    tumbling_window_counts,
+    user_running_totals,
+)
+
+__all__ = [
+    "read_event_stream",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_stats",
+    "dedup_events",
+    "user_running_totals",
+    "run_to_memory",
+]

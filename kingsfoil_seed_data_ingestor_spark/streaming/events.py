@@ -1,0 +1,219 @@
+"""Event-stream operators: windowed aggregation, sessions, dedup, state.
+
+Every transform here takes a DataFrame and returns a DataFrame without
+caring whether the input is a batch table or a ``readStream`` source —
+the same logical plan runs both ways (the batch twins are registered as
+oracle-checked queries in ``plans/events.py``; the streaming tests
+execute the identical transforms through a file source + memory sink
+with ``Trigger.AvailableNow``).
+
+Scale/streaming design notes:
+
+* watermarks bound state: every grouped-aggregation stream declares how
+  late events may arrive; state for closed windows is dropped;
+* the shuffle key is always (window/session, group) — state lives
+  partitioned by key on the executors, no driver involvement;
+* the custom stateful operator (``user_running_totals``) uses
+  ``applyInPandasWithState`` — Arrow-batched per-key state, the Spark
+  equivalent of the reference's "running totals" bookkeeping
+  (``ingestor.py:178-195``) generalized to event time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: schema of the events table as stored (ns-precision parquet timestamps
+#: surface as epoch-nano BIGINT under ``nanosAsLong``)
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+#: money-style exact aggregation (events.value carries 2 decimals)
+DEC = "decimal(18,4)"
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """File-source stream over events parquet (ns-timestamp layout).
+
+    Derives the µs ``ts`` exactly like the batch loader
+    (``plans/tables.py``): integer ``div`` of epoch-nanos, so batch and
+    stream see identical event times.
+    """
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+# ----------------------------------------------------------------------
+# windowed aggregations (stream ≡ batch)
+# ----------------------------------------------------------------------
+
+
+def tumbling_window_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "15 minutes"
+) -> DataFrame:
+    """Per (tumbling window × event_type): count, exact value total,
+    distinct users. Watermark bounds aggregation state in stream mode."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Overlapping windows: each event lands in window/slide buckets."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (dynamic length, closed after ``gap`` of
+    inactivity): span, event count, exact value total."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
+    """In-stream exact dedup on event_id; the watermark bounds how long
+    an id is remembered (state GC) — at-least-once sources become
+    effectively-once within the lateness horizon."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+# ----------------------------------------------------------------------
+# custom stateful operator
+# ----------------------------------------------------------------------
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def _update_running_totals(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Fold each micro-batch into (count, total) per user."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for batch in batches:
+        n += len(batch)
+        total += float(batch["value"].sum())
+    state.update((n, round(total, 4)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing: running per-user totals across
+    micro-batches via ``applyInPandasWithState`` (update-mode output).
+
+    State is a (count, total) pair per user key, Arrow-transferred;
+    this is the template any custom accumulating operator (feature
+    counters, rate limiters, CDC folds) plugs into.
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_totals,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# test/run harness
+# ----------------------------------------------------------------------
+
+
+def run_to_memory(
+    stream: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion with AvailableNow into an
+    in-memory table; returns the result as a batch DataFrame."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(name)

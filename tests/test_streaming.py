@@ -1,0 +1,128 @@
+"""Structured Streaming: file source → watermarked transforms → memory
+sink, checked against batch execution of the SAME transforms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+from kingsfoil_seed_data_ingestor_spark.streaming import (
+    dedup_events,
+    read_event_stream,
+    run_to_memory,
+    session_window_stats,
+    sliding_window_counts,
+    tumbling_window_counts,
+    user_running_totals,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark):
+    # stream straight off the driver testdata parquet (ns timestamps)
+    return read_event_stream(spark, SF_DIR, glob="events.parquet")
+
+
+def as_sets(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_reads_real_events_parquet(spark, stream_events, batch_events):
+    out = run_to_memory(
+        stream_events.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ),
+        "smoke_counts",
+    )
+    got, want = out.first(), batch_events.agg(
+        F.count(F.lit(1)).alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    assert (got.n, got.lo, got.hi) == (want.n, want.lo, want.hi)
+
+
+def test_tumbling_window_stream_equals_batch(stream_events, batch_events):
+    streamed = run_to_memory(
+        tumbling_window_counts(stream_events), "tumbling", output_mode="complete"
+    )
+    batch = tumbling_window_counts(batch_events)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert as_sets(streamed, cols) == as_sets(batch, cols)
+
+
+def test_sliding_window_stream_equals_batch(stream_events, batch_events):
+    streamed = run_to_memory(
+        sliding_window_counts(stream_events), "sliding", output_mode="complete"
+    )
+    cols = ["window_start", "n_events", "total_value"]
+    assert as_sets(streamed, cols) == as_sets(sliding_window_counts(batch_events), cols)
+    # every event is in exactly 2 overlapping windows
+    n_events = batch_events.count()
+    assert streamed.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+
+def test_session_window_stream_equals_batch(stream_events, batch_events):
+    streamed = run_to_memory(
+        session_window_stats(stream_events), "sessions", output_mode="complete"
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert as_sets(streamed, cols) == as_sets(session_window_stats(batch_events), cols)
+
+
+def test_dedup_within_watermark(spark, tmp_path, batch_events):
+    # duplicate the whole feed: two identical files in one source dir
+    src = tmp_path / "dup_feed"
+    src.mkdir()
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    raw.write.parquet(str(src / "a.parquet"))
+    raw.write.parquet(str(src / "b.parquet"))
+    stream = read_event_stream(spark, str(src), recursive=True)
+    out = run_to_memory(
+        dedup_events(stream).groupBy().agg(F.count(F.lit(1)).alias("n")),
+        "dedup_counts",
+        output_mode="complete",
+    )
+    assert out.first().n == batch_events.count()
+
+
+def test_user_running_totals_stateful(spark, tmp_path, batch_events):
+    # two files -> two micro-batches; state must carry across them
+    src = tmp_path / "two_batches"
+    src.mkdir()
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    first = raw.filter(F.col("event_id") % 2 == 0)
+    second = raw.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(str(src / "batch1.parquet"))
+    second.write.parquet(str(src / "batch2.parquet"))
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1, recursive=True)
+    streamed = run_to_memory(
+        user_running_totals(stream), "running", output_mode="update"
+    )
+    # memory sink in update mode appends each update; the LAST row per
+    # user is the final state
+    final = (
+        streamed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    expect = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in final.collect()}
+    want = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in expect.collect()}
+    assert got.keys() == want.keys()
+    assert all(got[u][0] == want[u][0] for u in want)
