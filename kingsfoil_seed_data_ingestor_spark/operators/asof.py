@@ -1,0 +1,66 @@
+"""As-of (point-in-time) join — the one non-equi join shape the
+reference's data model implies (SURVEY.md §2.3: ``effective_date <=
+DOS < deletion_date`` analyzer lookups, seed_data.py:316-323).
+
+A naive ``left.join(right, (key ==) & (right.t <= left.t))`` plans as a
+broadcast-nested-loop or cartesian at scale. The scalable form is the
+union-window trick:
+
+1. tag both sides and union them into one (key, t, side, payload) set;
+2. one window per key ordered by (t, side) carries the most recent
+   right-side payload forward (``last(..., ignorenulls=True)``);
+3. keep left rows; their carried value IS the as-of match.
+
+Cost: exactly one shuffle on the key (the window), regardless of how
+many right rows precede each left row — no row explosion, no range
+duplication. Ties (right.t == left.t): the right row sorts first, so
+equality matches, same as SQL ``ASOF JOIN ... ON left.t >= right.t``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` of the latest right row
+    with ``right_on <= left_on`` within the same ``by`` key (null when
+    no right row precedes). Output: all left columns + value_cols.
+    """
+    lhs = left.select(
+        F.col(left_by).alias("_k"),
+        F.col(left_on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+    )
+    rhs = right.select(
+        F.col(right_by).alias("_k"),
+        F.col(right_on).cast(dict(left.dtypes)[left_on]).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lhs.schema["_left"].dataType).alias("_left"),
+        *[F.col(c) for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "_side",
+        "_left",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    out = carried.filter(F.col("_side") == 1)
+    return out.select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns], *value_cols
+    )

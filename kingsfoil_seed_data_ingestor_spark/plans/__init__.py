@@ -4,5 +4,10 @@ Importing this package populates ``plans.core.QUERIES`` — every
 submodule registers its queries via the ``@register`` decorator.
 """
 
-from kingsfoil_seed_data_ingestor_spark.plans import events, llm, relational  # noqa: F401
+from kingsfoil_seed_data_ingestor_spark.plans import (  # noqa: F401
+    coverage,
+    events,
+    llm,
+    relational,
+)
 from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES  # noqa: F401
