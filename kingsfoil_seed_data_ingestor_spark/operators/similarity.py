@@ -135,3 +135,55 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("cosine"))
     )
+
+
+def near_dup_pairs_exact(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine join: every ordered pair ``kept_id <
+    dup_id`` with ``cosine >= threshold`` — the verification kernel of
+    embedding-based near-duplicate detection (reference has no vector
+    ops; this extends `SCHEMA.md`'s dedup story to dense embeddings).
+
+    Physical shape: a broadcast block-nested-loop join with a
+    vectorized GEMM kernel. The (id, unit-vector) matrix is broadcast
+    once; each Arrow batch of rows multiplies its block against the
+    broadcast matrix in one numpy ``B @ M.T`` and emits only the
+    surviving pairs — no n² row materialization ever reaches Spark, and
+    the scan side stays fully partitioned (no shuffle until the
+    keep-first reduction). At 100 TB the broadcast side is tiled
+    (grid-decompose the matrix and union the tile joins) or pre-blocked
+    with LSH; the per-tile kernel is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sdf = vectors.select(id_col, vec_col)
+    collected = sdf.collect()
+    ids = np.array([r[0] for r in collected], dtype=np.int64)
+    mat = np.array([r[1] for r in collected], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast((ids, mat))
+
+    out_schema = "dup_id long, kept_id long, cosine double"
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rid = pdf[id_col].to_numpy(dtype=np.int64)
+            B = np.array(list(pdf[vec_col]), dtype=np.float64)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            S = B @ b_mat.T
+            ri, ci = np.nonzero(S >= threshold)
+            keep = b_ids[ci] < rid[ri]  # kept_id < dup_id; also drops self
+            ri, ci = ri[keep], ci[keep]
+            yield pd.DataFrame(
+                {"dup_id": rid[ri], "kept_id": b_ids[ci], "cosine": S[ri, ci]}
+            )
+
+    return sdf.mapInPandas(block, schema=out_schema)

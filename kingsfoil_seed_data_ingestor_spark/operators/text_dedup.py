@@ -145,6 +145,10 @@ def jaccard_pairs(
             .select("shingle")
         )
         posts = posts.join(rare, "shingle")
+    # the posting list feeds both join branches + the size table: persist
+    # once instead of recomputing the tokenize/window/distinct pipeline
+    # per branch (spillable storage level; Spark evicts under pressure)
+    posts = posts.persist()
     return (
         _pairs_with_jaccard(posts)
         .filter(F.col("jaccard") >= threshold)
@@ -178,6 +182,12 @@ def minhash_signatures(
     lambda parameter.)
     """
     posts = shingle_table(docs, n, id_col, text_col)
+    return minhash_signatures_from_posts(posts, num_hashes)
+
+
+def minhash_signatures_from_posts(posts: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """Signatures from an existing ``(doc_id, shingle)`` posting list —
+    lets callers that also need the postings build them once."""
     minima = posts.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"_h{k}")
@@ -213,6 +223,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bucket")
+    # both sides of the self-join read the banded table; persist the
+    # (docs × bands) narrow rows so the signature aggregation runs once
+    banded = banded.persist()
     left = banded.select(F.col("doc_id").alias("i"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("j"), "band", "bucket")
     return (
@@ -240,8 +253,10 @@ def minhash_near_dups(
     matches brute force on any realistically-separated corpus while
     scaling linearly.
     """
-    posts = shingle_table(docs, n, id_col, text_col)
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    # one posting-list build feeds signatures, the verification join,
+    # and the size table — persist instead of 4 recomputations
+    posts = shingle_table(docs, n, id_col, text_col).persist()
+    sigs = minhash_signatures_from_posts(posts, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return (
         _pairs_with_jaccard(posts, pair_filter=cands)

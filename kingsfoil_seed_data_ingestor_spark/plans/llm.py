@@ -16,6 +16,7 @@ of the check is that the scalable plan returns the exact answer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.functions import text as TX
@@ -418,6 +419,51 @@ def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_ivf(load(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5)
+
+
+#: cosine threshold for embedding near-dup pairs — sits in the upper
+#: tail of the synthetic corpus (no pair within 1e-9 of it at any SF,
+#: so the >= comparison is engine-independent despite FP reduction
+#: order differing between numpy GEMM and DuckDB's left-fold)
+EMBED_DUP_THRESHOLD = 0.42
+
+_SQL_EMBED_COS = sql_cosine("i.embedding", "j.embedding")
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH scored AS (
+        SELECT j.vec_id AS dup_id, i.vec_id AS kept_id,
+               {_SQL_EMBED_COS} AS cosine
+        FROM embeddings i JOIN embeddings j ON i.vec_id < j.vec_id
+        WHERE {_SQL_EMBED_COS} >= {EMBED_DUP_THRESHOLD}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY dup_id ORDER BY kept_id
+        ) AS rn FROM scored
+    )
+    SELECT dup_id, kept_id, round(cosine, 6) AS cosine
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Embedding-cosine near-dup dedup, keep-first-by-id: every "
+    "vector whose cosine to some lower-id vector clears the threshold "
+    "is a dup of the smallest such keeper. Exact all-pairs via a "
+    "broadcast GEMM kernel inside mapInPandas (operators/similarity."
+    "near_dup_pairs_exact) — no n² rows ever materialize in the plan; "
+    "the only shuffle is the per-dup keep-first reduction.",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = SIM.near_dup_pairs_exact(
+        load(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD
+    )
+    w = W.partitionBy("dup_id").orderBy(F.asc("kept_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 # ----------------------------------------------------------------------

@@ -196,6 +196,19 @@ def test_ivf_representatives_deterministic(vectors):
     assert reps == {0, 1, 2}
 
 
+def test_near_dup_pairs_exact(vectors):
+    # cos(0,1)≈0.994, cos(2,3)≈0.994, cos(0,5)=cos(2,5)≈0.707; vec 4 orthogonal
+    out = {(r.dup_id, r.kept_id): r.cosine for r in SIM.near_dup_pairs_exact(vectors, 0.99).collect()}
+    assert set(out) == {(1, 0), (3, 2)}
+    assert all(c > 0.99 for c in out.values())
+    # lower threshold pulls in the diagonal vec 5; pairs always kept_id < dup_id
+    wide = SIM.near_dup_pairs_exact(vectors, 0.7).collect()
+    assert all(r.kept_id < r.dup_id for r in wide)
+    assert {(r.dup_id, r.kept_id) for r in wide} == {
+        (1, 0), (3, 2), (5, 0), (5, 1), (5, 2), (5, 3)
+    }
+
+
 # ----------------------------------------------------------------------
 # multimodal plumbing
 # ----------------------------------------------------------------------
