@@ -1,0 +1,233 @@
+"""Property-based checks (SURVEY.md §5 item 4) for the semantically
+subtle operators: the sentinel × type transform matrix, date-format
+priority, numeric/integer truncation, and keep-first dedup.
+
+Strategy: hypothesis generates *batches* of values; each example runs
+ONE Spark job over a single DataFrame (a job per scalar would be
+minutes per test). The Spark Column expressions are compared against a
+plain-Python executable spec that restates the reference semantics
+(`/root/reference/app/services/transformers.py:11-140` and
+`ingestor.py:468-496`) independently of the Spark implementation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover - baked into the image per env spec
+    pytest.skip("hypothesis not available", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.functions import transforms as X
+from kingsfoil_seed_data_ingestor_spark.operators.dedup import keep_first
+
+# ----------------------------------------------------------------------
+# plain-Python spec of the reference transform semantics
+# ----------------------------------------------------------------------
+
+_DATE_PY_FORMATS = ["%Y%m%d", "%m/%d/%Y", "%Y-%m-%d", "%Y/%m/%d", "%m-%d-%Y"]
+
+
+def spec_parse_date(s):
+    if s is None:
+        return None
+    t = s.strip()
+    if t in X.DATE_SENTINELS:
+        return None
+    for fmt in _DATE_PY_FORMATS:
+        try:
+            return dt.datetime.strptime(t, fmt).date()
+        except ValueError:
+            continue
+    return None
+
+
+def spec_parse_numeric(s):
+    if s is None:
+        return None
+    t = s.strip()
+    if t in X.NUMERIC_SENTINELS:
+        return None
+    try:
+        return float(t.replace(",", ""))
+    except ValueError:
+        return None
+
+
+def spec_parse_integer(s):
+    v = spec_parse_numeric(s)
+    return None if v is None else int(v)  # int() truncates toward zero
+
+
+def spec_parse_boolean(s):
+    if s is None:
+        return None
+    t = s.strip().lower()
+    if t in ("1", "true", "yes", "y", "*"):
+        return True
+    if t in ("0", "false", "no", "n", ""):
+        return False
+    return None
+
+
+def spec_clean_code(s):
+    # reference transformers.py:121-140: upper-case FIRST, then check
+    # sentinels — so "nan"/"NaN" upper-case to "NAN" and survive (the
+    # lowercase entries in the reference's list are unreachable)
+    if s is None:
+        return None
+    cleaned = s.strip().upper()
+    if cleaned in ("", "NULL", "N/A"):
+        return None
+    return cleaned
+
+
+# ----------------------------------------------------------------------
+# strategies
+# ----------------------------------------------------------------------
+
+_sentinel = st.sampled_from(X.NUMERIC_SENTINELS + X.TEXT_SENTINELS + ["  *  ", " NULL "])
+
+_date_component = st.builds(
+    lambda y, m, d, f: dt.date(y, m, d).strftime(f),
+    st.integers(1990, 2030),
+    st.integers(1, 12),
+    st.integers(1, 28),
+    st.sampled_from(_DATE_PY_FORMATS),
+)
+
+# digits/commas/dots/sign plus letters that never form float syntax
+# ("e"/"inf" excluded so Python float() and Spark CAST agree on garbage)
+_numericish = st.text(alphabet="0123456789.,-xz ", max_size=12)
+
+_codeish = st.text(
+    alphabet="abcdefghjkXYZ0123456789 _-", max_size=10
+)
+
+_boolish = st.one_of(
+    st.sampled_from(["1", "0", "true", "FALSE", "Yes", "no", "Y", "n", "*", "", "2", "maybe"]),
+    st.text(alphabet="01truefalsynTFYN* ", max_size=6),
+)
+
+_any_cell = st.one_of(st.none(), _sentinel, _date_component, _numericish, _codeish)
+
+
+def _run_expr(spark, values, expr_builder):
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    return [r[0] for r in df.select(expr_builder(F.col("raw"))).collect()]
+
+
+_SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# ----------------------------------------------------------------------
+# transform properties
+# ----------------------------------------------------------------------
+
+
+@_SLOW
+@given(st.lists(st.one_of(_sentinel, _date_component, _codeish), min_size=1, max_size=40))
+def test_parse_date_matches_spec(spark, values):
+    got = _run_expr(spark, values, X.parse_date)
+    assert got == [spec_parse_date(v) for v in values]
+
+
+@_SLOW
+@given(st.lists(st.one_of(_sentinel, _numericish), min_size=1, max_size=40))
+def test_parse_numeric_matches_spec(spark, values):
+    got = _run_expr(spark, values, X.parse_numeric)
+    expected = [spec_parse_numeric(v) for v in values]
+    for g, e in zip(got, expected):
+        assert (g is None) == (e is None)
+        if g is not None:
+            assert g == pytest.approx(e)
+
+
+@_SLOW
+@given(st.lists(st.one_of(_sentinel, _numericish), min_size=1, max_size=40))
+def test_parse_integer_truncates_toward_zero(spark, values):
+    got = _run_expr(spark, values, X.parse_integer)
+    expected = []
+    for v in values:
+        e = spec_parse_integer(v)
+        # spec overflow outside int32 is out of contract; cap the strategy
+        expected.append(e if e is None or -(2**31) <= e < 2**31 else None)
+    assert got == expected
+
+
+@_SLOW
+@given(st.lists(_boolish, min_size=1, max_size=40))
+def test_parse_boolean_matches_spec(spark, values):
+    got = _run_expr(spark, values, X.parse_boolean)
+    assert got == [spec_parse_boolean(v) for v in values]
+
+
+@_SLOW
+@given(st.lists(st.one_of(_sentinel, _codeish), min_size=1, max_size=40))
+def test_clean_code_matches_spec(spark, values):
+    got = _run_expr(spark, values, X.clean_code)
+    assert got == [spec_clean_code(v) for v in values]
+
+
+@_SLOW
+@given(st.lists(_any_cell, min_size=1, max_size=30))
+def test_transforms_are_total(spark, values):
+    """Every transform is a TOTAL function: arbitrary cells never raise
+    (ANSI mode is ON in the session) — they null out instead."""
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    out = df.select(
+        X.parse_date(F.col("raw")).alias("d"),
+        X.parse_numeric(F.col("raw")).alias("n"),
+        X.parse_integer(F.col("raw")).alias("i"),
+        X.parse_boolean(F.col("raw")).alias("b"),
+        X.clean_code(F.col("raw")).alias("c"),
+        X.parse_mue_value(F.col("raw")).alias("m"),
+        X.parse_deletion_date(F.col("raw")).alias("dd"),
+        X.parse_modifier_indicator(F.col("raw")).alias("mi"),
+    ).collect()
+    assert len(out) == len(values)
+
+
+# ----------------------------------------------------------------------
+# keep-first dedup properties
+# ----------------------------------------------------------------------
+
+_row = st.tuples(
+    st.one_of(st.none(), st.integers(0, 5)),  # key1 (small domain → collisions)
+    st.one_of(st.none(), st.integers(0, 3)),  # key2
+    st.integers(0, 10**6),  # payload
+)
+
+
+@_SLOW
+@given(st.lists(_row, min_size=1, max_size=60))
+def test_keep_first_properties(spark, rows):
+    data = [(k1, k2, p, i) for i, (k1, k2, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k1 int, k2 int, payload long, row_idx long")
+    kept, dups = keep_first(df, ["k1", "k2"], "row_idx")
+    kept_rows = {r.row_idx: r for r in kept.collect()}
+    dup_rows = {r.row_idx: r for r in dups.collect()}
+
+    # partition: every input row lands in exactly one side
+    assert set(kept_rows) | set(dup_rows) == set(range(len(rows)))
+    assert not (set(kept_rows) & set(dup_rows))
+
+    seen: set[tuple] = set()
+    for i, (k1, k2, _p) in enumerate(rows):
+        if k1 is None or k2 is None:
+            assert i in kept_rows  # null-key rows always exempt
+        elif (k1, k2) in seen:
+            assert i in dup_rows  # later occurrence dropped
+        else:
+            assert i in kept_rows  # first occurrence kept
+            seen.add((k1, k2))
