@@ -8,7 +8,12 @@ from kingsfoil_seed_data_ingestor_spark.operators.ingest import (
     typed_projection,
 )
 from kingsfoil_seed_data_ingestor_spark.operators.versioning import VersionStore
-from kingsfoil_seed_data_ingestor_spark.operators.pipeline import ingest_file
+from kingsfoil_seed_data_ingestor_spark.operators.pipeline import (
+    build_version_label,
+    ingest_file,
+    quarter_effective_date,
+    validate_upload,
+)
 
 __all__ = [
     "keep_first",
@@ -18,4 +23,7 @@ __all__ = [
     "typed_projection",
     "VersionStore",
     "ingest_file",
+    "validate_upload",
+    "build_version_label",
+    "quarter_effective_date",
 ]

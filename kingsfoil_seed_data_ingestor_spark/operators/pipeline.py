@@ -49,31 +49,43 @@ def sha256_file(path: str, chunk_bytes: int = 1 << 20) -> str:
     return digest.hexdigest()
 
 
-def ingest_file(
+def build_version_label(year: int, quarter: int) -> str:
+    """F13 — quarterly version label (reference ``upload.py:119-123``)."""
+    return f"{year}-Q{quarter}"
+
+
+def quarter_effective_date(year: int, quarter: int) -> str:
+    """F13 — first day of the quarter's first month
+    (reference ``upload.py:125-128``)."""
+    return f"{year}-{(quarter - 1) * 3 + 1:02d}-01"
+
+
+def _prepare(
     spark: SparkSession,
     store: VersionStore,
     source_code: str,
     file_path: str,
-    version_label: str,
-    variant: str | None = None,
-    effective_date: str | None = None,
-    mark_current: bool = True,
-    max_upload_mb: int = MAX_UPLOAD_MB,
-) -> dict:
-    """Ingest one file into the versioned warehouse; returns the result
-    dict (counts, stats, version_id, warnings)."""
+    max_upload_mb: int,
+):
+    """Shared prefix of both upload phases: gates → parse → header
+    detection → validation report. Deterministic, so the ingest phase
+    re-runs it instead of trusting client-held state (the reference's
+    stateless two-phase design, ``upload.py:4-7``).
+
+    Returns ``(error_dict, None)`` or ``(None, prepared_state_dict)``.
+    """
     source = get_source(source_code)
     path = Path(file_path)
 
     # -------- gates (reference upload.py:212-294) --------
     err = extension_error(path.name)
     if err:
-        return {"success": False, "errors": [err]}
+        return {"success": False, "errors": [err]}, None
     if path.exists() and path.stat().st_size > max_upload_mb * 1024 * 1024:
         return {
             "success": False,
             "errors": [f"File exceeds maximum size of {max_upload_mb} MB"],
-        }
+        }, None
     file_hash = sha256_file(file_path)
     dup = store.find_by_hash(source.source_code, file_hash)
     if dup is not None:
@@ -84,13 +96,13 @@ def ingest_file(
                 f"{dup['version_label']} ({dup['file_name']})"
             ],
             "duplicate_of": dup["version_id"],
-        }
+        }, None
 
     # -------- parse + header resolution --------
     grid = read_grid(spark, file_path)
     detection = detect_header(grid.head_rows, source.header_mappings)
     if not detection.found:
-        return {"success": False, "errors": [detection.error]}
+        return {"success": False, "errors": [detection.error]}, None
 
     # -------- validation pass --------
     prev = None
@@ -103,7 +115,97 @@ def ingest_file(
         prev = int(max(existing_current, key=lambda v: v["imported_at"] or 0)["record_count"])
     report = validate_grid(grid.df, source, detection, previous_record_count=prev)
     if not report.passed:
-        return {"success": False, "errors": report.errors, "warnings": report.warnings}
+        return {
+            "success": False,
+            "errors": report.errors,
+            "warnings": report.warnings,
+        }, None
+
+    return None, {
+        "source": source,
+        "path": path,
+        "file_hash": file_hash,
+        "grid": grid,
+        "detection": detection,
+        "report": report,
+    }
+
+
+def validate_upload(
+    spark: SparkSession,
+    store: VersionStore,
+    source_code: str,
+    file_path: str,
+    version_label: str | None = None,
+    variant: str | None = None,
+    max_upload_mb: int = MAX_UPLOAD_MB,
+) -> dict:
+    """Phase 1 of the two-phase upload protocol (reference EP-1,
+    ``upload.py:196-416``): run every gate and validation WITHOUT
+    writing anything, and return the report plus the cross-request
+    handle the reference carries as hidden form fields (file hash +
+    header row). Phase 2 (``ingest_file`` with ``expected_hash``)
+    re-verifies the hash and re-derives everything else.
+    """
+    err, prep = _prepare(spark, store, source_code, file_path, max_upload_mb)
+    if err is not None:
+        return err
+    result = {
+        "success": True,
+        "errors": [],
+        "warnings": prep["report"].warnings,
+        "file_hash": prep["file_hash"],
+        "header_row_index": prep["detection"].header_row_index,
+        "record_count": prep["report"].record_count,
+        "will_append": False,
+        "existing_version_id": None,
+    }
+    if version_label is not None:
+        existing = store.find_version(prep["source"].source_code, version_label, variant)
+        if existing is not None and existing["status"] != STATUS_FAILED:
+            if prep["source"].multipart and existing["status"] == "completed":
+                result["will_append"] = True
+                result["existing_version_id"] = int(existing["version_id"])
+            else:
+                result["success"] = False
+                result["errors"] = [
+                    f"Version already exists: ({prep['source'].source_code}, "
+                    f"{version_label}, {variant})"
+                ]
+    return result
+
+
+def ingest_file(
+    spark: SparkSession,
+    store: VersionStore,
+    source_code: str,
+    file_path: str,
+    version_label: str,
+    variant: str | None = None,
+    effective_date: str | None = None,
+    mark_current: bool = True,
+    max_upload_mb: int = MAX_UPLOAD_MB,
+    expected_hash: str | None = None,
+) -> dict:
+    """Ingest one file into the versioned warehouse; returns the result
+    dict (counts, stats, version_id, warnings).
+
+    ``expected_hash`` is the phase-1 handle: when given, the file's
+    content hash must still match it (the reference re-verifies before
+    ingesting in case the staged file changed, ``upload.py:442-470``).
+    """
+    err, prep = _prepare(spark, store, source_code, file_path, max_upload_mb)
+    if err is not None:
+        return err
+    source, path = prep["source"], prep["path"]
+    file_hash, grid, detection = prep["file_hash"], prep["grid"], prep["detection"]
+    report = prep["report"]
+
+    if expected_hash is not None and file_hash != expected_hash:
+        return {
+            "success": False,
+            "errors": ["File hash mismatch — staged file changed since validation"],
+        }
 
     # -------- version management (V1/V4/V5) --------
     existing = store.find_version(source.source_code, version_label, variant)

@@ -53,6 +53,7 @@ class ValidationReport:
     passed: bool
     errors: list[str] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
+    record_count: int = 0  # data rows after the header (upload.py:363)
 
 
 def validate_grid(
@@ -67,6 +68,7 @@ def validate_grid(
 
     region = raw.filter(F.col("row_idx") > detection.header_row_index)
     data_rows = region.count()
+    report.record_count = data_rows
     if data_rows <= 0:
         report.errors.append("No data rows found after header row")
         report.passed = False

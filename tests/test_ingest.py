@@ -14,8 +14,11 @@ from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.operators import (
     build_ingest_plan,
+    build_version_label,
     ingest_file,
     keep_first,
+    quarter_effective_date,
+    validate_upload,
     VersionStore,
 )
 from kingsfoil_seed_data_ingestor_spark.operators.validate import (
@@ -303,6 +306,42 @@ def test_ingest_file_end_to_end(spark, store, tmp_path):
 
     store.register_current_views()
     assert spark.sql("SELECT COUNT(*) AS n FROM pfs_rvu_current").first().n == 4
+
+
+def test_two_phase_validate_then_ingest(spark, store, tmp_path):
+    p = tmp_path / "pfs_rvu.csv"
+    p.write_text(PFS_RVU_CSV)
+
+    # phase 1: report + cross-request handle, nothing written
+    v = validate_upload(spark, store, "PFS_RVU", str(p), version_label="2024-Q1")
+    assert v["success"]
+    assert v["header_row_index"] == 3
+    assert v["record_count"] == 6
+    assert not v["will_append"]
+    assert store.find_version("PFS_RVU", "2024-Q1", None) is None
+
+    # phase 2 re-verifies the staged file against the phase-1 hash
+    bad = ingest_file(
+        spark, store, "PFS_RVU", str(p), "2024-Q1", expected_hash="0" * 64
+    )
+    assert not bad["success"] and "hash mismatch" in bad["errors"][0]
+
+    ok = ingest_file(
+        spark, store, "PFS_RVU", str(p), "2024-Q1", expected_hash=v["file_hash"]
+    )
+    assert ok["success"] and ok["records_inserted"] == 3
+
+    # phase 1 re-run now reports the version conflict
+    p2 = tmp_path / "pfs2.csv"
+    p2.write_text(PFS_RVU_CSV.replace("1,234.56", "9.99"))
+    v2 = validate_upload(spark, store, "PFS_RVU", str(p2), version_label="2024-Q1")
+    assert not v2["success"] and "already exists" in v2["errors"][0]
+
+
+def test_version_label_helpers():
+    assert build_version_label(2024, 3) == "2024-Q3"
+    assert quarter_effective_date(2024, 1) == "2024-01-01"
+    assert quarter_effective_date(2024, 4) == "2024-10-01"
 
 
 def test_ingest_file_multipart_append(spark, store, tmp_path):
