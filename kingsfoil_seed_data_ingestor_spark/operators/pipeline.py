@@ -22,6 +22,8 @@ version ``failed`` (same safety net as reference ``ingestor.py:780-783``).
 from __future__ import annotations
 
 import hashlib
+import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -47,6 +49,41 @@ def sha256_file(path: str, chunk_bytes: int = 1 << 20) -> str:
         while chunk := f.read(chunk_bytes):
             digest.update(chunk)
     return digest.hexdigest()
+
+
+DEFAULT_STAGING_DIR = "/tmp/kingsfoil_uploads"
+TEMP_FILE_MAX_AGE_HOURS = 24
+
+
+def stage_upload(
+    content: bytes, extension: str, staging_dir: str = DEFAULT_STAGING_DIR
+) -> str:
+    """S6 — persist uploaded bytes to the staging area under a fresh
+    UUID name (reference ``upload.py:296-301``); returns the staged
+    path the two upload phases share."""
+    d = Path(staging_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{uuid.uuid4()}.{extension.lstrip('.')}"
+    path.write_bytes(content)
+    return str(path)
+
+
+def cleanup_old_temp_files(
+    staging_dir: str = DEFAULT_STAGING_DIR,
+    max_age_hours: int = TEMP_FILE_MAX_AGE_HOURS,
+) -> int:
+    """S7 — delete staged uploads older than ``max_age_hours``
+    (reference ``upload.py:569-588``); returns the number removed."""
+    d = Path(staging_dir)
+    if not d.exists():
+        return 0
+    cutoff = time.time() - max_age_hours * 3600
+    removed = 0
+    for p in d.iterdir():
+        if p.is_file() and p.stat().st_mtime < cutoff:
+            p.unlink(missing_ok=True)
+            removed += 1
+    return removed
 
 
 def build_version_label(year: int, quarter: int) -> str:

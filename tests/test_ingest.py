@@ -344,6 +344,27 @@ def test_version_label_helpers():
     assert quarter_effective_date(2024, 4) == "2024-10-01"
 
 
+def test_stage_and_cleanup_temp_files(tmp_path):
+    from kingsfoil_seed_data_ingestor_spark.operators.pipeline import (
+        cleanup_old_temp_files,
+        stage_upload,
+    )
+
+    staged = stage_upload(b"a,b\n1,2\n", "csv", staging_dir=str(tmp_path))
+    assert staged.endswith(".csv")
+
+    import os
+
+    old = tmp_path / "old.csv"
+    old.write_bytes(b"stale")
+    stale_mtime = os.path.getmtime(old) - 25 * 3600
+    os.utime(old, (stale_mtime, stale_mtime))
+
+    assert cleanup_old_temp_files(str(tmp_path), max_age_hours=24) == 1
+    assert not old.exists()
+    assert os.path.exists(staged)  # fresh staging survives
+
+
 def test_ingest_file_multipart_append(spark, store, tmp_path):
     part1 = tmp_path / "ptp1.txt"
     part1.write_text(PTP_TXT)
