@@ -15,6 +15,10 @@ from kingsfoil_seed_data_ingestor_spark.streaming.events import (
     tumbling_window_counts,
     user_running_totals,
 )
+from kingsfoil_seed_data_ingestor_spark.streaming.ingest import (
+    stream_ingest_directory,
+    watch_drop_directory,
+)
 
 __all__ = [
     "read_event_stream",
@@ -24,4 +28,6 @@ __all__ = [
     "dedup_events",
     "user_running_totals",
     "run_to_memory",
+    "stream_ingest_directory",
+    "watch_drop_directory",
 ]

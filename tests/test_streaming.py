@@ -126,3 +126,49 @@ def test_user_running_totals_stateful(spark, tmp_path, batch_events):
     want = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in expect.collect()}
     assert got.keys() == want.keys()
     assert all(got[u][0] == want[u][0] for u in want)
+
+
+# ----------------------------------------------------------------------
+# streaming ingest of a drop directory
+# ----------------------------------------------------------------------
+
+
+def test_stream_ingest_drop_directory(spark, tmp_path):
+    from kingsfoil_seed_data_ingestor_spark.operators.versioning import VersionStore
+    from kingsfoil_seed_data_ingestor_spark.streaming import stream_ingest_directory
+    from tests.test_ingest import PFS_RVU_CSV
+
+    store = VersionStore(spark, str(tmp_path / "warehouse"))
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    results: dict[str, dict] = {}
+
+    (drop / "pfs_rvu__2024-Q1.csv").write_text(PFS_RVU_CSV)
+    (drop / "pfs_rvu__2024-Q2.csv").write_text(PFS_RVU_CSV.replace("1,234.56", "2.00"))
+
+    q = stream_ingest_directory(
+        spark, store, "PFS_RVU", str(drop), ckpt,
+        on_result=lambda p, r: results.update({p: r}),
+    )
+    q.awaitTermination(120)
+    assert len(results) == 2
+    assert all(r["success"] for r in results.values())
+    assert store.find_version("PFS_RVU", "2024-Q1", None)["status"] == "completed"
+    assert store.find_version("PFS_RVU", "2024-Q2", None)["status"] == "completed"
+
+    # second drain from the SAME checkpoint: only the new file runs;
+    # a byte-identical re-drop is rejected by the hash gate (V6)
+    results.clear()
+    (drop / "pfs_rvu__2024-Q3.csv").write_text(PFS_RVU_CSV.replace("1,234.56", "3.00"))
+    (drop / "pfs_rvu__2024-Q4.csv").write_text(PFS_RVU_CSV)  # same bytes as Q1
+    q2 = stream_ingest_directory(
+        spark, store, "PFS_RVU", str(drop), ckpt,
+        on_result=lambda p, r: results.update({p: r}),
+    )
+    q2.awaitTermination(120)
+    assert len(results) == 2  # checkpoint skipped the two already-seen files
+    ok = {p: r for p, r in results.items() if r["success"]}
+    rejected = {p: r for p, r in results.items() if not r["success"]}
+    assert len(ok) == 1 and "2024-Q3" in next(iter(ok))
+    assert len(rejected) == 1 and "already uploaded" in rejected[next(iter(rejected))]["errors"][0]
