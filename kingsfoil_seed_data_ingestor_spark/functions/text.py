@@ -174,6 +174,31 @@ def content_fingerprint(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
+#: Rabin-Karp parameters: base > alphabet, Mersenne-prime modulus small
+#: enough that h*B + c never leaves BIGINT range
+ROLLING_BASE = 257
+ROLLING_MOD = 2_147_483_647
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Rabin-Karp rolling hash of the normalized text: the left fold
+    ``h = (h*B + codepoint) mod M`` over characters — the incremental
+    fingerprint whose window form powers content-defined chunking.
+
+    The fold is order-dependent by construction (that's the point of a
+    rolling hash), so it runs as a per-document ``aggregate`` over the
+    character array — one doc never spans partitions, so the plan stays
+    embarrassingly parallel. Empty/whitespace-only docs pin to 0.
+    """
+    t = normalized_text(col)
+    folded = F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda h, c: (h * F.lit(ROLLING_BASE) + F.ascii(c)) % F.lit(ROLLING_MOD),
+    )
+    return F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
 #: number of simhash bits (one per md5 hex nibble)
 SIMHASH_BITS = 32
 

@@ -254,6 +254,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(hashes, "doc_id").select("doc_id", "fingerprint", "simhash")
 
 
+_SQL_ROLLING = f"""
+    CASE WHEN length({SQL_NORMALIZED}) = 0 THEN 0 ELSE list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split({SQL_NORMALIZED}, ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+        (h, c) -> (h * {TX.ROLLING_BASE} + c) % {TX.ROLLING_MOD}) END
+"""
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id, {_SQL_ROLLING} AS rh
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="Rabin-Karp rolling-hash document fingerprint: the left fold "
+    "h = h*257 + codepoint mod 2^31-1 over normalized text — the "
+    "incremental hash whose windowed form powers content-defined "
+    "chunking. Value-checked against DuckDB's independent list_reduce "
+    "fold. The per-doc fold is partition-local (no shuffle at all).",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("rh"))
+
+
 # ----------------------------------------------------------------------
 # deduplication
 # ----------------------------------------------------------------------

@@ -243,3 +243,18 @@ def test_frame_sample_plan(corpus):
     )
     for r in per_asset:
         assert 1 <= r.n <= 3 and r.mx == r.n - 1
+
+
+def test_rolling_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("Hello   WORLD",), ("",), ("   ",), ("x",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(TX.rolling_fingerprint(F.col("text"))).collect()]
+    h = 0
+    for ch in "hello world":
+        h = (h * 257 + ord(ch)) % 2147483647
+    assert got[0] == h
+    assert got[1] == h  # normalization: case + whitespace collapse
+    assert got[2] == 0 and got[3] == 0  # empty/whitespace pin to 0
+    assert got[4] == ord("x")
