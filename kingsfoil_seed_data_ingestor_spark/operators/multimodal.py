@@ -106,6 +106,103 @@ def extract_image_features(assets: DataFrame, batch_size_hint: int = 256) -> Dat
     return assets.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+#: output of the (stub) resize kernel: payload out, dims in metadata
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Arrow-batched resize-to-fixed-dims (the train-time normalization
+    step). The stub emits a deterministic payload derived from the
+    input checksum sized ``width*height`` bytes — a real kernel swaps
+    in PIL/opencv inside the same batch loop; schema, batch shape, and
+    partition-local execution are identical.
+
+    Payload bytes stay inside the Arrow batches end-to-end: the resized
+    column is written/joined like any other binary column, never
+    collected to the driver.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for checksum in batch["checksum"]:
+                seed = int(checksum[:8], 16)
+                # deterministic fake pixel buffer (row-major, 1 byte/px)
+                out.append(
+                    bytes((seed + i) & 0xFF for i in range(0, width * height, 997))
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+#: metadata emitted by the (stub) audio decoder
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("byte_size", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms_level", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction (sample rate, duration,
+    RMS level). Decode is stubbed deterministically off the payload
+    bytes — libav/soundfile are not in this container — but the
+    numpy-vectorized batch loop is the real shape: one array op per
+    Arrow batch, no per-row Python."""
+    try:
+        import soundfile  # noqa: F401 — not present in this container
+    except ImportError:
+        pass
+    else:  # pragma: no cover — real decode goes here
+        raise NotImplementedError("real audio decode not wired yet")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            sizes = batch["byte_size"].to_numpy(dtype=np.int64)
+            heads = np.array(
+                [p[0] if len(p) else 0 for p in batch["payload"]], dtype=np.float64
+            )
+            rate = 16_000
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"].values,
+                    "byte_size": sizes,
+                    "sample_rate": rate,
+                    # fake: 2 bytes/sample mono
+                    "duration_sec": np.round(sizes / (2.0 * rate), 6),
+                    "rms_level": np.round(heads / 255.0, 6),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(
     assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:

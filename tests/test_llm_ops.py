@@ -258,3 +258,24 @@ def test_rolling_fingerprint(spark):
     assert got[1] == h  # normalization: case + whitespace collapse
     assert got[2] == 0 and got[3] == 0  # empty/whitespace pin to 0
     assert got[4] == ord("x")
+
+
+def test_resize_images_plumbing(corpus):
+    assets = MM.attach_payload(corpus)
+    out = MM.resize_images(assets, width=32, height=16).collect()
+    assert len(out) == corpus.count()
+    assert all(r.width == 32 and r.height == 16 for r in out)
+    assert all(isinstance(r.payload, (bytes, bytearray)) and len(r.payload) > 0 for r in out)
+    # deterministic: same input -> same resized payload
+    again = {r.asset_id: bytes(r.payload) for r in MM.resize_images(assets, 32, 16).collect()}
+    assert all(again[r.asset_id] == bytes(r.payload) for r in out)
+
+
+def test_extract_audio_features_plumbing(corpus):
+    assets = MM.attach_payload(corpus)
+    out = {r.asset_id: r for r in MM.extract_audio_features(assets).collect()}
+    assert set(out) == {r.doc_id for r in corpus.collect()}
+    for r in out.values():
+        assert r.sample_rate == 16000
+        assert r.duration_sec == pytest.approx(r.byte_size / 32000.0, abs=1e-6)
+        assert 0.0 <= r.rms_level <= 1.0
