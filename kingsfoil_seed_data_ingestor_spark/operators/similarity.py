@@ -142,48 +142,85 @@ def near_dup_pairs_exact(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 2048,
 ) -> DataFrame:
     """Exact all-pairs cosine join: every ordered pair ``kept_id <
     dup_id`` with ``cosine >= threshold`` — the verification kernel of
     embedding-based near-duplicate detection (reference has no vector
     ops; this extends `SCHEMA.md`'s dedup story to dense embeddings).
 
-    Physical shape: a broadcast block-nested-loop join with a
-    vectorized GEMM kernel. The (id, unit-vector) matrix is broadcast
-    once; each Arrow batch of rows multiplies its block against the
-    broadcast matrix in one numpy ``B @ M.T`` and emits only the
-    surviving pairs — no n² row materialization ever reaches Spark, and
-    the scan side stays fully partitioned (no shuffle until the
-    keep-first reduction). At 100 TB the broadcast side is tiled
-    (grid-decompose the matrix and union the tile joins) or pre-blocked
-    with LSH; the per-tile kernel is unchanged.
+    Physical shape: a **distributed block-grid GEMM**. Rows are hashed
+    into ``ceil(N / block_rows)`` blocks by id; each block aggregates
+    into one matrix row (id-sorted ``collect_list``); the upper
+    triangle of the block × block grid joins block pairs; and a numpy
+    GEMM inside ``mapInPandas`` scores one (tile_a, tile_b) cell per
+    input row, emitting only surviving pairs. Nothing is ever collected
+    to the driver, and per-task memory is bounded by two tiles plus one
+    ``block_rows²`` score block regardless of N — the shape that
+    survives a 1000-executor cluster. Each unordered pair is scored in
+    exactly one cell (diagonal cells take the id-upper-triangle), so
+    no dedup pass is needed afterwards.
+
+    Cost model: the O(N²·d) multiply is inherent to *exact* all-pairs;
+    the grid spreads it over N²/(2·block_rows²) independent tasks. At
+    100 TB you bound compute, not just memory, by pre-blocking with
+    LSH (see ``simhash``/``lsh_candidate_pairs`` in ``text_dedup``) and
+    running this exact kernel per bucket — the per-cell kernel is
+    unchanged.
     """
     import numpy as np
     import pandas as pd
 
-    sdf = vectors.select(id_col, vec_col)
-    collected = sdf.collect()
-    ids = np.array([r[0] for r in collected], dtype=np.int64)
-    mat = np.array([r[1] for r in collected], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = vectors.sparkSession.sparkContext.broadcast((ids, mat))
+    n_rows = vectors.count()  # distributed aggregate; O(1) driver result
+    n_blocks = max(1, -(-n_rows // block_rows))
+    blocked = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # one matrix row per block, members sorted by id so that inside a
+    # diagonal cell row-index order == id order (upper triangle == i<j)
+    tiles = blocked.groupBy("_blk").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("_rows")
+    )
+    a = tiles.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
+    b = tiles.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b"))
+    n_cells = n_blocks * (n_blocks + 1) // 2
+    grid = (
+        a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+        # spread cells so one task owns ~one GEMM (cap the tiny-N case)
+        .repartition(min(n_cells, 10_000))
+    )
 
     out_schema = "dup_id long, kept_id long, cosine double"
 
-    def block(batches):
-        b_ids, b_mat = bc.value
+    def gemm_cells(batches):
         for pdf in batches:
-            if pdf.empty:
-                continue
-            rid = pdf[id_col].to_numpy(dtype=np.int64)
-            B = np.array(list(pdf[vec_col]), dtype=np.float64)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            S = B @ b_mat.T
-            ri, ci = np.nonzero(S >= threshold)
-            keep = b_ids[ci] < rid[ri]  # kept_id < dup_id; also drops self
-            ri, ci = ri[keep], ci[keep]
-            yield pd.DataFrame(
-                {"dup_id": rid[ri], "kept_id": b_ids[ci], "cosine": S[ri, ci]}
-            )
+            for blk_a, rows_a, blk_b, rows_b in pdf[
+                ["blk_a", "rows_a", "blk_b", "rows_b"]
+            ].itertuples(index=False):
+                ids_a = np.fromiter((r["_id"] for r in rows_a), dtype=np.int64)
+                A = np.array([r["_v"] for r in rows_a], dtype=np.float64)
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                if blk_a == blk_b:
+                    ids_b, B = ids_a, A
+                else:
+                    ids_b = np.fromiter((r["_id"] for r in rows_b), dtype=np.int64)
+                    B = np.array([r["_v"] for r in rows_b], dtype=np.float64)
+                    B /= np.linalg.norm(B, axis=1, keepdims=True)
+                S = A @ B.T
+                mask = S >= threshold
+                if blk_a == blk_b:
+                    # ids sorted ascending ⇒ upper triangle is exactly i<j
+                    mask &= np.triu(np.ones_like(mask), k=1).astype(bool)
+                ri, ci = np.nonzero(mask)
+                ia, ib = ids_a[ri], ids_b[ci]
+                yield pd.DataFrame(
+                    {
+                        "dup_id": np.maximum(ia, ib),
+                        "kept_id": np.minimum(ia, ib),
+                        "cosine": S[ri, ci],
+                    }
+                )
 
-    return sdf.mapInPandas(block, schema=out_schema)
+    return grid.mapInPandas(gemm_cells, schema=out_schema)

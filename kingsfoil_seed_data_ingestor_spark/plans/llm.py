@@ -455,10 +455,7 @@ EMBED_DUP_THRESHOLD = 0.42
 
 _SQL_EMBED_COS = sql_cosine("i.embedding", "j.embedding")
 
-
-@register(
-    "dedup_embed_cosine",
-    oracle=f"""
+_SQL_EMBED_DEDUP = f"""
     WITH scored AS (
         SELECT j.vec_id AS dup_id, i.vec_id AS kept_id,
                {_SQL_EMBED_COS} AS cosine
@@ -472,17 +469,12 @@ _SQL_EMBED_COS = sql_cosine("i.embedding", "j.embedding")
     )
     SELECT dup_id, kept_id, round(cosine, 6) AS cosine
     FROM ranked WHERE rn = 1
-    """,
-    doc="Embedding-cosine near-dup dedup, keep-first-by-id: every "
-    "vector whose cosine to some lower-id vector clears the threshold "
-    "is a dup of the smallest such keeper. Exact all-pairs via a "
-    "broadcast GEMM kernel inside mapInPandas (operators/similarity."
-    "near_dup_pairs_exact) — no n² rows ever materialize in the plan; "
-    "the only shuffle is the per-dup keep-first reduction.",
-)
-def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _embed_dedup(spark: SparkSession, sf_dir: str, block_rows: int) -> DataFrame:
     pairs = SIM.near_dup_pairs_exact(
-        load(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD
+        load(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD, block_rows=block_rows
     )
     w = W.partitionBy("dup_id").orderBy(F.asc("kept_id"))
     return (
@@ -490,6 +482,35 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=_SQL_EMBED_DEDUP,
+    doc="Embedding-cosine near-dup dedup, keep-first-by-id: every "
+    "vector whose cosine to some lower-id vector clears the threshold "
+    "is a dup of the smallest such keeper. Exact all-pairs via the "
+    "distributed block-grid GEMM (operators/similarity."
+    "near_dup_pairs_exact): rows bucket into id-hashed tiles, the "
+    "upper-triangle tile grid joins, and a numpy GEMM scores one cell "
+    "per task — zero driver-side collection, per-task memory bounded "
+    "by two tiles at any N.",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embed_dedup(spark, sf_dir, block_rows=2048)
+
+
+@register(
+    "dedup_embed_cosine_tiled",
+    oracle=_SQL_EMBED_DEDUP,
+    doc="Stress variant of dedup_embed_cosine: block_rows=96 forces a "
+    "≥6-block grid (≥21 GEMM cells) even at sf0.01, proving the "
+    "multi-tile path — diagonal-cell triangle masks, off-diagonal "
+    "min/max id orientation, cell-level disjointness — returns "
+    "bit-identical pairs to the brute-force oracle.",
+)
+def dedup_embed_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embed_dedup(spark, sf_dir, block_rows=96)
 
 
 # ----------------------------------------------------------------------

@@ -209,6 +209,21 @@ def test_near_dup_pairs_exact(vectors):
     }
 
 
+def test_near_dup_pairs_exact_tiled_matches_single_block(vectors):
+    # block_rows=2 forces a 3-block grid (6 cells incl. diagonals); the
+    # tiled result must be identical to the single-tile one, pair for
+    # pair and score for score
+    one = {
+        (r.dup_id, r.kept_id): r.cosine
+        for r in SIM.near_dup_pairs_exact(vectors, 0.7).collect()
+    }
+    tiled = {
+        (r.dup_id, r.kept_id): r.cosine
+        for r in SIM.near_dup_pairs_exact(vectors, 0.7, block_rows=2).collect()
+    }
+    assert tiled == one and len(tiled) == 6
+
+
 # ----------------------------------------------------------------------
 # multimodal plumbing
 # ----------------------------------------------------------------------
