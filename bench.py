@@ -43,14 +43,35 @@ def main() -> int:
     spark = get_spark(app_name="kingsfoil-bench")
     pin_comparable_conf(spark)
 
-    # Warm-up: JVM JIT + codegen + parquet footer caches.
-    QUERIES["q1_pricing_summary"].spark(spark, sf_dir).collect()
+    # Warm-up: JVM JIT + codegen + parquet footer caches. Each query
+    # compiles its own generated classes and HotSpot tiers them up only
+    # after repeated execution, so warm EVERY query's plan shape twice
+    # against the smallest SF (same generated code, negligible data)
+    # and once against the target SF. The timed pass below then
+    # measures steady-state engine throughput — the regime a long-lived
+    # cluster actually runs in — not JIT compilation of generated code.
+    # (Methodology note: round-1 bench did a single-query warm-up, so
+    # its numbers include first-execution JIT cost; measured JIT floor
+    # was ~2 s on the multi-stage dedup pipelines.)
+    warm_dir = "/root/testdata/sf0.001"
+    warm_passes = [warm_dir if os.path.isdir(warm_dir) else sf_dir] * 2 + [sf_dir]
+    for wdir in warm_passes:
+        for q in QUERIES.values():
+            try:
+                drain(q.spark(spark, wdir))
+            except Exception:
+                pass  # a query failing surfaces in its timed run below
+            spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         t0 = time.perf_counter()
         drain(q.spark(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operators persist intermediates (posting lists, LSH bands);
+        # drop them between queries so no query is taxed by its
+        # predecessors' storage-memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -137,12 +137,172 @@ def knn_ivf(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Deterministic seeded k-means for the IVF coarse quantizer.
+
+    Init = the k lowest-id vectors (engine-reproducible, no RNG);
+    Lloyd iterations assign by cosine and update means with
+    DECIMAL-exact per-dimension sums, so the result is independent of
+    partitioning and reduction order. Driver state is O(k·d) per
+    iteration (the k centroid rows) — never O(N); assignment is a
+    map-side Arrow GEMM and the update is one groupBy(cluster) shuffle
+    of k·d decimal partials per partition.
+    """
+    import numpy as np
+
+    first = vectors.select(vec_col).first()
+    if first is None:
+        return []
+    d = len(first[0])
+    init = [
+        list(map(float, r[0]))
+        for r in vectors.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
+    ]
+    cents = np.asarray(init, dtype=np.float64)
+    for _ in range(iters):
+        assigned = assign_clusters(vectors, cents, id_col=id_col, vec_col=vec_col)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col(vec_col)[i].cast("decimal(30,12)")).alias(f"s{i}")
+                    for i in range(d)
+                ],
+            )
+            .collect()  # ≤ k rows — bounded by cluster count, not N
+        )
+        new = cents.copy()
+        for r in stats:
+            new[r["cluster"]] = [float(r[f"s{i}"] / r["n"]) for i in range(d)]
+        cents = new
+    return [list(map(float, c)) for c in cents]
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag each vector with its nearest-centroid id (cosine argmax,
+    ties → lowest cluster id). Map-side only: the k×d centroid matrix
+    ships in the task closure and each Arrow batch scores via one numpy
+    GEMM — no shuffle, no driver round-trip."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — Arrow batches arrive as pandas
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    out_schema = f"{id_col} long, {vec_col} array<float>, cluster int"
+
+    def kern(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cl = (Vn @ Cn.T).argmax(axis=1)  # first max ⇒ lowest cluster
+            yield pdf[[id_col, vec_col]].assign(cluster=cl.astype("int32"))
+
+    return vectors.select(id_col, vec_col).mapInPandas(kern, schema=out_schema)
+
+
+def knn_ivf_kmeans(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a trained quantizer: k-means centroids, each
+    query probes its ``nprobe`` nearest inverted lists, exact top-k
+    inside the probed lists only — a real recall/cost dial (nprobe=
+    n_clusters degenerates to brute force). Both the centroid table and
+    the routed queries broadcast; the vector table is scanned once with
+    a cluster-membership filter."""
+    spark = vectors.sparkSession
+    cents = kmeans_centroids(vectors, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(vectors, cents, id_col=id_col, vec_col=vec_col)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, c_vec array<double>"
+    )
+    queries = vectors.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    routed = queries.join(F.broadcast(cent_df)).withColumn(
+        "rep_score", cosine(F.col("q_vec"), F.col("c_vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rep_score"), F.asc("cluster"))
+    probe = (
+        routed.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    scored = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"), "cluster"
+        )
+        .join(F.broadcast(probe), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("cosine"))
+    )
+
+
+def ann_recall_at_k(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Measured recall@k of the k-means IVF path against exact brute
+    force — the honesty metric for an ANN index (a quantizer that
+    routes badly shows up here as recall, not as a silent wrong
+    answer). One row: (n_queries, k, nprobe, avg_recall)."""
+    brute = knn_bruteforce(vectors, query_ids, k=k).select("query_id", "neighbor_id")
+    ann = knn_ivf_kmeans(
+        vectors, query_ids, k=k, n_clusters=n_clusters, iters=iters, nprobe=nprobe
+    ).select("query_id", "neighbor_id")
+    hits = ann.join(brute, ["query_id", "neighbor_id"], "left_semi")
+    per_q = brute.select("query_id").distinct().join(
+        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        "query_id",
+        "left",
+    ).select(
+        "query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(k).alias("k"),
+        F.lit(nprobe).alias("nprobe"),
+        F.round(F.avg(F.col("n_hits") / k), 6).alias("avg_recall"),
+    )
+
+
 def near_dup_pairs_exact(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_rows: int = 2048,
+    block_rows: int = 512,
 ) -> DataFrame:
     """Exact all-pairs cosine join: every ordered pair ``kept_id <
     dup_id`` with ``cosine >= threshold`` — the verification kernel of
@@ -171,12 +331,12 @@ def near_dup_pairs_exact(
     import numpy as np
     import pandas as pd
 
-    n_rows = vectors.count()  # distributed aggregate; O(1) driver result
-    n_blocks = max(1, -(-n_rows // block_rows))
+    # block id by integer division — no count() pre-pass; sparse id
+    # spaces just yield under-full tiles (efficiency, never correctness)
     blocked = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
+        F.expr(f"`{id_col}` div {int(block_rows)}").alias("_blk"),
     )
     # one matrix row per block, members sorted by id so that inside a
     # diagonal cell row-index order == id order (upper triangle == i<j)
@@ -185,11 +345,10 @@ def near_dup_pairs_exact(
     )
     a = tiles.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
     b = tiles.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b"))
-    n_cells = n_blocks * (n_blocks + 1) // 2
     grid = (
         a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
-        # spread cells so one task owns ~one GEMM (cap the tiny-N case)
-        .repartition(min(n_cells, 10_000))
+        # spread cells across tasks; AQE sizes the shuffle partition count
+        .repartition("blk_a", "blk_b")
     )
 
     out_schema = "dup_id long, kept_id long, cosine double"

@@ -236,30 +236,67 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_pairs_exact_jaccard(posts: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact Jaccard for a (small) candidate-pair table.
+
+    The candidate set after LSH is tiny relative to the corpus, so
+    instead of re-joining the full posting list on shingle (a second
+    corpus-wide shuffle), gather the shingle *set* of each candidate
+    document (semi-join keeps the scan pruned) and compute
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` per pair. The per-pair array intersect
+    runs on Spark's interpreted expression path, but over only the
+    candidate pairs — O(candidates), not O(corpus).
+    """
+    cand_docs = (
+        cands.select(F.col("i").alias("doc_id"))
+        .union(cands.select(F.col("j").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        posts.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    paired = cands.join(
+        sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i")), "i"
+    ).join(sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j")), "j")
+    common = F.size(F.array_intersect("sh_i", "sh_j"))
+    jac = common / (F.size("sh_i") + F.size("sh_j") - common)
+    return paired.select("i", "j", jac.alias("jaccard"))
+
+
 def minhash_near_dups(
     docs: DataFrame,
     threshold: float = 0.8,
-    num_hashes: int = 128,
+    num_hashes: int = 96,
     bands: int = 32,
-    rows_per_band: int = 4,
+    rows_per_band: int = 3,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold.
 
-    The verification join fetches the two shingle sets per candidate
-    pair only — with S(0.8, 16 bands × 4 rows) ≈ 0.9986 recall, output
-    matches brute force on any realistically-separated corpus while
-    scaling linearly.
+    The verification fetches the two shingle sets per candidate pair
+    only, so output matches brute force while scaling linearly.
+
+    Default banding is 32 bands × 3 rows (96 minima): miss probability
+    for a pair at Jaccard ≥ 0.8 is (1 − 0.8³)³² ≈ 1.1e-10 — strictly
+    stronger than the classic 32×4 (5e-8) while computing 25% fewer
+    aggregate lanes. The trade is a lower S-curve midpoint ((1/32)^⅓ ≈
+    0.31), i.e. more mid-similarity candidate pairs reach verification;
+    at trillion-pair scale where candidate volume dominates, raise
+    ``rows_per_band`` to 4–6 and scale ``num_hashes`` with it.
     """
-    # one posting-list build feeds signatures, the verification join,
-    # and the size table — persist instead of 4 recomputations
+    # one posting-list build feeds signatures and the verification
+    # sets — persist instead of recomputing the tokenize/window/distinct
+    # pipeline per branch; candidates are consumed twice (doc semi-join
+    # + the pair join), so pin the tiny pair table too
     posts = shingle_table(docs, n, id_col, text_col).persist()
     sigs = minhash_signatures_from_posts(posts, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).persist()
     return (
-        _pairs_with_jaccard(posts, pair_filter=cands)
+        verify_pairs_exact_jaccard(posts, cands)
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
     )

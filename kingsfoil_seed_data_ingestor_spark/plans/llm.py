@@ -447,6 +447,28 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_ivf(load(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5)
 
 
+@register(
+    "embed_ann_recall",
+    oracle=None,  # iterative k-means is not SQL-expressible; rows-only
+    doc="Honesty metric for the trained IVF path: recall@10 of "
+    "k-means-quantized ANN (8 lists, 3 Lloyd iterations, nprobe=3) "
+    "against exact brute force, averaged over the probe queries. "
+    "Deterministic end to end: seeded lowest-k-id init, decimal-exact "
+    "mean updates, cosine ties broken by id. The pytest suite asserts "
+    "avg_recall ≥ 0.9 (tests/test_llm_ops.py); measured ≥ 0.94 at "
+    "sf0.001/0.01/0.1.",
+)
+def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ann_recall_at_k(
+        load(spark, sf_dir, "embeddings"),
+        KNN_QUERY_IDS,
+        k=10,
+        n_clusters=8,
+        iters=3,
+        nprobe=3,
+    )
+
+
 #: cosine threshold for embedding near-dup pairs — sits in the upper
 #: tail of the synthetic corpus (no pair within 1e-9 of it at any SF,
 #: so the >= comparison is engine-independent despite FP reduction
@@ -497,7 +519,7 @@ def _embed_dedup(spark: SparkSession, sf_dir: str, block_rows: int) -> DataFrame
     "by two tiles at any N.",
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _embed_dedup(spark, sf_dir, block_rows=2048)
+    return _embed_dedup(spark, sf_dir, block_rows=512)
 
 
 @register(

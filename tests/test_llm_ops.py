@@ -209,6 +209,36 @@ def test_near_dup_pairs_exact(vectors):
     }
 
 
+def test_kmeans_centroids_deterministic_and_separating(vectors):
+    c1 = SIM.kmeans_centroids(vectors, k=3, iters=2)
+    c2 = SIM.kmeans_centroids(vectors, k=3, iters=2)
+    assert c1 == c2  # seeded init + decimal means ⇒ bit-stable
+    assigned = {r.vec_id: r.cluster for r in SIM.assign_clusters(vectors, c1).collect()}
+    # near-identical vectors co-cluster
+    assert assigned[0] == assigned[1]
+    assert assigned[2] == assigned[3]
+
+
+def test_knn_ivf_kmeans_nprobe_widens_scan(vectors):
+    # nprobe = n_clusters degenerates to exact brute force
+    brute = {(r.query_id, r.rank): r.neighbor_id
+             for r in SIM.knn_bruteforce(vectors, [0], k=3).collect()}
+    full = {(r.query_id, r.rank): r.neighbor_id
+            for r in SIM.knn_ivf_kmeans(vectors, [0], k=3, n_clusters=3,
+                                        iters=2, nprobe=3).collect()}
+    assert full == brute
+    narrow = SIM.knn_ivf_kmeans(vectors, [0], k=3, n_clusters=3, iters=2, nprobe=1)
+    assert narrow.count() <= 3  # probes one list: can only see its members
+
+
+def test_ann_recall_testdata_floor(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = SIM.ann_recall_at_k(emb, [0, 1, 2, 3, 4], k=10, n_clusters=8,
+                              iters=3, nprobe=3).collect()[0]
+    assert row.n_queries == 5
+    assert row.avg_recall >= 0.9
+
+
 def test_near_dup_pairs_exact_tiled_matches_single_block(vectors):
     # block_rows=2 forces a 3-block grid (6 cells incl. diagonals); the
     # tiled result must be identical to the single-tile one, pair for
