@@ -36,19 +36,28 @@ def asof_join(
     with ``right_on <= left_on`` within the same ``by`` key (null when
     no right row precedes). Output: all left columns + value_cols.
     """
+    # The whole right payload travels as ONE struct and is carried by a
+    # single last(..., ignorenulls=True): the matched row's fields are
+    # projected together, so a NULL field in the latest preceding right
+    # row stays NULL (never backfilled from an older row) and multi-
+    # column payloads can never be stitched from different right rows.
+    rhs = right.select(
+        F.col(right_by).alias("_k"),
+        F.col(right_on).cast(dict(left.dtypes)[left_on]).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+            ).schema["_l"].dataType
+        ).alias("_left"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_payload"),
+    )
     lhs = left.select(
         F.col(left_by).alias("_k"),
         F.col(left_on).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
-    )
-    rhs = right.select(
-        F.col(right_by).alias("_k"),
-        F.col(right_on).cast(dict(left.dtypes)[left_on]).alias("_t"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(lhs.schema["_left"].dataType).alias("_left"),
-        *[F.col(c) for c in value_cols],
+        F.lit(None).cast(rhs.schema["_payload"].dataType).alias("_payload"),
     )
     w = (
         Window.partitionBy("_k")
@@ -58,9 +67,10 @@ def asof_join(
     carried = lhs.unionByName(rhs).select(
         "_side",
         "_left",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_payload", ignorenulls=True).over(w).alias("_match"),
     )
     out = carried.filter(F.col("_side") == 1)
     return out.select(
-        *[F.col(f"_left.{c}").alias(c) for c in left.columns], *value_cols
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_match.{c}").alias(c) for c in value_cols],
     )

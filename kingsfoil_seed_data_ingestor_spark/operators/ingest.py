@@ -124,40 +124,52 @@ class IngestPlan:
     duplicates: DataFrame
     #: counts + per-column null stats, computed on demand
     _source: Source = field(repr=False, default=None)
-    _rows_total: DataFrame = field(repr=False, default=None)
-    _data_region: DataFrame = field(repr=False, default=None)
-    _after_empty: DataFrame = field(repr=False, default=None)
+    #: every data-region row tagged with its disposition
+    #: (empty | quarantined | first | dup) — the single-pass stats input
+    _annotated: DataFrame = field(repr=False, default=None)
 
     def stats(self, sample_rows: int = 100) -> dict:
         """Materialize the reference's result dict
         (``ingestor.py:617-648``): counts, null stats, samples.
 
-        Counts come from whole-frame aggregates (exact, distributed);
-        sample values come from a bounded head collect — they are a UI
-        nicety in the reference (first 3 values per column) and must
-        not force collecting unbounded data.
+        ONE aggregation job over the disposition-tagged region computes
+        every counter and per-column null stat (previously 5 separate
+        actions); the bounded head collect for sample values — a UI
+        nicety in the reference, first 3 values per column — is the
+        only second action.
         """
         cols = [c.internal_name for c in self._source.columns]
-        processed_and_nulls = (
-            self._rows_total.agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.count(F.when(F.col(c).isNull(), 1)).alias(c)
-                    for c in cols
-                ],
-            ).first()
-        )
-        records_processed = processed_and_nulls["__n"]
-        inserted = self.records.count()
-        duplicates = self.duplicates.count()
-        quarantined = self.quarantine.count()
-        rows_skipped = self._data_region.count() - self._after_empty.count()
+        is_valid = F.col("__status").isin("first", "dup")
 
-        head = self._rows_total.orderBy(ROW_NUMBER).limit(sample_rows).collect()
+        def n(status: str) -> Column:
+            return F.coalesce(
+                F.sum(F.when(F.col("__status") == status, 1)), F.lit(0)
+            )
+
+        agg = self._annotated.agg(
+            F.coalesce(F.sum(F.when(is_valid, 1)), F.lit(0)).alias("__processed"),
+            n("first").alias("__inserted"),
+            n("dup").alias("__dups"),
+            n("quarantined").alias("__quar"),
+            n("empty").alias("__skipped"),
+            *[
+                F.count(F.when(is_valid & F.col(c).isNull(), 1)).alias(c)
+                for c in cols
+            ],
+        ).first()
+        records_processed = int(agg["__processed"])
+        inserted = int(agg["__inserted"])
+
+        head = (
+            self._annotated.filter(is_valid)
+            .orderBy(ROW_NUMBER)
+            .limit(sample_rows)
+            .collect()
+        )
         column_stats = {}
         for c in cols:
             samples = [str(r[c])[:50] for r in head if r[c] is not None][:3]
-            nulls = processed_and_nulls[c]
+            nulls = agg[c]
             column_stats[c] = {
                 "null_count": nulls,
                 "sample_values": samples,
@@ -169,9 +181,9 @@ class IngestPlan:
             "success": inserted > 0,
             "records_processed": records_processed,
             "records_inserted": inserted,
-            "duplicates_skipped": duplicates,
-            "records_quarantined": quarantined,
-            "rows_skipped": rows_skipped,
+            "duplicates_skipped": int(agg["__dups"]),
+            "records_quarantined": int(agg["__quar"]),
+            "rows_skipped": int(agg["__skipped"]),
             "column_stats": column_stats,
         }
 
@@ -207,12 +219,41 @@ def build_ingest_plan(
     )
 
     kept, dups = keep_first(valid, keys, order_col=ROW_NUMBER)
+
+    # ------- disposition-tagged region for single-pass stats -------
+    # Every region row lands in exactly one bucket; one aggregate over
+    # the union yields all counters + null stats. The dedup-rank window
+    # runs over valid rows only (all keys non-null there — the null-key
+    # hot-partition hazard keep_first guards against cannot arise).
+    typed_region = region.select(
+        (F.col("row_idx") + 1).alias(ROW_NUMBER),
+        empty_row_predicate(raw_cols).alias("__empty"),
+        *typed_projection(source, detection.column_index),
+    )
+    data_t = typed_region.filter(~F.col("__empty")).drop("__empty")
+    empty_t = (
+        typed_region.filter(F.col("__empty"))
+        .drop("__empty")
+        .withColumn("__status", F.lit("empty"))
+    )
+    quar_t = data_t.filter(~key_ok).withColumn("__status", F.lit("quarantined"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ROW_NUMBER))
+    valid_t = (
+        data_t.filter(key_ok)
+        .withColumn("__rank", F.row_number().over(w))
+        .withColumn(
+            "__status", F.when(F.col("__rank") == 1, "first").otherwise("dup")
+        )
+        .drop("__rank")
+    )
+    annotated = empty_t.unionByName(quar_t).unionByName(valid_t)
+
     return IngestPlan(
         records=kept,
         quarantine=quarantine,
         duplicates=dups,
         _source=source,
-        _rows_total=valid,
-        _data_region=region,
-        _after_empty=data,
+        _annotated=annotated,
     )

@@ -276,20 +276,34 @@ def ingest_file(
         )
 
     # -------- the Spark job tree --------
+    staged = None
     try:
         plan = build_ingest_plan(grid.df, source, detection)
-        store.write_records(source, version_id, plan.records)
+        # Stage first, publish after stats succeed: when appending into
+        # an already-completed is_current version, nothing becomes
+        # reader-visible unless the whole part (data AND bookkeeping
+        # inputs) landed — a failure below rolls back to exactly the
+        # pre-upload state.
+        staged = store.stage_records(source, version_id, plan.records)
         stats = plan.stats()
         inserted = stats["records_inserted"]
 
         if appending:
-            store.add_part(version_id, inserted)
+            if inserted > 0:
+                store.commit_staged(source, version_id, staged)
+                store.add_part(version_id, inserted)
+            else:
+                # 0-record part: no data, no part_count bump (reference
+                # only bumps when rows actually inserted)
+                store.discard_staged(staged)
         elif inserted > 0:
+            store.commit_staged(source, version_id, staged)
             store.complete_version(version_id, inserted)
             store.add_part(version_id, 0)  # part 1 of a fresh version
             if mark_current:
                 store.mark_current(version_id)
         else:
+            store.discard_staged(staged)
             store.fail_version(version_id, "No valid records found in file")
 
         store.log_event(
@@ -308,6 +322,8 @@ def ingest_file(
         stats["appended_part"] = appending
         return stats
     except Exception as exc:  # the reference's failure net, ingestor.py:780-783
+        if staged is not None:
+            store.discard_staged(staged)
         if not appending:
             store.fail_version(version_id, str(exc))
         store.log_event(version_id, "ERROR", f"Ingestion failed: {exc}", {})

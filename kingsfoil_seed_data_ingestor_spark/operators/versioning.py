@@ -27,11 +27,13 @@ bookkeeping does, exactly like the reference's asyncpg calls.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import tempfile
 import time
+import uuid
 from pathlib import Path
 
 import pandas as pd
@@ -62,6 +64,43 @@ STATUS_PROCESSING = "processing"
 STATUS_COMPLETED = "completed"
 STATUS_FAILED = "failed"
 
+#: a writer holding the meta lock longer than this is presumed dead —
+#: the lock is broken so a crashed ingest can't wedge the store forever
+LOCK_STALE_SECONDS = 60.0
+LOCK_RETRY_SECONDS = 0.01
+
+
+@contextlib.contextmanager
+def _exclusive_lock(path: Path, stale_after: float = LOCK_STALE_SECONDS):
+    """Cross-process mutual exclusion via ``O_CREAT|O_EXCL`` — the
+    portable filesystem primitive (NFS included since v3). Every meta
+    read-modify-write runs under this lock, so two concurrent writers
+    serialize instead of losing updates; readers stay lock-free (the
+    atomic ``os.replace`` swap always gives them a consistent file).
+
+    The PostgreSQL reference gets this from transactions
+    (``app/services/ingestor.py:226-259``); on a shared cluster a
+    transactional table format (Delta/Iceberg) subsumes it.
+    """
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - path.stat().st_mtime > stale_after:
+                    path.unlink(missing_ok=True)  # break a dead writer's lock
+                    continue
+            except FileNotFoundError:
+                continue  # holder just released; retry immediately
+            time.sleep(LOCK_RETRY_SECONDS)
+    try:
+        yield
+    finally:
+        path.unlink(missing_ok=True)
+
 
 class VersionStore:
     """Driver-side version/state manager over a warehouse directory."""
@@ -81,6 +120,10 @@ class VersionStore:
     @property
     def _logs_path(self) -> Path:
         return self.root / "meta" / "ingestion_logs.parquet"
+
+    def _meta_lock(self):
+        """Writer lock for every versions/logs read-modify-write."""
+        return _exclusive_lock(self.root / "meta" / ".lock")
 
     def _read_versions(self) -> pd.DataFrame:
         if self._versions_path.exists():
@@ -124,48 +167,54 @@ class VersionStore:
         """V1 — insert a version row in ``processing`` state.
 
         Enforces the reference's unique (source, label, variant)
-        constraint (``init_db.py:114``).
+        constraint (``init_db.py:114``). Runs under the meta lock so two
+        concurrent uploads can neither allocate the same id nor both
+        slip past the uniqueness probe.
         """
-        pdf = self._read_versions()
-        clash = pdf[
-            (pdf.source_code == source_code)
-            & (pdf.version_label == version_label)
-            & (pdf.variant.isna() if variant is None else (pdf.variant == variant))
-        ]
-        if not clash.empty:
-            raise ValueError(
-                f"Version already exists: ({source_code}, {version_label}, {variant})"
+        with self._meta_lock():
+            pdf = self._read_versions()
+            clash = pdf[
+                (pdf.source_code == source_code)
+                & (pdf.version_label == version_label)
+                & (pdf.variant.isna() if variant is None else (pdf.variant == variant))
+            ]
+            if not clash.empty:
+                raise ValueError(
+                    f"Version already exists: ({source_code}, {version_label}, {variant})"
+                )
+            version_id = int(pdf.version_id.max()) + 1 if len(pdf) else 1
+            row = {
+                "version_id": version_id,
+                "source_code": source_code,
+                "version_label": version_label,
+                "variant": variant,
+                "effective_date": effective_date,
+                "file_name": file_name,
+                "file_hash": file_hash,
+                "file_size_bytes": file_size_bytes,
+                "header_row_index": header_row_index,
+                "record_count": 0,
+                "part_count": 0,
+                "is_current": False,
+                "status": STATUS_PROCESSING,
+                "error_message": None,
+                "imported_at": None,
+            }
+            new = pd.DataFrame([row])
+            self._write_versions(
+                new if pdf.empty else pd.concat([pdf, new], ignore_index=True)
             )
-        version_id = int(pdf.version_id.max()) + 1 if len(pdf) else 1
-        row = {
-            "version_id": version_id,
-            "source_code": source_code,
-            "version_label": version_label,
-            "variant": variant,
-            "effective_date": effective_date,
-            "file_name": file_name,
-            "file_hash": file_hash,
-            "file_size_bytes": file_size_bytes,
-            "header_row_index": header_row_index,
-            "record_count": 0,
-            "part_count": 0,
-            "is_current": False,
-            "status": STATUS_PROCESSING,
-            "error_message": None,
-            "imported_at": None,
-        }
-        new = pd.DataFrame([row])
-        self._write_versions(new if pdf.empty else pd.concat([pdf, new], ignore_index=True))
-        return version_id
+            return version_id
 
     def _mutate(self, version_id: int, **updates) -> None:
-        pdf = self._read_versions()
-        mask = pdf.version_id == version_id
-        if not mask.any():
-            raise KeyError(f"No such version: {version_id}")
-        for k, v in updates.items():
-            pdf.loc[mask, k] = v
-        self._write_versions(pdf)
+        with self._meta_lock():
+            pdf = self._read_versions()
+            mask = pdf.version_id == version_id
+            if not mask.any():
+                raise KeyError(f"No such version: {version_id}")
+            for k, v in updates.items():
+                pdf.loc[mask, k] = v
+            self._write_versions(pdf)
 
     def complete_version(self, version_id: int, record_count: int) -> None:
         """V2 — ``processing`` → ``completed`` with counts + timestamp."""
@@ -185,19 +234,23 @@ class VersionStore:
     def mark_current(self, version_id: int) -> None:
         """V3 — set ``is_current`` on the target, clearing it for every
         other version of the same (source, variant) in one swap
-        (reference ``ingestor.py:226-259``)."""
-        pdf = self._read_versions()
-        target = pdf[pdf.version_id == version_id]
-        if target.empty:
-            raise KeyError(f"No such version: {version_id}")
-        src = target.iloc[0].source_code
-        var = target.iloc[0].variant
-        group = (pdf.source_code == src) & (
-            pdf.variant.isna() if pd.isna(var) else (pdf.variant == var)
-        )
-        pdf.loc[group, "is_current"] = False
-        pdf.loc[pdf.version_id == version_id, "is_current"] = True
-        self._write_versions(pdf)
+        (reference ``ingestor.py:226-259``). The meta lock makes the
+        clear+set atomic against concurrent flips — readers can never
+        observe two ``is_current`` rows (reference invariant
+        ``init_db.py:118-120``)."""
+        with self._meta_lock():
+            pdf = self._read_versions()
+            target = pdf[pdf.version_id == version_id]
+            if target.empty:
+                raise KeyError(f"No such version: {version_id}")
+            src = target.iloc[0].source_code
+            var = target.iloc[0].variant
+            group = (pdf.source_code == src) & (
+                pdf.variant.isna() if pd.isna(var) else (pdf.variant == var)
+            )
+            pdf.loc[group, "is_current"] = False
+            pdf.loc[pdf.version_id == version_id, "is_current"] = True
+            self._write_versions(pdf)
 
     # ---------------- V4: lookups + multi-part append ----------------
 
@@ -225,31 +278,35 @@ class VersionStore:
     def add_part(self, version_id: int, part_records: int) -> None:
         """V4 — multi-part bookkeeping: bump totals for an appended part
         (reference ``ingestor.py:178-195``)."""
-        pdf = self._read_versions()
-        mask = pdf.version_id == version_id
-        pdf.loc[mask, "record_count"] = pdf.loc[mask, "record_count"].fillna(0) + part_records
-        pdf.loc[mask, "part_count"] = pdf.loc[mask, "part_count"].fillna(0) + 1
-        self._write_versions(pdf)
+        with self._meta_lock():
+            pdf = self._read_versions()
+            mask = pdf.version_id == version_id
+            pdf.loc[mask, "record_count"] = (
+                pdf.loc[mask, "record_count"].fillna(0) + part_records
+            )
+            pdf.loc[mask, "part_count"] = pdf.loc[mask, "part_count"].fillna(0) + 1
+            self._write_versions(pdf)
 
     # ---------------- V5: failed-version cascade delete ----------------
 
     def delete_failed_version(self, version_id: int) -> None:
         """V5 — drop a failed version row and its fact partition (the
         FK-cascade analogue; reference ``ingestor.py:670-688``)."""
-        pdf = self._read_versions()
-        hit = pdf[pdf.version_id == version_id]
-        if hit.empty:
-            return
-        if hit.iloc[0].status != STATUS_FAILED:
-            raise ValueError(f"Version {version_id} is not failed; refusing delete")
-        src = SOURCES.get(hit.iloc[0].source_code)
-        if src is not None:
-            part_dir = (
-                self.root / "facts" / src.target_table / f"data_version_id={version_id}"
-            )
-            if part_dir.exists():
-                shutil.rmtree(part_dir)
-        self._write_versions(pdf[pdf.version_id != version_id])
+        with self._meta_lock():
+            pdf = self._read_versions()
+            hit = pdf[pdf.version_id == version_id]
+            if hit.empty:
+                return
+            if hit.iloc[0].status != STATUS_FAILED:
+                raise ValueError(f"Version {version_id} is not failed; refusing delete")
+            src = SOURCES.get(hit.iloc[0].source_code)
+            if src is not None:
+                part_dir = (
+                    self.root / "facts" / src.target_table / f"data_version_id={version_id}"
+                )
+                if part_dir.exists():
+                    shutil.rmtree(part_dir)
+            self._write_versions(pdf[pdf.version_id != version_id])
 
     # ---------------- fact writes + current views ----------------
 
@@ -263,15 +320,51 @@ class VersionStore:
         current-version join prunes to live partitions, and failed-load
         cleanup is a directory drop, not a rewrite.
         """
+        staged = self.stage_records(source, version_id, records)
+        self.commit_staged(source, version_id, staged)
+
+    def stage_records(self, source: Source, version_id: int, records: DataFrame) -> str:
+        """Write a part's files into a staging directory *outside* the
+        readable table (``_staging/`` — underscore-prefixed paths are
+        invisible to Spark's file listing, like ``_temporary``).
+
+        Staging is what makes multi-part append crash-safe: the data of
+        a part lands fully before a single byte becomes readable, so a
+        failure after the Spark job leaves nothing visible in
+        ``current_view`` (the reference gets this from its transaction,
+        ``ingestor.py:226-259``).
+        """
         out = records.drop("row_number", "row_idx", *[
             c for c in records.columns if c.startswith("_c")
         ])
-        (
-            out.withColumn("data_version_id", F.lit(version_id).cast("long"))
-            .write.mode("append")
-            .partitionBy("data_version_id")
-            .parquet(self.fact_path(source))
+        staged = (
+            self.root
+            / "facts"
+            / source.target_table
+            / "_staging"
+            / f"{version_id}-{uuid.uuid4().hex}"
         )
+        out.write.mode("overwrite").parquet(str(staged))
+        return str(staged)
+
+    def commit_staged(self, source: Source, version_id: int, staged_dir: str) -> None:
+        """Publish a staged part: move its data files into the version's
+        partition directory. Pure same-filesystem renames — no data
+        rewrite, each file appears atomically (the same visibility
+        granularity Spark's own append commit protocol provides)."""
+        part_dir = (
+            self.root / "facts" / source.target_table / f"data_version_id={version_id}"
+        )
+        part_dir.mkdir(parents=True, exist_ok=True)
+        staged = Path(staged_dir)
+        prefix = staged.name
+        for f in sorted(staged.glob("*.parquet")):
+            os.replace(f, part_dir / f"{prefix}-{f.name}")
+        shutil.rmtree(staged, ignore_errors=True)
+
+    def discard_staged(self, staged_dir: str) -> None:
+        """Roll back a staged part (nothing was ever visible)."""
+        shutil.rmtree(staged_dir, ignore_errors=True)
 
     def current_view(self, source: Source, variant: str | None = None) -> DataFrame:
         """The ``{table}_current`` view (reference ``init_db.py:418-517``):
@@ -319,12 +412,13 @@ class VersionStore:
             "details": json.dumps(details or {}),
             "logged_at": time.time(),
         }
-        if self._logs_path.exists():
-            logs = pd.read_parquet(self._logs_path)
-            logs = pd.concat([logs, pd.DataFrame([row])], ignore_index=True)
-        else:
-            logs = pd.DataFrame([row])
-        fd, tmp = tempfile.mkstemp(dir=self.root / "meta", suffix=".parquet")
-        os.close(fd)
-        logs.to_parquet(tmp, index=False)
-        os.replace(tmp, self._logs_path)
+        with self._meta_lock():
+            if self._logs_path.exists():
+                logs = pd.read_parquet(self._logs_path)
+                logs = pd.concat([logs, pd.DataFrame([row])], ignore_index=True)
+            else:
+                logs = pd.DataFrame([row])
+            fd, tmp = tempfile.mkstemp(dir=self.root / "meta", suffix=".parquet")
+            os.close(fd)
+            logs.to_parquet(tmp, index=False)
+            os.replace(tmp, self._logs_path)

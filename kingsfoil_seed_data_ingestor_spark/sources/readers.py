@@ -127,8 +127,13 @@ def _string_schema(n_cols: int) -> T.StructType:
 def _spark_csv(
     spark: SparkSession, path: str, encoding: str, delimiter: str, n_cols: int
 ) -> DataFrame:
+    # One SENTINEL column beyond the inferred width: a row with more
+    # than n_cols fields populates it (the "" empty-cell value included,
+    # since nullValue points at an unused control char), while short or
+    # exact rows leave it NULL — a distributed, quote-aware wider-row
+    # detector with no second parse.
     df = (
-        spark.read.schema(_string_schema(n_cols))
+        spark.read.schema(_string_schema(n_cols + 1))
         .options(
             header=False,
             sep=delimiter,
@@ -141,9 +146,18 @@ def _spark_csv(
         )
         .csv(path)
     )
+    sentinel = f"_c{n_cols}"
+    wide = df.filter(F.col(sentinel).isNotNull()).select(sentinel).limit(1).collect()
+    if wide:
+        raise ValueError(
+            f"Malformed file: found a row wider than the inferred "
+            f"{n_cols}-column schema (head-sample inference saw at most "
+            f"{n_cols} fields). The reference parser fails loudly on "
+            f"ragged wide rows rather than dropping cells."
+        )
     # Ragged short rows arrive as nulls under PERMISSIVE; restore the
     # "empty cell is ''" invariant columnar-side (no Python involved).
-    return df.na.fill("")
+    return df.drop(sentinel).na.fill("")
 
 
 def _read_excel_grid(spark: SparkSession, path: str, engine: str) -> DataFrame:

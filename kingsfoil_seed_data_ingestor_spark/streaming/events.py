@@ -139,9 +139,20 @@ def session_window_stats(
 def dedup_events(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
     """In-stream exact dedup on event_id; the watermark bounds how long
     an id is remembered (state GC) — at-least-once sources become
-    effectively-once within the lateness horizon."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return src.dropDuplicates(["event_id"])
+    effectively-once within the lateness horizon.
+
+    Streaming uses ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates(["event_id"])`` keys state by event_id alone, so
+    the watermark never evicts anything and state grows without bound
+    in a long-running stream. The WithinWatermark variant expires each
+    id once it falls behind the event-time watermark — bounded state,
+    same effectively-once result within the lateness horizon. Batch
+    twin keeps plain dropDuplicates (no state to bound)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
 
 
 # ----------------------------------------------------------------------

@@ -39,6 +39,28 @@ def test_asof_join_latest_preceding(spark):
     assert out == {"e1": 100.0, "e2": 200.0, "e3": None, "e4": None}
 
 
+def test_asof_join_payload_from_single_matched_row(spark):
+    # The matched (latest preceding) right row holds a NULL value col
+    # and a different qty than the older row: ASOF semantics demand the
+    # WHOLE payload from that one row — price stays NULL, qty comes
+    # from the same row (never stitched from the older non-null row).
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-20 00:00:00"), "e1")], "k long, t timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), 100.0, 7),
+            (1, ts("2024-01-15 00:00:00"), None, 9),
+        ],
+        "k long, t timestamp, price double, qty int",
+    )
+    row = asof_join(
+        left, right, left_on="t", right_on="t", left_by="k", right_by="k",
+        value_cols=["price", "qty"],
+    ).first()
+    assert row.price is None and row.qty == 9
+
+
 def test_asof_join_tie_matches_equal_timestamp(spark):
     left = spark.createDataFrame(
         [(1, ts("2024-01-15 00:00:00"), "at_tie")], "k long, t timestamp, tag string"

@@ -365,6 +365,68 @@ def test_stage_and_cleanup_temp_files(tmp_path):
     assert os.path.exists(staged)  # fresh staging survives
 
 
+def test_concurrent_writers_no_lost_updates(store):
+    # two+ concurrent ingest_file calls race on the meta read-modify-
+    # write; the meta lock must serialize them (no lost version rows,
+    # no duplicated ids) — reference gets this from PG transactions
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(8) as ex:
+        ids = list(
+            ex.map(lambda i: store.create_version("NCCI_MUE_PRAC", f"L{i}"), range(24))
+        )
+    assert len(set(ids)) == 24
+    assert len(store._read_versions()) == 24
+
+
+def test_concurrent_mark_current_single_winner(store):
+    ids = [store.create_version("NCCI_MUE_PRAC", f"V{i}") for i in range(6)]
+    for i in ids:
+        store.complete_version(i, 1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(6) as ex:
+        list(ex.map(store.mark_current, ids))
+    pdf = store._read_versions()
+    # readers must never see two is_current rows per (source, variant)
+    assert int(pdf.is_current.fillna(False).sum()) == 1
+
+
+def test_append_failure_invisible_to_readers(spark, store, tmp_path, monkeypatch):
+    import kingsfoil_seed_data_ingestor_spark.operators.pipeline as P
+    from pathlib import Path
+
+    part1 = tmp_path / "p1.txt"
+    part1.write_text(PTP_TXT)
+    r1 = ingest_file(spark, store, "NCCI_PTP", str(part1), "2024-Q1", variant="practitioner")
+    assert r1["success"]
+
+    orig = P.build_ingest_plan
+
+    def sabotage(raw, source, detection):
+        plan = orig(raw, source, detection)
+
+        def boom(sample_rows=100):
+            raise RuntimeError("stats exploded")
+
+        plan.stats = boom
+        return plan
+
+    monkeypatch.setattr(P, "build_ingest_plan", sabotage)
+    part2 = tmp_path / "p2.txt"
+    part2.write_text(PTP_TXT.replace("00100", "11111"))
+    with pytest.raises(RuntimeError, match="stats exploded"):
+        ingest_file(spark, store, "NCCI_PTP", str(part2), "2024-Q1", variant="practitioner")
+
+    # the completed version is untouched: counts, part bookkeeping, AND
+    # reader-visible rows are exactly the pre-append state
+    v = store.find_version("NCCI_PTP", "2024-Q1", "practitioner")
+    assert v["record_count"] == 3 and v["part_count"] == 1
+    assert store.current_view(get_source("NCCI_PTP"), variant="practitioner").count() == 3
+    staging = list(Path(store.root).glob("facts/*/_staging/*"))
+    assert staging == []  # rolled back, nothing left behind
+
+
 def test_ingest_file_multipart_append(spark, store, tmp_path):
     part1 = tmp_path / "ptp1.txt"
     part1.write_text(PTP_TXT)

@@ -107,6 +107,17 @@ def test_ragged_rows_backfilled_to_empty(spark, tmp_path):
     assert grid_rows(grid)[1] == ["1", "2", ""]
 
 
+def test_ragged_wider_row_fails_loudly(spark, tmp_path):
+    # a row beyond the head sample carrying MORE fields than the
+    # inferred schema must raise (reference pandas read_csv behavior),
+    # never silently drop the extra cells
+    p = tmp_path / "wide.csv"
+    lines = ["A,B", "1,2"] + ["x,y"] * 60 + ["too,many,fields"]
+    p.write_text("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="wider than the inferred"):
+        read_grid(spark, str(p))
+
+
 def test_row_as_list_and_extension_helpers(spark, tmp_path):
     # reference tests/test_file_parser.py:128-180
     p = tmp_path / "r.csv"
