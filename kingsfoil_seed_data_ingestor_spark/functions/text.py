@@ -229,3 +229,38 @@ def assemble_simhash(prefix: str = "_sh") -> Column:
     for b in range(SIMHASH_BITS):
         out = out + F.when(F.col(f"{prefix}{b}") > 0, F.lit(1 << b)).otherwise(0)
     return out
+
+
+#: width of the wide simhash — 64 bits kills the tiny-bucket ceiling of
+#: the 32-bit variant (16-bit bands ⇒ 65 536 buckets per band instead
+#: of 256: at billions of documents, band buckets stay fine-grained
+#: instead of degenerating into quadratic hot keys)
+SIMHASH64_BITS = 64
+
+
+def simhash64_agg_exprs(token_md5: Column, token_md5b: Column) -> list[Column]:
+    """The 64 per-bit SUM expressions: bits 0–31 from the parity of
+    ``md5(token)``'s nibbles, bits 32–63 from ``md5('x' ‖ token)`` — two
+    independent 128-bit digests give 64 independent ±1 lanes with the
+    same engine-portable construction as the 32-bit variant."""
+    exprs = [
+        F.sum(simhash_nibble_contrib(token_md5, b)).alias(f"_sh{b}")
+        for b in range(32)
+    ]
+    exprs += [
+        F.sum(simhash_nibble_contrib(token_md5b, b - 32)).alias(f"_sh{b}")
+        for b in range(32, SIMHASH64_BITS)
+    ]
+    return exprs
+
+
+def assemble_simhash64(prefix: str = "_sh") -> Column:
+    """Fold 64 per-bit sums into one signed long. Bit 63 is the sign
+    bit: added as −2⁶³ (two's complement) so the value stays inside
+    BIGINT in both engines — ``1 << 63`` would overflow."""
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH64_BITS - 1):
+        out = out + F.when(F.col(f"{prefix}{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return out + F.when(
+        F.col(f"{prefix}{SIMHASH64_BITS - 1}") > 0, F.lit(-(1 << 63)).cast("long")
+    ).otherwise(0)

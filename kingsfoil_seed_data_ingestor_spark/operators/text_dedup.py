@@ -320,6 +320,82 @@ def simhash_table(
     return per_bit.select("doc_id", TX.assemble_simhash().alias("simhash"))
 
 
+def simhash64_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit simhash per document (two md5 digests per token → 64
+    independent parity lanes; see ``functions.text.simhash64_agg_exprs``).
+    The wide fingerprint exists for scale: 16-bit pigeonhole bands give
+    65 536 buckets per band vs the 32-bit variant's 256 — the band join
+    stays fine-grained at billion-document corpora."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(TX.tokens(F.col(text_col))).alias("tok"),
+        )
+        .withColumn("tok_md5", F.md5("tok"))
+        .withColumn("tok_md5b", F.md5(F.concat(F.lit("x"), F.col("tok"))))
+    )
+    per_bit = toks.groupBy("doc_id").agg(
+        *TX.simhash64_agg_exprs(F.col("tok_md5"), F.col("tok_md5b"))
+    )
+    return per_bit.select("doc_id", TX.assemble_simhash64().alias("simhash64"))
+
+
+def simhash64_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs (i < j) with 64-bit simhash hamming ≤ ``max_hamming`` via
+    pigeonhole banding: ``max_hamming + 1`` bands of 64/(d+1) bits — a
+    qualifying pair agrees exactly on ≥ 1 band. Shifts use the
+    *unsigned* right shift (the sign bit is data here)."""
+    n_bands = max_hamming + 1
+    width = TX.SIMHASH64_BITS // n_bands
+    spans = [
+        (b * width, width if b < n_bands - 1 else TX.SIMHASH64_BITS - b * width)
+        for b in range(n_bands)
+    ]
+    hashes = simhash64_table(docs, id_col, text_col)
+    banded = hashes.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash64"), start)
+                        .bitwiseAND(F.lit((1 << w) - 1) if w < 64 else F.lit(-1))
+                        .alias("bucket"),
+                    )
+                    for b, (start, w) in enumerate(spans)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash64", "bk.band", "bk.bucket")
+    left = banded.select(
+        F.col("doc_id").alias("i"), F.col("simhash64").alias("h_i"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("j"), F.col("simhash64").alias("h_j"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "h_i", "h_j")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )
+
+
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = 3,

@@ -151,6 +151,48 @@ def test_simhash_near_dups(spark):
     assert (0, 2) in pairs and pairs == brute
 
 
+def _py_simhash64(text: str) -> int:
+    import hashlib
+
+    sums = [0] * 64
+    for tok in text.split():
+        d1 = hashlib.md5(tok.encode()).hexdigest()
+        d2 = hashlib.md5(("x" + tok).encode()).hexdigest()
+        for b in range(32):
+            sums[b] += (int(d1[b], 16) % 2) * 2 - 1
+            sums[32 + b] += (int(d2[b], 16) % 2) * 2 - 1
+    out = 0
+    for b in range(63):
+        if sums[b] > 0:
+            out += 1 << b
+    if sums[63] > 0:
+        out += -(1 << 63)
+    return out
+
+
+def test_simhash64_matches_independent_python_construction(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs please thanks",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash64 for r in DD.simhash64_table(docs).collect()}
+    assert got == {i: _py_simhash64(t) for i, t in enumerate(texts)}
+
+
+def test_simhash64_near_dups_finds_identical_and_close(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.i, r.j): r.hamming for r in DD.simhash64_near_dups(docs, 3).collect()}
+    assert pairs == {(0, 1): 0}
+
+
 # ----------------------------------------------------------------------
 # similarity search
 # ----------------------------------------------------------------------
