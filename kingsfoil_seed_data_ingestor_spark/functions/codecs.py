@@ -1,0 +1,122 @@
+"""Pure-Python media codecs: 24-bit BMP and PCM-16 WAV.
+
+Both formats are public, header+raw-payload containers, which makes
+them decodable with ``struct`` + numpy alone — no PIL/libav needed in
+this container. They exist so ONE multimodal decode path is real end to
+end (encode → binary column → parse → features), not a checksum fake:
+the encoder and decoder are deliberately independent code paths
+(``struct.pack`` vs ``struct.unpack`` + numpy reshape), so a format bug
+in either side breaks the round-trip tests and the oracle queries.
+
+Scope (enough for the real-decode contract, honestly bounded):
+* BMP: BITMAPINFOHEADER, 24 bpp, uncompressed (BI_RGB), top-down or
+  bottom-up; anything else raises.
+* WAV: RIFF/WAVE, PCM (format 1), mono, 16-bit; chunk-walking parser
+  (fmt/data in any order, word-aligned), anything else raises.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------------------
+# BMP (24-bit uncompressed)
+# ----------------------------------------------------------------------
+
+_BMP_FILE_HEADER = "<2sIHHI"  # magic, file size, reserved×2, data offset
+_BMP_INFO_HEADER = "<IiiHHIIiiII"  # size, w, h, planes, bpp, comp, ...
+
+
+def encode_bmp24(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB triples (``len == w*h*3``) as a
+    standard bottom-up 24-bit BMP with 4-byte row padding."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = arr[::-1, :, ::-1]  # bottom-up row order, BGR channel order
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    padded = np.zeros((height, row_raw + pad), dtype=np.uint8)
+    padded[:, :row_raw] = bgr.reshape(height, row_raw)
+    data = padded.tobytes()
+    offset = 14 + 40
+    info = struct.pack(
+        _BMP_INFO_HEADER, 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    head = struct.pack(_BMP_FILE_HEADER, b"BM", offset + len(data), 0, 0, offset)
+    return head + info + data
+
+
+def decode_bmp24(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 24-bit uncompressed BMP → (width, height, HxWx3 RGB
+    array, top-down). Raises ``ValueError`` on anything that isn't that
+    exact (most common) variant."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    magic, _, _, _, offset = struct.unpack_from(_BMP_FILE_HEADER, payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _, width, height, planes, bpp, comp, *_ = struct.unpack_from(
+        _BMP_INFO_HEADER, payload, 14
+    )
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (planes={planes} bpp={bpp} comp={comp})")
+    top_down = height < 0
+    h = abs(height)
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    need = offset + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    bgr = rows.reshape(h, stride)[:, :row_raw].reshape(h, width, 3)
+    rgb = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
+    return width, h, rgb
+
+
+# ----------------------------------------------------------------------
+# WAV (RIFF / PCM-16 mono)
+# ----------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Encode int16 mono samples as a canonical RIFF/WAVE file."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    dat = struct.pack("<4sI", b"data", len(data)) + data
+    if len(data) % 2:
+        dat += b"\x00"  # RIFF chunks are word-aligned
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(dat), b"WAVE") + fmt + dat
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Chunk-walking RIFF parse → (sample_rate, int16 sample array).
+    Handles fmt/data in any order plus unknown chunks; raises on
+    non-PCM, non-mono, or non-16-bit streams."""
+    if len(payload) < 12:
+        raise ValueError("truncated WAV")
+    magic, _, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if magic != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt} ch={channels} bits={bits})"
+                )
+        elif cid == b"data":
+            data = payload[pos : pos + csz]
+        pos += csz + (csz & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")

@@ -10,12 +10,15 @@ Design for image/audio/video at 100 TB (SURVEY.md §7.2 step 10):
   **Arrow-batched ``mapInPandas`` operators**: Python sees a stream of
   ``pandas.DataFrame`` batches, the JVM never deserializes payloads
   row-at-a-time, and the operator parallelizes per partition;
-* actual codecs (PIL / libav / …) are not in this container, so the
-  decode kernels are STUBS behind ``import``-guards: a clearly marked
-  ``NotImplementedError`` in strict mode, or a deterministic fake
-  (seeded by the payload checksum) for pipeline testing. The Spark
-  plumbing — schemas, batch iteration, partitioning — is real and
-  tested either way.
+* two codec paths are REAL and pure-Python (``functions/codecs.py``):
+  24-bit BMP and PCM-16 WAV payloads are byte-level parsed (struct +
+  numpy) inside the kernels — encode → binary column → decode →
+  features runs end to end with independent encoder/decoder code;
+* codecs that genuinely need native libs (JPEG via PIL, compressed
+  audio via libav/soundfile) remain STUBS behind ``import``-guards: a
+  clearly marked ``NotImplementedError`` in strict mode, or a
+  deterministic fake for pipeline testing. The Spark plumbing —
+  schemas, batch iteration, partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -59,10 +62,23 @@ def attach_payload(
     )
 
 
+def _decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Image decode with real-codec dispatch: BMP payloads (magic
+    ``BM``) parse through the pure-Python 24-bit BMP codec —
+    (width, height, mean byte value over all RGB samples / 255). Other
+    formats fall to PIL when present, else the deterministic stub."""
+    if payload[:2] == b"BM":
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_bmp24
+
+        w, h, rgb = decode_bmp24(payload)
+        return w, h, round(float(rgb.mean()) / 255.0, 6)
+    return _decode_image_stub(payload)
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic fake decode: derives (width, height, mean_luma)
-    from the payload bytes. Swap for a real PIL decode when the codec
-    is available."""
+    """Deterministic fake decode for formats with no in-container codec:
+    derives (width, height, mean_luma) from the payload bytes. Swap for
+    a real PIL decode when the codec is available."""
     try:
         import PIL.Image  # noqa: F401  — not present in this container
     except ImportError:
@@ -91,7 +107,7 @@ def extract_image_features(assets: DataFrame, batch_size_hint: int = 256) -> Dat
         import pandas as pd
 
         for batch in batches:
-            decoded = [_decode_image_stub(p) for p in batch["payload"]]
+            decoded = [_decode_image(p) for p in batch["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": batch["asset_id"].values,
@@ -168,10 +184,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 def extract_audio_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched audio feature extraction (sample rate, duration,
-    RMS level). Decode is stubbed deterministically off the payload
-    bytes — libav/soundfile are not in this container — but the
-    numpy-vectorized batch loop is the real shape: one array op per
-    Arrow batch, no per-row Python."""
+    RMS level). RIFF/WAVE payloads decode through the REAL pure-Python
+    PCM-16 parser (chunk walk + numpy frombuffer, exact integer RMS
+    accumulation); other formats fall back to the deterministic stub
+    (libav/soundfile are not in this container)."""
     try:
         import soundfile  # noqa: F401 — not present in this container
     except ImportError:
@@ -183,24 +199,112 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            decode_wav_pcm16,
+        )
+
+        def one(payload: bytes, size: int) -> tuple[int, float, float]:
+            if payload[:4] == b"RIFF":  # real decode: PCM-16 WAV
+                rate, samples = decode_wav_pcm16(bytes(payload))
+                sq = samples.astype(np.int64) ** 2  # exact integer sum
+                rms = float(np.sqrt(sq.sum() / len(samples))) if len(samples) else 0.0
+                return rate, round(len(samples) / rate, 6), round(rms, 6)
+            # stub for container-absent codecs: 2 bytes/sample mono fake
+            rate = 16_000
+            head = float(payload[0]) if len(payload) else 0.0
+            return rate, round(size / (2.0 * rate), 6), round(head / 255.0, 6)
+
         for batch in batches:
             sizes = batch["byte_size"].to_numpy(dtype=np.int64)
-            heads = np.array(
-                [p[0] if len(p) else 0 for p in batch["payload"]], dtype=np.float64
-            )
-            rate = 16_000
+            decoded = [
+                one(p, s) for p, s in zip(batch["payload"], sizes)
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": batch["asset_id"].values,
                     "byte_size": sizes,
-                    "sample_rate": rate,
-                    # fake: 2 bytes/sample mono
-                    "duration_sec": np.round(sizes / (2.0 * rate), 6),
-                    "rms_level": np.round(heads / 255.0, 6),
+                    "sample_rate": [d[0] for d in decoded],
+                    "duration_sec": [d[1] for d in decoded],
+                    "rms_level": [d[2] for d in decoded],
                 }
             )
 
     return assets.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def render_bmp_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encoder kernel: a deterministic RGB test pattern per document,
+    written through the REAL 24-bit BMP encoder (``functions.codecs``).
+
+    Pattern contract (the oracle recomputes features from this closed
+    form): ``width = 8 + id % 5``, ``height = 6 + id % 3``, flat RGB
+    byte k = ``(id*31 + k*7) % 256``. Encoder (struct.pack, bottom-up
+    BGR, row padding) and decoder (struct.unpack + numpy reshape) are
+    independent implementations, so the BMP round-trip is a real codec
+    path, not an echo."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import encode_bmp24
+
+        for batch in batches:
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                w, h = int(8 + d % 5), int(6 + d % 3)
+                k = np.arange(w * h * 3, dtype=np.int64)
+                rgb = ((d * 31 + k * 7) % 256).astype(np.uint8).tobytes()
+                payloads.append(encode_bmp24(w, h, rgb))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    rendered = docs.select(id_col).mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+    return rendered.select(
+        "asset_id",
+        F.lit("image/bmp").alias("media_type"),
+        "payload",
+        F.length("payload").cast("long").alias("byte_size"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def render_wav_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encoder kernel: a deterministic PCM-16 mono tone per document
+    through the REAL WAV encoder. Pattern contract (oracle recomputes):
+    ``rate = 8000``, ``n = 400 + (id % 7) * 160``, sample i =
+    ``((id*13 + i*97) % 2048) - 1024``."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            encode_wav_pcm16,
+        )
+
+        for batch in batches:
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                n = int(400 + (d % 7) * 160)
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 13 + i * 97) % 2048) - 1024
+                payloads.append(encode_wav_pcm16(samples, 8000))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    rendered = docs.select(id_col).mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+    return rendered.select(
+        "asset_id",
+        F.lit("audio/wav").alias("media_type"),
+        "payload",
+        F.length("payload").cast("long").alias("byte_size"),
+        F.md5("payload").alias("checksum"),
+    )
 
 
 def frame_sample_plan(

@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.functions import text as TX
+from kingsfoil_seed_data_ingestor_spark.operators import multimodal as MM
 from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
 from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
 from kingsfoil_seed_data_ingestor_spark.plans.core import register
@@ -604,7 +605,7 @@ def dedup_embed_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "typed metadata: per-source byte accounting + payload-level dedup "
     "counts. The binary column is real (encode → BinaryType); decode/"
     "feature-extraction runs via the mapInPandas operators in "
-    "operators/multimodal.py (stubbed codecs, real plumbing).",
+    "operators/multimodal.py (real BMP/WAV codecs, stubs otherwise).",
 )
 def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -622,4 +623,61 @@ def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(size) / F.count(F.lit(1)), 6).alias("avg_bytes"),
             F.countDistinct("content_md5").alias("n_distinct_payloads"),
         )
+    )
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           round(list_avg(list_transform(range(w*h*3),
+                 k -> (doc_id*31 + k*7) % 256)) / 255.0, 6) AS mean_luma
+    FROM p
+    """,
+    doc="REAL image codec path end to end: a deterministic RGB pattern "
+    "per doc is written through the pure-Python 24-bit BMP encoder "
+    "(bottom-up rows, BGR, 4-byte padding), shipped as a binary "
+    "column, then byte-level parsed back by the independent decoder "
+    "inside the Arrow kernel. The oracle recomputes width/height/mean "
+    "from the pattern's closed form — a header or padding bug on "
+    "either side breaks the hash.",
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_bmp_assets(docs)
+    return MM.extract_image_features(assets).select(
+        "asset_id", "width", "height", "mean_luma"
+    )
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 400 + (doc_id % 7) * 160 AS n
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8000 AS INT) AS sample_rate,
+           round(n / 8000.0, 6) AS duration_sec,
+           round(sqrt(list_avg(list_transform(range(n),
+                 i -> pow(((doc_id*13 + i*97) % 2048) - 1024, 2)))), 6) AS rms_level
+    FROM p
+    """,
+    doc="REAL audio codec path end to end: a deterministic PCM-16 tone "
+    "per doc through the pure-Python WAV encoder, parsed back by the "
+    "independent chunk-walking RIFF decoder (sample rate, duration, "
+    "integer-exact RMS). Oracle recomputes from the closed form.",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_wav_assets(docs)
+    return MM.extract_audio_features(assets).select(
+        "asset_id", "sample_rate", "duration_sec", "rms_level"
     )

@@ -297,6 +297,78 @@ def test_near_dup_pairs_exact_tiled_matches_single_block(vectors):
 
 
 # ----------------------------------------------------------------------
+# multimodal codecs (real BMP / WAV paths)
+# ----------------------------------------------------------------------
+
+
+def test_bmp24_roundtrip_and_header_golden():
+    import struct
+
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    rgb = bytes(range(2 * 2 * 3))  # 2×2 image, bytes 0..11
+    payload = codecs.encode_bmp24(2, 2, rgb)
+    # golden header fields: magic, pixel offset 54, 24 bpp, BI_RGB
+    assert payload[:2] == b"BM"
+    assert struct.unpack_from("<I", payload, 10)[0] == 54
+    assert struct.unpack_from("<H", payload, 28)[0] == 24
+    assert struct.unpack_from("<I", payload, 30)[0] == 0
+    # rows are 4-byte padded: 2 px × 3 B = 6 → stride 8, 2 rows
+    assert len(payload) == 54 + 16
+    w, h, back = codecs.decode_bmp24(payload)
+    assert (w, h) == (2, 2)
+    assert back.tobytes() == rgb  # exact pixel round-trip incl. row flip
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        codecs.decode_bmp24(b"XX" + payload[2:])
+    import numpy as _np  # noqa: F401
+    assert isinstance(back, np.ndarray)
+
+
+def test_wav_pcm16_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    payload = codecs.encode_wav_pcm16(samples, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, back = codecs.decode_wav_pcm16(payload)
+    assert rate == 8000 and np.array_equal(back, samples)
+
+    # decoder must walk past unknown chunks (e.g. LIST) before data
+    fmt = payload[12:36]
+    data = payload[36:]
+    junk = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    reordered = payload[:12] + junk + fmt + data
+    rate2, back2 = codecs.decode_wav_pcm16(reordered)
+    assert rate2 == 8000 and np.array_equal(back2, samples)
+
+    stereo_fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        codecs.decode_wav_pcm16(payload[:12] + stereo_fmt + data)
+
+
+def test_extract_image_features_decodes_real_bmp(spark):
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    # solid mid-gray 4×2 → mean_luma = 128/255
+    rgb = bytes([128] * (4 * 2 * 3))
+    payload = codecs.encode_bmp24(4, 2, rgb)
+    assets = spark.createDataFrame(
+        [(1, "image/bmp", payload, len(payload), "x")],
+        "asset_id long, media_type string, payload binary, byte_size long, checksum string",
+    )
+    row = MM.extract_image_features(assets).first()
+    assert (row.width, row.height) == (4, 2)
+    assert row.mean_luma == pytest.approx(128 / 255, abs=1e-6)
+
+
+# ----------------------------------------------------------------------
 # multimodal plumbing
 # ----------------------------------------------------------------------
 
