@@ -160,6 +160,80 @@ def _spark_csv(
     return df.drop(sentinel).na.fill("")
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_ref_to_index(ref: str) -> int:
+    """``"BC12"`` → 0-based column index (54)."""
+    idx = 0
+    for ch in ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def _parse_xlsx_rows(path: str) -> list[list[str]]:
+    """Minimal xlsx parse: zip + SpreadsheetML XML, no openpyxl.
+
+    The format is public (ECMA-376): a zip whose first worksheet holds
+    ``<row r="..."><c r="A1" t="s|str|inlineStr"><v>...</v></c></row>``
+    with strings interned in ``xl/sharedStrings.xml``. Covers shared
+    strings (rich-text runs included), inline strings, raw numeric
+    text, empty cells, and omitted blank rows (gap rows materialize as
+    empty so row indexes stay aligned for header detection). All cells
+    come back as raw strings — the reference's all-string contract.
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheets = sorted(n for n in names if n.startswith("xl/worksheets/sheet"))
+        if not sheets:
+            raise ValueError("xlsx contains no worksheets")
+        root = ET.fromstring(z.read(sheets[0]))
+
+        rows: list[list[str]] = []
+        for row in root.iter(f"{_XLSX_NS}row"):
+            r_attr = row.get("r")
+            row_no = int(r_attr) if r_attr else len(rows) + 1
+            while len(rows) < row_no - 1:  # omitted blank rows
+                rows.append([])
+            cells: dict[int, str] = {}
+            for c in row.findall(f"{_XLSX_NS}c"):
+                ref = c.get("r") or ""
+                ci = _col_ref_to_index(ref) if ref else len(cells)
+                t = c.get("t")
+                if t == "inlineStr":
+                    v = "".join(tt.text or "" for tt in c.iter(f"{_XLSX_NS}t"))
+                else:
+                    ve = c.find(f"{_XLSX_NS}v")
+                    raw = ve.text if ve is not None and ve.text is not None else ""
+                    v = shared[int(raw)] if t == "s" and raw != "" else raw
+                cells[ci] = v
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i, "") for i in range(width)])
+        return rows
+
+
+def _read_xlsx_grid(spark: SparkSession, path: str) -> DataFrame:
+    """Driver-side xlsx read (uploads are capped at 100 MB in the
+    reference, ``app/config.py:22``) → parallelized all-string frame.
+    Uses the built-in SpreadsheetML parser — no external Excel engine
+    needed; a DataSourceV2 is the cluster-scale alternative."""
+    rows = _parse_xlsx_rows(path)
+    n_cols = max((len(r) for r in rows), default=1) or 1
+    norm = [tuple(r + [""] * (n_cols - len(r))) for r in rows]
+    return spark.createDataFrame(norm or [tuple([""] * n_cols)], schema=_string_schema(n_cols))
+
+
 def _read_excel_grid(spark: SparkSession, path: str, engine: str) -> DataFrame:
     """Driver-side Excel read → parallelized all-string frame.
 
@@ -199,8 +273,10 @@ def read_grid(
         raise ValueError(f"Unsupported file type: {ext}")
 
     if ext in (".xlsx", ".xls"):
-        engine = "openpyxl" if ext == ".xlsx" else "xlrd"
-        df = _read_excel_grid(spark, str(path), engine)
+        if ext == ".xlsx":
+            df = _read_xlsx_grid(spark, str(path))
+        else:  # legacy binary .xls genuinely needs xlrd
+            df = _read_excel_grid(spark, str(path), "xlrd")
         head = [
             [str(v).strip() for v in row]
             for row in df.limit(head_rows).collect()

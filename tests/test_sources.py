@@ -118,6 +118,98 @@ def test_ragged_wider_row_fails_loudly(spark, tmp_path):
         read_grid(spark, str(p))
 
 
+def write_xlsx(path, rows, shared_strings=True):
+    """Minimal OOXML workbook writer for fixtures (zipfile + XML only —
+    deliberately independent of the reader's parser)."""
+    import zipfile
+
+    def col_name(i):
+        name = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            name = chr(65 + rem) + name
+        return name
+
+    strings: list[str] = []
+
+    def cell_xml(r, ci, v):
+        ref = f"{col_name(ci)}{r}"
+        if v == "":
+            return f'<c r="{ref}"/>'
+        is_num = v.replace(".", "", 1).replace("-", "", 1).isdigit()
+        if is_num:
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if shared_strings:
+            if v not in strings:
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    sheet_rows = []
+    for rn, row in enumerate(rows, start=1):
+        if row is None:
+            continue  # omitted blank row (no <row> element at all)
+        cells = "".join(cell_xml(rn, ci, v) for ci, v in enumerate(row))
+        sheet_rows.append(f'<row r="{rn}">{cells}</row>')
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        + "".join(sheet_rows)
+        + "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {ns} count="{len(strings)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    ct = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/>'
+        "</Types>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns}><sheets>'
+        '<sheet name="Sheet1" sheetId="1"/></sheets></workbook>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        if shared_strings and strings:
+            z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_xlsx_grid_contract(spark, tmp_path):
+    # shared strings, inline numbers, empty cells, an omitted blank
+    # row, ragged widths — every cell must come back as a string, empty
+    # cells as "" (never null/NaN), row indexes preserved across gaps
+    p = tmp_path / "wb.xlsx"
+    write_xlsx(
+        p,
+        [
+            ["Code", "Value", "Note"],
+            ["00100", "1234.56", ""],
+            None,  # blank row omitted from the XML entirely
+            ["0012A", "7", "quoted, text"],
+        ],
+    )
+    grid = read_grid(spark, str(p))
+    rows = grid_rows(grid)
+    assert rows[0] == ["Code", "Value", "Note"]
+    assert rows[1] == ["00100", "1234.56", ""]
+    assert rows[2] == ["", "", ""]  # the gap row materialized
+    assert rows[3] == ["0012A", "7", "quoted, text"]
+    assert grid.n_cols == 3 and grid.extension == ".xlsx"
+    assert all(isinstance(v, str) for r in rows for v in r)
+
+
+def test_xlsx_inline_strings_variant(spark, tmp_path):
+    p = tmp_path / "inline.xlsx"
+    write_xlsx(p, [["A", "B"], ["x", "y"]], shared_strings=False)
+    assert grid_rows(read_grid(spark, str(p)))[1] == ["x", "y"]
+
+
 def test_row_as_list_and_extension_helpers(spark, tmp_path):
     # reference tests/test_file_parser.py:128-180
     p = tmp_path / "r.csv"
