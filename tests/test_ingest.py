@@ -385,6 +385,33 @@ def test_stage_and_cleanup_temp_files(tmp_path):
     assert os.path.exists(staged)  # fresh staging survives
 
 
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    import re
+
+    from kingsfoil_seed_data_ingestor_spark.operators import bucketed as B
+
+    out = B.orders_lineitem_bucketed_demo(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "wh"), buckets=4
+    )
+    try:
+        # disable broadcast so the join would need a full shuffle
+        # without bucketing — the point being proven
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    assert "SortMergeJoin" in plan
+    join_side = plan.split("SortMergeJoin", 1)[1] if "SortMergeJoin" in plan else plan
+    # the co-located join itself shuffles nothing: the ONLY exchange in
+    # the whole plan is the final tiny groupBy on o_orderpriority
+    assert len(re.findall(r"Exchange hashpartitioning\(l_orderkey", plan)) == 0
+    assert len(re.findall(r"Exchange hashpartitioning\(o_orderkey", plan)) == 0
+    assert len(re.findall(r"Exchange", plan.split("SortMergeJoin")[-1])) == 0
+
+
 def test_concurrent_writers_no_lost_updates(store):
     # two+ concurrent ingest_file calls race on the meta read-modify-
     # write; the meta lock must serialize them (no lost version rows,
