@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.functions import text as TX
 from kingsfoil_seed_data_ingestor_spark.operators import multimodal as MM
+from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
 from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
 from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
 from kingsfoil_seed_data_ingestor_spark.plans.core import register
@@ -304,6 +305,70 @@ _SQL_ROLLING = f"""
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return docs.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("rh"))
+
+
+#: training-mix rates for the stratified-sampling query: even-numbered
+#: sources kept at 50 %, odd at 10 % — the wiki-vs-web weighting shape
+SAMPLE_RATES = {f"src{i}": (0.5 if i % 2 == 0 else 0.1) for i in range(20)}
+
+
+def _sql_sample_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{SMP.hash_threshold(r)}'"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE source {whens} ELSE '{SMP.hash_threshold(0.0)}' END"
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE md5(text) < {_sql_sample_case()}
+    GROUP BY source
+    """,
+    doc="Reproducible training-mix sampling: keep each source stratum "
+    "at its own rate by comparing md5(content) against a fixed-width "
+    "hex threshold — numeric-uniform, stable across runs AND engines "
+    "(the oracle selects the bit-identical sample set). One CASE over "
+    "the stratum column; no shuffle before the reporting aggregate.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        SMP.stratified_sample(docs, "text", "source", SAMPLE_RATES)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, {sql_shingles(8)} AS sh FROM t
+    ), tr AS (
+        SELECT doc_id AS train_id, unnest(sh) AS g FROM s WHERE doc_id >= 5
+    ), ev AS (
+        SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id < 5
+    )
+    SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
+    FROM tr JOIN ev USING (g)
+    GROUP BY train_id, eval_id
+    """,
+    doc="Benchmark decontamination: every (train, eval) pair sharing "
+    "≥ 1 word 8-gram, found by the inverted-index join (explode grams, "
+    "join on gram — never the |train|×|eval| pair space; the tiny eval "
+    "posting list broadcasts). Docs 0-4 stand in as the eval set.",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SMP.contamination_pairs(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5), n=8
+    )
 
 
 # ----------------------------------------------------------------------

@@ -297,6 +297,59 @@ def test_near_dup_pairs_exact_tiled_matches_single_block(vectors):
 
 
 # ----------------------------------------------------------------------
+# deterministic sampling + decontamination
+# ----------------------------------------------------------------------
+
+
+def test_hash_threshold_bounds():
+    from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
+
+    assert SMP.hash_threshold(0.0) == "00000000"
+    assert SMP.hash_threshold(0.5) == "80000000"
+    assert SMP.hash_threshold(1.0) == "g"  # sorts above any hex digest
+    with pytest.raises(ValueError):
+        SMP.hash_threshold(1.5)
+
+
+def test_stratified_sample_deterministic_and_rate_scoped(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
+
+    rows = [(i, f"doc number {i} body", "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    picked = SMP.stratified_sample(df, "text", "src", {"a": 1.0, "b": 0.0})
+    ids = sorted(r.doc_id for r in picked.collect())
+    assert ids == [i for i in range(200) if i % 2 == 0]  # all a, no b
+    # reproducible: the same call selects the identical set
+    again = sorted(r.doc_id for r in SMP.stratified_sample(
+        df, "text", "src", {"a": 1.0, "b": 0.0}).collect())
+    assert again == ids
+    # a mid rate keeps a strict, deterministic subset
+    some = {r.doc_id for r in SMP.stratified_sample(
+        df, "text", "src", {"a": 0.3, "b": 0.0}).collect()}
+    assert some and some < set(ids)
+
+
+def test_contamination_pairs_inverted_index(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
+
+    eval_set = spark.createDataFrame(
+        [(0, "the secret benchmark answer is forty two exactly here")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "prefix text the secret benchmark answer is forty two exactly here suffix"),
+            (11, "completely unrelated training document with other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.train_id, r.eval_id): r.shared_ngrams
+             for r in SMP.contamination_pairs(train, eval_set, n=8).collect()}
+    assert (10, 0) in pairs and pairs[(10, 0)] >= 1
+    assert not any(t == 11 for t, _ in pairs)
+
+
+# ----------------------------------------------------------------------
 # multimodal codecs (real BMP / WAV paths)
 # ----------------------------------------------------------------------
 
