@@ -65,13 +65,16 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
+        # drop persisted intermediates (posting lists, LSH bands) and
+        # force a JVM GC before the clock starts: otherwise a query can
+        # be billed for a stop-the-world collection of its predecessors'
+        # garbage (observed: a 0.8 s query reading 11.8 s under the
+        # accumulated heap pressure of the 170 executions before it)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         drain(q.spark(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
-        # operators persist intermediates (posting lists, LSH bands);
-        # drop them between queries so no query is taxed by its
-        # predecessors' storage-memory pressure
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

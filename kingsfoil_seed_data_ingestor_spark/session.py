@@ -43,7 +43,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("KINGSFOIL_DRIVER_MEM", "8g"))
+        # local mode: driver and executors share one heap — size it for
+        # 32 concurrent task threads (the container has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("KINGSFOIL_DRIVER_MEM", "24g"))
+        # long-lived sessions: ContextCleaner only reclaims shuffle files
+        # and torn-down broadcasts when the driver GCs; with a large heap
+        # that can take arbitrarily long, so ask for a periodic GC often
+        # enough that state from finished queries never piles up
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
