@@ -156,14 +156,13 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    first = vectors.select(vec_col).first()
-    if first is None:
-        return []
-    d = len(first[0])
     init = [
         list(map(float, r[0]))
         for r in vectors.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
     ]
+    if not init:
+        return []
+    d = len(init[0])
     cents = np.asarray(init, dtype=np.float64)
     for _ in range(iters):
         assigned = assign_clusters(vectors, cents, id_col=id_col, vec_col=vec_col)
@@ -232,6 +231,9 @@ def knn_ivf_kmeans(
     the routed queries broadcast; the vector table is scanned once with
     a cluster-membership filter."""
     spark = vectors.sparkSession
+    # consumed by init + every Lloyd iteration + assignment + probe:
+    # persist (idempotent if the caller already did)
+    vectors = vectors.persist()
     cents = kmeans_centroids(vectors, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = assign_clusters(vectors, cents, id_col=id_col, vec_col=vec_col)
     cent_df = spark.createDataFrame(
@@ -276,7 +278,12 @@ def ann_recall_at_k(
     """Measured recall@k of the k-means IVF path against exact brute
     force — the honesty metric for an ANN index (a quantizer that
     routes badly shows up here as recall, not as a silent wrong
-    answer). One row: (n_queries, k, nprobe, avg_recall)."""
+    answer). One row: (n_queries, k, nprobe, avg_recall).
+
+    The vector table feeds the brute-force scan, every Lloyd
+    iteration, and the final probe scan — persist it once so the
+    iterative driver loop doesn't re-read the source per job."""
+    vectors = vectors.persist()
     brute = knn_bruteforce(vectors, query_ids, k=k).select("query_id", "neighbor_id")
     ann = knn_ivf_kmeans(
         vectors, query_ids, k=k, n_clusters=n_clusters, iters=iters, nprobe=nprobe
@@ -294,6 +301,105 @@ def ann_recall_at_k(
         F.lit(k).alias("k"),
         F.lit(nprobe).alias("nprobe"),
         F.round(F.avg(F.col("n_hits") / k), 6).alias("avg_recall"),
+    )
+
+
+#: seed namespace for the deterministic random-hyperplane family
+RHP_SEED = "rhp-v1"
+
+
+def rhp_sign_planes(n_planes: int, dim: int, seed: str = RHP_SEED) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix: component (p, i) is the
+    parity of ``md5(seed:p:i)``'s first byte. Sign-random hyperplanes
+    (Charikar's SimHash for real vectors) need only ±1 components —
+    the matrix is a *constant* derived from a public hash, so the Spark
+    plan and the DuckDB oracle are generated from the same literals and
+    cannot drift."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()[0] & 1 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def rhp_banded(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    rows_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, band, bucket) rows: bucket = the band's
+    ``rows_per_band`` hyperplane sign bits packed into an int. Linear
+    in N — each vector computes ``len(planes)`` dot products map-side
+    and emits ``bands`` narrow rows."""
+    bits = [
+        (dot(F.col(vec_col), F.array(*[F.lit(s) for s in plane])) > 0).cast("int")
+        for plane in planes
+    ]
+    buckets = [
+        sum(
+            (bits[b * rows_per_band + r] * (1 << r) for r in range(rows_per_band)),
+            start=F.lit(0),
+        )
+        for b in range(bands)
+    ]
+    return vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), buckets[b].alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_v", "bk.band", "bk.bucket")
+
+
+def near_dup_pairs_rhp(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup candidate pairs by random-hyperplane LSH, verified by
+    exact cosine ≥ ``threshold`` — the 100 TB path for embedding dedup.
+
+    The block-grid GEMM (:func:`near_dup_pairs_exact`) bounds *memory*
+    but its O(N²·d) compute is inherent to exactness; this operator
+    bounds *compute*: only pairs colliding in ≥ 1 of ``bands`` LSH
+    bands (each ``n_planes // bands`` sign bits) are scored. Collision
+    probability follows the standard S-curve 1-(1-(1-θ/π)^r)^b — pairs
+    at cosine ≥ 0.9 are found with p ≈ 0.95 at 4×4, while the ~N²·d
+    work on unrelated pairs never happens. Shape: band self-join
+    (shuffle on (band, bucket)) → distinct pairs → exact cosine —
+    linear scan, candidate-sized join, no full matrix anywhere.
+    """
+    rows_per_band = n_planes // bands
+    planes = rhp_sign_planes(n_planes, dim)
+    banded = rhp_banded(vectors, planes, bands, rows_per_band, id_col, vec_col)
+    left = banded.select(F.col("_id").alias("kept_id"), F.col("_v").alias("v_i"), "band", "bucket")
+    right = banded.select(F.col("_id").alias("dup_id"), F.col("_v").alias("v_j"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("kept_id") < F.col("dup_id"))
+        .select("kept_id", "dup_id", "v_i", "v_j")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("cosine", cosine(F.col("v_i"), F.col("v_j")))
+        .filter(F.col("cosine") >= threshold)
+        .select("dup_id", "kept_id", "cosine")
     )
 
 
@@ -342,11 +448,26 @@ def near_dup_pairs_exact(
     # diagonal cell row-index order == id order (upper triangle == i<j)
     tiles = blocked.groupBy("_blk").agg(
         F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("_rows")
+    ).persist()  # consumed by both sides of the grid join
+    # the upper-triangle cell list carries BLOCK IDS ONLY (two longs per
+    # cell); tile payloads then arrive via two keyed equi-joins, so no
+    # executor ever holds more than the tiles of the cells it is
+    # scoring — broadcasting the full tile table would re-create the
+    # O(N·d)-per-node ceiling this operator exists to avoid. Shuffle
+    # volume is O(N·d·n_blocks) = the O(N²·d) compute divided by
+    # block_rows: streamed, never resident.
+    cells = tiles.select(F.col("_blk").alias("blk_a")).join(
+        tiles.select(F.col("_blk").alias("blk_b")), F.col("blk_a") <= F.col("blk_b")
     )
-    a = tiles.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
-    b = tiles.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b"))
     grid = (
-        a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+        cells.join(
+            tiles.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a")),
+            "blk_a",
+        )
+        .join(
+            tiles.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b")),
+            "blk_b",
+        )
         # spread cells across tasks; AQE sizes the shuffle partition count
         .repartition("blk_a", "blk_b")
     )

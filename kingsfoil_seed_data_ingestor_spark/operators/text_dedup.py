@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.functions import text as TX
+from kingsfoil_seed_data_ingestor_spark.operators.partitioning import fan_out
 
 # ----------------------------------------------------------------------
 # exact dedup
@@ -68,7 +69,7 @@ def shingle_table(
     explode/lead formulation keeps everything inside codegen and
     shuffles only narrow (doc_id, token) rows.
     """
-    toks = docs.select(
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(TX.tokens(F.col(text_col))).alias("pos", "tok"),
     )
@@ -312,7 +313,7 @@ def simhash_table(
 ) -> DataFrame:
     """32-bit simhash per document (md5-nibble-parity construction —
     engine-portable, see ``functions.text.simhash_nibble_contrib``)."""
-    toks = docs.select(
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(TX.tokens(F.col(text_col))).alias("tok"),
     ).withColumn("tok_md5", F.md5("tok"))
@@ -329,7 +330,7 @@ def simhash64_table(
     65 536 buckets per band vs the 32-bit variant's 256 — the band join
     stays fine-grained at billion-document corpora."""
     toks = (
-        docs.select(
+        fan_out(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(TX.tokens(F.col(text_col))).alias("tok"),
         )
