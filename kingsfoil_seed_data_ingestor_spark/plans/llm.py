@@ -646,6 +646,68 @@ def dedup_embed_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embed_dedup(spark, sf_dir, block_rows=96)
 
 
+#: random-hyperplane LSH family for the compute-bounded embed-dedup
+#: path — the ±1 plane matrix is a deterministic public constant
+#: (md5-parity), so both engines are generated from the same literals
+RHP_N_PLANES, RHP_BANDS, RHP_DIM = 16, 4, 64
+RHP_PLANES = SIM.rhp_sign_planes(RHP_N_PLANES, RHP_DIM)
+_RHP_ROWS = RHP_N_PLANES // RHP_BANDS
+
+
+def _sql_plane(plane: "list[float]") -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+
+
+def _sql_rhp_bucket(b: int) -> str:
+    terms = [
+        f"(CASE WHEN {sql_dot('embedding', _sql_plane(RHP_PLANES[b * _RHP_ROWS + r]))}"
+        f" > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(_RHP_ROWS)
+    ]
+    return " + ".join(terms)
+
+
+_SQL_EMBED_RHP = f"""
+    WITH bits AS (
+        SELECT vec_id, embedding,
+               {", ".join(f"{_sql_rhp_bucket(b)} AS b{b}" for b in range(RHP_BANDS))}
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS kept_id, b.vec_id AS dup_id,
+               a.embedding AS ei, b.embedding AS ej
+        FROM bits a JOIN bits b
+          ON a.vec_id < b.vec_id
+         AND ({" OR ".join(f"a.b{b} = b.b{b}" for b in range(RHP_BANDS))})
+    )
+    SELECT dup_id, kept_id, round({sql_cosine('ei', 'ej')}, 6) AS cosine
+    FROM cand
+    WHERE {sql_cosine('ei', 'ej')} >= {EMBED_DUP_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_embed_cosine_rhp",
+    oracle=_SQL_EMBED_RHP,
+    doc="Random-hyperplane LSH pre-blocked embedding near-dup: 16 "
+    "deterministic ±1 hyperplanes → 4 bands × 4 sign bits; only pairs "
+    "colliding in ≥1 band are scored by exact cosine — the "
+    "compute-bounded 100 TB path (the block-grid GEMM bounds memory "
+    "but its O(N²·d) multiply is inherent; LSH banding makes the "
+    "scored-pair count ~linear). The oracle applies the SAME banding "
+    "brute-force, so the check pins candidate generation and "
+    "verification, not just the final filter.",
+)
+def dedup_embed_cosine_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.near_dup_pairs_rhp(
+        load(spark, sf_dir, "embeddings"),
+        EMBED_DUP_THRESHOLD,
+        n_planes=RHP_N_PLANES,
+        bands=RHP_BANDS,
+        dim=RHP_DIM,
+    ).select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
+
+
 # ----------------------------------------------------------------------
 # multimodal byte columns
 # ----------------------------------------------------------------------

@@ -296,6 +296,43 @@ def test_near_dup_pairs_exact_tiled_matches_single_block(vectors):
     assert tiled == one and len(tiled) == 6
 
 
+def test_rhp_planes_deterministic_and_signed():
+    p1 = SIM.rhp_sign_planes(8, 16)
+    p2 = SIM.rhp_sign_planes(8, 16)
+    assert p1 == p2
+    assert {v for plane in p1 for v in plane} == {1.0, -1.0}
+    # a different seed namespace produces a different family
+    assert p1 != SIM.rhp_sign_planes(8, 16, seed="other")
+
+
+def test_near_dup_pairs_rhp_subset_of_exact(vectors):
+    # LSH pre-blocking may MISS pairs (recall < 1) but every pair it
+    # returns must exist in the exact result with the identical score,
+    # and identical vectors always collide (all sign bits equal)
+    exact = {
+        (r.dup_id, r.kept_id): r.cosine
+        for r in SIM.near_dup_pairs_exact(vectors, 0.7).collect()
+    }
+    got = {
+        (r.dup_id, r.kept_id): r.cosine
+        for r in SIM.near_dup_pairs_rhp(
+            vectors, 0.7, n_planes=8, bands=4, dim=3
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, cos in got.items():
+        assert cos == pytest.approx(exact[pair])
+    assert all(k < d for d, k in got)
+    # duplicate of vector 0 shares every sign bit -> guaranteed collision
+    dup = vectors.sparkSession.createDataFrame(
+        [(6, [1.0, 0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    with_dup = SIM.near_dup_pairs_rhp(
+        vectors.union(dup), 0.99, n_planes=8, bands=4, dim=3
+    ).collect()
+    assert (6, 0) in {(r.dup_id, r.kept_id) for r in with_dup}
+
+
 # ----------------------------------------------------------------------
 # deterministic sampling + decontamination
 # ----------------------------------------------------------------------
