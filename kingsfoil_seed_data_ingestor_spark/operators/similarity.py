@@ -147,12 +147,16 @@ def kmeans_centroids(
     """Deterministic seeded k-means for the IVF coarse quantizer.
 
     Init = the k lowest-id vectors (engine-reproducible, no RNG);
-    Lloyd iterations assign by cosine and update means with
-    DECIMAL-exact per-dimension sums, so the result is independent of
-    partitioning and reduction order. Driver state is O(k·d) per
-    iteration (the k centroid rows) — never O(N); assignment is a
-    map-side Arrow GEMM and the update is one groupBy(cluster) shuffle
-    of k·d decimal partials per partition.
+    Lloyd iterations assign by cosine and update means from
+    INTEGER-scaled per-dimension sums (components rounded at 1e-12
+    inside the Arrow kernel), so the reduction is order-independent
+    and the result identical under any partitioning. Driver state is
+    O(k·d) per iteration (the k centroid rows) — never O(N); each
+    iteration is ONE job: a map-side Arrow GEMM that emits k partial
+    rows per batch, reduced by a k-row groupBy. The earlier
+    formulation aggregated d decimal columns over every vector row
+    (~1 s per iteration at 2 k×64 from the 64-lane codegen + Arrow
+    row traffic); partials cut that to a k×batches-row reduction.
     """
     import numpy as np
 
@@ -165,13 +169,15 @@ def kmeans_centroids(
     d = len(init[0])
     cents = np.asarray(init, dtype=np.float64)
     for _ in range(iters):
-        assigned = assign_clusters(vectors, cents, id_col=id_col, vec_col=vec_col)
+        parts = _cluster_partials(vectors, cents, vec_col=vec_col)
         stats = (
-            assigned.groupBy("cluster")
+            parts.groupBy("cluster")
             .agg(
-                F.count(F.lit(1)).alias("n"),
+                F.sum("n").alias("n"),
                 *[
-                    F.sum(F.col(vec_col)[i].cast("decimal(30,12)")).alias(f"s{i}")
+                    # long partials → decimal: exact far past the int64
+                    # ceiling a billion-row cluster would overflow
+                    F.sum(F.element_at("s", i + 1).cast("decimal(38,0)")).alias(f"s{i}")
                     for i in range(d)
                 ],
             )
@@ -179,9 +185,42 @@ def kmeans_centroids(
         )
         new = cents.copy()
         for r in stats:
-            new[r["cluster"]] = [float(r[f"s{i}"] / r["n"]) for i in range(d)]
+            new[r["cluster"]] = [
+                float(r[f"s{i}"]) / 1e12 / r["n"] for i in range(d)
+            ]
         cents = new
     return [list(map(float, c)) for c in cents]
+
+
+def _cluster_partials(vectors: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Per-Arrow-batch Lloyd partials: assign each vector to its
+    nearest centroid (cosine argmax, ties → lowest id) and emit one
+    ``(cluster, n, s)`` row per cluster per batch, where ``s`` holds
+    per-dimension sums of ``rint(v·1e12)`` as int64 — exact integers,
+    so cross-batch reduction order cannot change the result. Batch
+    overflow headroom: 1e12 · |v| · batch_rows ≪ 2⁶³ for any sane
+    embedding scale; the Spark-side reduction widens to decimal."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def kern(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cl = (Vn @ Cn.T).argmax(axis=1)
+            S = np.rint(V * 1e12).astype(np.int64)
+            out = []
+            for c in np.unique(cl):
+                m = cl == c
+                out.append((int(c), int(m.sum()), S[m].sum(axis=0).tolist()))
+            yield pd.DataFrame(out, columns=["cluster", "n", "s"])
+
+    return vectors.select(vec_col).mapInPandas(kern, schema="cluster int, n long, s array<long>")
 
 
 def assign_clusters(
