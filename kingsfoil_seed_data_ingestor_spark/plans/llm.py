@@ -307,6 +307,113 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("rh"))
 
 
+def _sql_ratio(lang: str) -> str:
+    return (
+        f"CASE WHEN len(toks) > 0 THEN {sql_hits(TX.STOPWORDS[lang])}::DOUBLE"
+        f" / len(toks) ELSE 0.0 END"
+    )
+
+
+_FUNNEL_LANGS = sorted(TX.STOPWORDS)
+_SQL_FUNNEL_PRED = "CASE WHEN mr <= 0.1 THEN 'unknown' " + " ".join(
+    f"WHEN r_{lg} = mr THEN '{lg}'" for lg in _FUNNEL_LANGS
+) + " ELSE 'unknown' END"
+_FUNNEL_FINAL = "predicted = 'en' AND score >= 0.5 AND n_tok BETWEEN 10 AND 1000"
+
+
+@register(
+    "text_quality_funnel",
+    oracle=f"""
+    WITH t AS (SELECT source, text, {SQL_TOKENS} AS toks FROM documents),
+    m AS (
+        SELECT source, len(toks) AS n_tok,
+               {sql_hits(TX.STOPWORDS["en"])} AS stop_hits,
+               length(text) AS n_chars_,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+               {", ".join(f"{_sql_ratio(lg)} AS r_{lg}" for lg in _FUNNEL_LANGS)}
+        FROM t
+    ),
+    d AS (
+        SELECT source, n_tok,
+               greatest(least(({_SQL_QUALITY}), 1.0), 0.0) AS score,
+               greatest({", ".join(f"r_{lg}" for lg in _FUNNEL_LANGS)}) AS mr,
+               {", ".join(f"r_{lg}" for lg in _FUNNEL_LANGS)}
+        FROM m
+    ),
+    p AS (SELECT source, n_tok, score, {_SQL_FUNNEL_PRED} AS predicted FROM d)
+    SELECT source, COUNT(*) AS n_total,
+           CAST(COUNT(*) FILTER (predicted = 'en') AS BIGINT) AS n_lang_en,
+           CAST(COUNT(*) FILTER (predicted = 'en' AND score >= 0.5) AS BIGINT)
+               AS n_quality,
+           CAST(COUNT(*) FILTER ({_FUNNEL_FINAL}) AS BIGINT) AS n_final,
+           round(COUNT(*) FILTER ({_FUNNEL_FINAL})::DOUBLE / COUNT(*), 6) AS keep_rate
+    FROM p GROUP BY source
+    """,
+    doc="C4-style corpus cleaning funnel: per-source survival counts "
+    "through language-ID → quality-score → length-window filters, all "
+    "computed in ONE scan with conditional aggregation (no per-stage "
+    "passes, one shuffle on the grouping key). The funnel shape — "
+    "monotone n_total ≥ n_lang_en ≥ n_quality ≥ n_final — is what a "
+    "pretraining-mix dashboard reads.",
+)
+def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ratios = TX.lang_ratio_columns(F.col("text"))
+    base = docs.select(
+        "source",
+        TX.token_count(F.col("text")).alias("n_tok"),
+        TX.quality_score(F.col("text")).alias("score"),
+        *[expr.alias(f"r_{lg}") for lg, expr in ratios.items()],
+    )
+    pred = TX.langid_from_ratios({lg: F.col(f"r_{lg}") for lg in ratios})
+    staged = base.select("source", "n_tok", "score", pred.alias("predicted"))
+    is_en = F.col("predicted") == "en"
+    is_q = is_en & (F.col("score") >= 0.5)
+    is_final = is_q & F.col("n_tok").between(10, 1000)
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt(is_en).alias("n_lang_en"),
+        cnt(is_q).alias("n_quality"),
+        cnt(is_final).alias("n_final"),
+        F.round(cnt(is_final) / F.count(F.lit(1)), 6).alias("keep_rate"),
+    )
+
+
+@register(
+    "text_length_quantiles",
+    oracle=f"""
+    WITH t AS (SELECT lang, len({SQL_TOKENS}) AS n_tok FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           round(quantile_cont(n_tok, 0.5), 6) AS p50,
+           round(quantile_cont(n_tok, 0.9), 6) AS p90,
+           round(quantile_cont(n_tok, 0.99), 6) AS p99,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+    FROM t GROUP BY lang
+    """,
+    doc="Per-language token-count distribution: exact linear-interpolated "
+    "quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`, same "
+    "definition, value-hash-comparable). Exact percentile sorts within "
+    "each group — fine for dashboard-sized groups; at 100 TB swap in "
+    "approx_percentile (t-digest, mergeable, bounded memory) when the "
+    "±ε contract allows.",
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("lang", TX.token_count(F.col("text")).cast("long").alias("n_tok"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_tok", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("n_tok", F.lit(0.99)), 6).alias("p99"),
+        F.max("n_tok").alias("max_tok"),
+    )
+
+
 #: training-mix rates for the stratified-sampling query: even-numbered
 #: sources kept at 50 %, odd at 10 % — the wiki-vs-web weighting shape
 SAMPLE_RATES = {f"src{i}": (0.5 if i % 2 == 0 else 0.1) for i in range(20)}

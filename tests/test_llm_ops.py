@@ -296,6 +296,25 @@ def test_near_dup_pairs_exact_tiled_matches_single_block(vectors):
     assert tiled == one and len(tiled) == 6
 
 
+def test_quality_funnel_monotone(spark):
+    from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES
+
+    rows = QUERIES["text_quality_funnel"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_total >= r.n_lang_en >= r.n_quality >= r.n_final >= 0
+        assert r.keep_rate == pytest.approx(round(r.n_final / r.n_total, 6))
+
+
+def test_length_quantiles_ordered(spark):
+    from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES
+
+    rows = QUERIES["text_length_quantiles"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99 <= r.max_tok
+
+
 def test_rhp_planes_deterministic_and_signed():
     p1 = SIM.rhp_sign_planes(8, 16)
     p2 = SIM.rhp_sign_planes(8, 16)
