@@ -32,9 +32,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-#: schema of the events table as stored (ns-precision parquet timestamps
-#: surface as epoch-nano BIGINT under ``nanosAsLong``)
-EVENTS_RAW_SCHEMA = (
+#: events schema when ``ts`` is a native parquet timestamp (µs precision)
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+#: events schema when ``ts`` is ns-precision parquet — surfaces as
+#: epoch-nano BIGINT under ``nanosAsLong`` (see session.py)
+EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
@@ -49,13 +54,24 @@ def read_event_stream(
     max_files_per_trigger: int | None = None,
     recursive: bool = False,
 ) -> DataFrame:
-    """File-source stream over events parquet (ns-timestamp layout).
+    """File-source stream over events parquet.
 
-    Derives the µs ``ts`` exactly like the batch loader
-    (``plans/tables.py``): integer ``div`` of epoch-nanos, so batch and
-    stream see identical event times.
+    A file-source stream needs a declared schema, but the testdata's
+    ``ts`` physical type has varied across generations (ns-precision
+    BIGINT vs native µs timestamp). Probe the parquet footer with one
+    driver-side batch read — the same branch the batch loader takes
+    (``plans/tables.py``) — so stream and batch always agree on event
+    time bit-for-bit.
     """
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    probe = spark.read
+    if glob:
+        probe = probe.option("pathGlobFilter", glob)
+    if recursive:
+        probe = probe.option("recursiveFileLookup", "true")
+    ts_is_nanos = dict(probe.parquet(source_dir).dtypes).get("ts") == "bigint"
+
+    schema = EVENTS_NANOS_SCHEMA if ts_is_nanos else EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger:
@@ -63,9 +79,13 @@ def read_event_stream(
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     df = reader.parquet(source_dir)
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    if ts_is_nanos:
+        # integer `div`, NOT `/` — double division loses precision at
+        # epoch-nanos magnitude (~1.7e18 exceeds double's 53-bit mantissa)
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 # ----------------------------------------------------------------------

@@ -49,6 +49,40 @@ def test_stream_reads_real_events_parquet(spark, stream_events, batch_events):
     assert (got.n, got.lo, got.hi) == (want.n, want.lo, want.hi)
 
 
+def test_stream_batch_loader_parity_both_ts_layouts(spark, tmp_path, batch_events):
+    # µs-native layout (the current testdata): loaders must agree on ts
+    stream = read_event_stream(spark, SF_DIR, glob="events.parquet")
+    out = run_to_memory(stream.groupBy().agg(F.min("ts").alias("lo")), "parity_us")
+    assert out.first().lo == batch_events.agg(F.min("ts")).first()[0]
+
+    # ns layout (earlier testdata generations): rewrite a copy with
+    # nanosecond physical type; both loaders must take the bigint branch
+    # and derive the identical µs timestamp
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        idx, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+    )
+    ns_dir = tmp_path / "ns_events"
+    ns_dir.mkdir()
+    pq.write_table(
+        tbl, str(ns_dir / "events.parquet"), store_schema=False,
+        coerce_timestamps=None, use_deprecated_int96_timestamps=False,
+    )
+    batch_ns = load(spark, str(ns_dir), "events")
+    assert "ts_ns" in batch_ns.columns, "bigint branch not taken by batch loader"
+    assert dict(batch_ns.dtypes)["ts"] == "timestamp"
+    stream_ns = read_event_stream(spark, str(ns_dir), glob="events.parquet")
+    out_ns = run_to_memory(
+        stream_ns.groupBy().agg(F.min("ts").alias("lo")), "parity_ns"
+    )
+    assert out_ns.first().lo == batch_ns.agg(F.min("ts")).first()[0]
+    assert out_ns.first().lo == batch_events.agg(F.min("ts")).first()[0]
+
+
 def test_tumbling_window_stream_equals_batch(stream_events, batch_events):
     streamed = run_to_memory(
         tumbling_window_counts(stream_events), "tumbling", output_mode="complete"

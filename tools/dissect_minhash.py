@@ -9,10 +9,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
-from kingsfoil_seed_data_ingestor_spark.plans.core import load
+from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 from kingsfoil_seed_data_ingestor_spark.session import get_spark, pin_comparable_conf
 
 
