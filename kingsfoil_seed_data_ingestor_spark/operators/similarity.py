@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kingsfoil_seed_data_ingestor_spark.operators.caching import (
+    CacheScope,
+    scope_or_own,
+)
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i], left-to-right double fold (order-stable)."""
@@ -143,6 +148,7 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> "list[list[float]]":
     """Deterministic seeded k-means for the IVF coarse quantizer.
 
@@ -160,36 +166,45 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    init = [
-        list(map(float, r[0]))
-        for r in vectors.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
-    ]
-    if not init:
-        return []
-    d = len(init[0])
-    cents = np.asarray(init, dtype=np.float64)
-    for _ in range(iters):
-        parts = _cluster_partials(vectors, cents, vec_col=vec_col)
-        stats = (
-            parts.groupBy("cluster")
-            .agg(
-                F.sum("n").alias("n"),
-                *[
-                    # long partials → decimal: exact far past the int64
-                    # ceiling a billion-row cluster would overflow
-                    F.sum(F.element_at("s", i + 1).cast("decimal(38,0)")).alias(f"s{i}")
-                    for i in range(d)
-                ],
+    # the loop is fully eager (every iteration collects ≤ k rows), so
+    # the vector-table persist lives entirely inside this call unless
+    # the caller already holds it in an outer scope
+    own = CacheScope() if scope is None else None
+    vectors = (scope or own).persist(vectors)
+    try:
+        init = [
+            list(map(float, r[0]))
+            for r in vectors.orderBy(F.asc(id_col)).limit(k).select(vec_col).collect()
+        ]
+        if not init:
+            return []
+        d = len(init[0])
+        cents = np.asarray(init, dtype=np.float64)
+        for _ in range(iters):
+            parts = _cluster_partials(vectors, cents, vec_col=vec_col)
+            stats = (
+                parts.groupBy("cluster")
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[
+                        # long partials → decimal: exact far past the int64
+                        # ceiling a billion-row cluster would overflow
+                        F.sum(F.element_at("s", i + 1).cast("decimal(38,0)")).alias(f"s{i}")
+                        for i in range(d)
+                    ],
+                )
+                .collect()  # ≤ k rows — bounded by cluster count, not N
             )
-            .collect()  # ≤ k rows — bounded by cluster count, not N
-        )
-        new = cents.copy()
-        for r in stats:
-            new[r["cluster"]] = [
-                float(r[f"s{i}"]) / 1e12 / r["n"] for i in range(d)
-            ]
-        cents = new
-    return [list(map(float, c)) for c in cents]
+            new = cents.copy()
+            for r in stats:
+                new[r["cluster"]] = [
+                    float(r[f"s{i}"]) / 1e12 / r["n"] for i in range(d)
+                ]
+            cents = new
+        return [list(map(float, c)) for c in cents]
+    finally:
+        if own is not None:
+            own.release()
 
 
 def _cluster_partials(vectors: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
@@ -262,18 +277,24 @@ def knn_ivf_kmeans(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """IVF search over a trained quantizer: k-means centroids, each
     query probes its ``nprobe`` nearest inverted lists, exact top-k
     inside the probed lists only — a real recall/cost dial (nprobe=
     n_clusters degenerates to brute force). Both the centroid table and
     the routed queries broadcast; the vector table is scanned once with
-    a cluster-membership filter."""
+    a cluster-membership filter.
+
+    The vector table feeds k-means init, every Lloyd iteration, the
+    assignment pass, and the query filter — persisted under ``scope``
+    (auto-released with the result when no scope is passed)."""
     spark = vectors.sparkSession
-    # consumed by init + every Lloyd iteration + assignment + probe:
-    # persist (idempotent if the caller already did)
-    vectors = vectors.persist()
-    cents = kmeans_centroids(vectors, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    scope, own = scope_or_own(scope)
+    vectors = scope.persist(vectors)
+    cents = kmeans_centroids(
+        vectors, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col, scope=scope
+    )
     assigned = assign_clusters(vectors, cents, id_col=id_col, vec_col=vec_col)
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cluster int, c_vec array<double>"
@@ -299,11 +320,12 @@ def knn_ivf_kmeans(
         .withColumn("score", cosine(F.col("q_vec"), F.col("v")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("cosine"))
     )
+    return scope.attach(out) if own else out
 
 
 def ann_recall_at_k(
@@ -313,6 +335,7 @@ def ann_recall_at_k(
     n_clusters: int = 8,
     iters: int = 3,
     nprobe: int = 2,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Measured recall@k of the k-means IVF path against exact brute
     force — the honesty metric for an ANN index (a quantizer that
@@ -320,12 +343,15 @@ def ann_recall_at_k(
     answer). One row: (n_queries, k, nprobe, avg_recall).
 
     The vector table feeds the brute-force scan, every Lloyd
-    iteration, and the final probe scan — persist it once so the
-    iterative driver loop doesn't re-read the source per job."""
-    vectors = vectors.persist()
+    iteration, and the final probe scan — persisted once under
+    ``scope`` so the iterative driver loop doesn't re-read the source
+    per job (auto-released with the result when no scope is passed)."""
+    scope, own = scope_or_own(scope)
+    vectors = scope.persist(vectors)
     brute = knn_bruteforce(vectors, query_ids, k=k).select("query_id", "neighbor_id")
     ann = knn_ivf_kmeans(
-        vectors, query_ids, k=k, n_clusters=n_clusters, iters=iters, nprobe=nprobe
+        vectors, query_ids, k=k, n_clusters=n_clusters, iters=iters, nprobe=nprobe,
+        scope=scope,
     ).select("query_id", "neighbor_id")
     hits = ann.join(brute, ["query_id", "neighbor_id"], "left_semi")
     per_q = brute.select("query_id").distinct().join(
@@ -335,12 +361,13 @@ def ann_recall_at_k(
     ).select(
         "query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
     )
-    return per_q.agg(
+    out = per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.lit(k).alias("k"),
         F.lit(nprobe).alias("nprobe"),
         F.round(F.avg(F.col("n_hits") / k), 6).alias("avg_recall"),
     )
+    return scope.attach(out) if own else out
 
 
 #: seed namespace for the deterministic random-hyperplane family
@@ -411,6 +438,7 @@ def near_dup_pairs_rhp(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by random-hyperplane LSH, verified by
     exact cosine ≥ ``threshold`` — the 100 TB path for embedding dedup.
@@ -434,7 +462,12 @@ def near_dup_pairs_rhp(
     """
     rows_per_band = n_planes // bands
     planes = rhp_sign_planes(n_planes, dim)
-    banded = rhp_banded(vectors, planes, bands, rows_per_band, id_col, vec_col)
+    scope, own = scope_or_own(scope)
+    # both self-join sides read the banded table: persist so the
+    # n_planes dot products per vector compute once, not twice
+    banded = scope.persist(
+        rhp_banded(vectors, planes, bands, rows_per_band, id_col, vec_col)
+    )
     left = banded.select(F.col("_id").alias("kept_id"), "band", "bucket")
     right = banded.select(F.col("_id").alias("dup_id"), "band", "bucket")
     pairs = (
@@ -444,11 +477,14 @@ def near_dup_pairs_rhp(
         .distinct()
     )
     # norm once per vector (identical IEEE fold to the per-pair form),
-    # then one dot per surviving candidate pair
-    normed = vectors.select(
-        F.col(id_col).alias("_nid"),
-        F.col(vec_col).alias("_nv"),
-        l2_norm(F.col(vec_col)).alias("_nn"),
+    # then one dot per surviving candidate pair; persisted because both
+    # rejoin sides scan it (else the source is read + normed per side)
+    normed = scope.persist(
+        vectors.select(
+            F.col(id_col).alias("_nid"),
+            F.col(vec_col).alias("_nv"),
+            l2_norm(F.col(vec_col)).alias("_nn"),
+        )
     )
     scored = (
         pairs.join(
@@ -469,7 +505,10 @@ def near_dup_pairs_rhp(
         )
         .withColumn("cosine", dot(F.col("v_i"), F.col("v_j")) / (F.col("n_i") * F.col("n_j")))
     )
-    return scored.filter(F.col("cosine") >= threshold).select("dup_id", "kept_id", "cosine")
+    out = scored.filter(F.col("cosine") >= threshold).select(
+        "dup_id", "kept_id", "cosine"
+    )
+    return scope.attach(out) if own else out
 
 
 def near_dup_pairs_exact(
@@ -478,6 +517,7 @@ def near_dup_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 512,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine join: every ordered pair ``kept_id <
     dup_id`` with ``cosine >= threshold`` — the verification kernel of
@@ -515,9 +555,12 @@ def near_dup_pairs_exact(
     )
     # one matrix row per block, members sorted by id so that inside a
     # diagonal cell row-index order == id order (upper triangle == i<j)
-    tiles = blocked.groupBy("_blk").agg(
-        F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("_rows")
-    ).persist()  # consumed by both sides of the grid join
+    scope, own = scope_or_own(scope)
+    tiles = scope.persist(  # consumed by both sides of the grid join
+        blocked.groupBy("_blk").agg(
+            F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("_rows")
+        )
+    )
     # the upper-triangle cell list carries BLOCK IDS ONLY (two longs per
     # cell); tile payloads then arrive via two keyed equi-joins, so no
     # executor ever holds more than the tiles of the cells it is
@@ -572,4 +615,5 @@ def near_dup_pairs_exact(
                     }
                 )
 
-    return grid.mapInPandas(gemm_cells, schema=out_schema)
+    out = grid.mapInPandas(gemm_cells, schema=out_schema)
+    return scope.attach(out) if own else out

@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.functions import text as TX
+from kingsfoil_seed_data_ingestor_spark.operators.caching import (
+    CacheScope,
+    scope_or_own,
+)
 from kingsfoil_seed_data_ingestor_spark.operators.partitioning import fan_out
 
 # ----------------------------------------------------------------------
@@ -68,8 +72,14 @@ def shingle_table(
     measured ~6 s just to build shingle arrays at sf0.1 — the
     explode/lead formulation keeps everything inside codegen and
     shuffles only narrow (doc_id, token) rows.
+
+    No ``fan_out`` here (unlike the simhash builders): the window
+    exchange hash-partitions by doc_id immediately after the explode,
+    so the CPU-heavy lead/concat/distinct work is already spread across
+    the cluster — a pre-repartition would only add a full-text shuffle
+    (measured +0.3 s at sf0.1 with zero parallelism gained).
     """
-    toks = fan_out(docs).select(
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(TX.tokens(F.col(text_col))).alias("pos", "tok"),
     )
@@ -129,6 +139,7 @@ def jaccard_pairs(
     max_doc_freq: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """All pairs (i < j) with shingle-set Jaccard ≥ threshold.
 
@@ -137,6 +148,7 @@ def jaccard_pairs(
     quadratic blowup on boilerplate shingles. Leave None for exact
     results (the oracle-checked configuration).
     """
+    scope, own = scope_or_own(scope)
     posts = shingle_table(docs, n, id_col, text_col)
     if max_doc_freq is not None:
         rare = (
@@ -149,12 +161,13 @@ def jaccard_pairs(
     # the posting list feeds both join branches + the size table: persist
     # once instead of recomputing the tokenize/window/distinct pipeline
     # per branch (spillable storage level; Spark evicts under pressure)
-    posts = posts.persist()
-    return (
+    posts = scope.persist(posts)
+    out = (
         _pairs_with_jaccard(posts)
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
     )
+    return scope.attach(out) if own else out
 
 
 # ----------------------------------------------------------------------
@@ -209,7 +222,10 @@ def minhash_signatures_from_posts(posts: DataFrame, num_hashes: int = 128) -> Da
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Distinct (i < j) pairs colliding in ≥1 LSH band.
 
@@ -235,15 +251,17 @@ def lsh_candidate_pairs(
     ).select("doc_id", "bk.band", "bk.bucket")
     # both sides of the self-join read the banded table; persist the
     # (docs × bands) narrow rows so the signature aggregation runs once
-    banded = banded.persist()
+    scope, own = scope_or_own(scope)
+    banded = scope.persist(banded)
     left = banded.select(F.col("doc_id").alias("i"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("j"), "band", "bucket")
-    return (
+    out = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("i") < F.col("j"))
         .select("i", "j")
         .distinct()
     )
+    return scope.attach(out) if own else out
 
 
 def verify_pairs_exact_jaccard(posts: DataFrame, cands: DataFrame) -> DataFrame:
@@ -284,6 +302,7 @@ def minhash_near_dups(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold.
 
@@ -302,14 +321,16 @@ def minhash_near_dups(
     # sets — persist instead of recomputing the tokenize/window/distinct
     # pipeline per branch; candidates are consumed twice (doc semi-join
     # + the pair join), so pin the tiny pair table too
-    posts = shingle_table(docs, n, id_col, text_col).persist()
+    scope, own = scope_or_own(scope)
+    posts = scope.persist(shingle_table(docs, n, id_col, text_col))
     sigs = minhash_signatures_from_posts(posts, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).persist()
-    return (
+    cands = scope.persist(lsh_candidate_pairs(sigs, bands, rows_per_band, scope=scope))
+    out = (
         verify_pairs_exact_jaccard(posts, cands)
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
     )
+    return scope.attach(out) if own else out
 
 
 # ----------------------------------------------------------------------

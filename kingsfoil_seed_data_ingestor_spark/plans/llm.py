@@ -24,6 +24,7 @@ from kingsfoil_seed_data_ingestor_spark.operators import multimodal as MM
 from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
 from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
 from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
+from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
 from kingsfoil_seed_data_ingestor_spark.plans.core import register
 from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 
@@ -450,17 +451,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the decontamination check plants one KNOWN leak: eval doc -1 is the
+#: first N tokens of train doc 42 — the testdata's organic eval stand-in
+#: (docs 0-4) shares no 8-gram with any train doc, so without a planted
+#: leak the oracle would only ever agree on silence
+DECON_LEAK_SRC_ID = 42
+DECON_LEAK_TOKENS = 27
+
+
 @register(
     "text_decontaminate",
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    WITH ev_base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 5
+        UNION ALL
+        SELECT -1 AS doc_id,
+               array_to_string(list_slice({SQL_TOKENS}, 1, {DECON_LEAK_TOKENS}), ' ') AS text
+        FROM documents WHERE doc_id = {DECON_LEAK_SRC_ID}
+    ), t AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents WHERE doc_id >= 5
     ), s AS (
         SELECT doc_id, {sql_shingles(8)} AS sh FROM t
+    ), te AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM ev_base
+    ), se AS (
+        SELECT doc_id, {sql_shingles(8)} AS sh FROM te
     ), tr AS (
-        SELECT doc_id AS train_id, unnest(sh) AS g FROM s WHERE doc_id >= 5
+        SELECT doc_id AS train_id, unnest(sh) AS g FROM s
     ), ev AS (
-        SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id < 5
+        SELECT doc_id AS eval_id, unnest(sh) AS g FROM se
     )
     SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
     FROM tr JOIN ev USING (g)
@@ -469,13 +488,22 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Benchmark decontamination: every (train, eval) pair sharing "
     "≥ 1 word 8-gram, found by the inverted-index join (explode grams, "
     "join on gram — never the |train|×|eval| pair space; the tiny eval "
-    "posting list broadcasts). Docs 0-4 stand in as the eval set.",
+    "posting list broadcasts). Docs 0-4 stand in as the eval set, plus "
+    "one planted leak (eval -1 = a truncated copy of train doc 42) so "
+    "the check proves the detector FINDS overlap — including the "
+    "partial-overlap gram count — rather than agreeing on zero rows.",
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return SMP.contamination_pairs(
-        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5), n=8
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    planted = docs.filter(F.col("doc_id") == DECON_LEAK_SRC_ID).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, DECON_LEAK_TOKENS)).alias("text"),
     )
+    eval_set = (
+        docs.filter(F.col("doc_id") < 5).select("doc_id", "text").unionByName(planted)
+    )
+    return SMP.contamination_pairs(docs.filter(F.col("doc_id") >= 5), eval_set, n=8)
 
 
 # ----------------------------------------------------------------------
@@ -623,6 +651,31 @@ def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_ann_ivf",
+    oracle=None,  # the trained quantizer is iterative (Lloyd) — not
+    # SQL-expressible; rows-only here, with the pytest recall gate and
+    # the brute-force-oracle'd medoid variant pinning the search shape
+    doc="ANN search over the TRAINED IVF index: seeded deterministic "
+    "k-means (8 lists, 3 Lloyd iterations), each query probes its "
+    "nprobe=3 nearest inverted lists, exact top-5 inside the probed "
+    "lists. This is the honest production path — the quantizer adapts "
+    "to the data instead of piggybacking on a label column. Quality is "
+    "pinned by tests/test_llm_ops.py: recall@10 ≥ 0.9 vs brute force "
+    "(measured 0.94-0.96), and determinism by the integer-scaled "
+    "centroid updates (order-independent under any partitioning).",
+)
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.knn_ivf_kmeans(
+        load(spark, sf_dir, "embeddings"),
+        KNN_QUERY_IDS,
+        k=5,
+        n_clusters=8,
+        iters=3,
+        nprobe=3,
+    )
+
+
+@register(
+    "embed_ann_ivf_medoid",
     oracle=f"""
     WITH reps AS (
         SELECT e.label AS part, e.embedding AS rep_vec
@@ -656,12 +709,16 @@ def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS rank FROM scored
     ) WHERE rank <= 5
     """,
-    doc="IVF-style ANN: route each query to the partition of its "
-    "nearest deterministic representative (min-id medoid per label, "
-    "nprobe=1), brute-force only inside — a 1/nlist scan instead of a "
-    "full scan, the structure of a billion-vector search.",
+    doc="IVF-style ANN with an UNTRAINED quantizer: route each query "
+    "to the partition of its nearest deterministic representative "
+    "(min-id medoid per label, nprobe=1), brute-force only inside — a "
+    "1/nlist scan instead of a full scan. Kept beside the k-means path "
+    "because its routing is closed-form, so the full search (routing + "
+    "probe + top-k) is SQL-expressible and hash-checked against the "
+    "DuckDB oracle — it pins the IVF search *shape* end to end while "
+    "embed_ann_ivf carries the trained quantizer.",
 )
-def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_ann_ivf_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_ivf(load(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5)
 
 
@@ -713,11 +770,15 @@ _SQL_EMBED_DEDUP = f"""
 
 
 def _embed_dedup(spark: SparkSession, sf_dir: str, block_rows: int) -> DataFrame:
+    # wrapper owns the scope because it derives from the operator's
+    # result: the tile cache must live until THIS plan drains
+    scope = CacheScope()
     pairs = SIM.near_dup_pairs_exact(
-        load(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD, block_rows=block_rows
+        load(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD,
+        block_rows=block_rows, scope=scope,
     )
     w = W.partitionBy("dup_id").orderBy(F.asc("kept_id"))
-    return (
+    return scope.attach(
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
@@ -806,13 +867,18 @@ _SQL_EMBED_RHP = f"""
     "verification, not just the final filter.",
 )
 def dedup_embed_cosine_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.near_dup_pairs_rhp(
+    scope = CacheScope()
+    pairs = SIM.near_dup_pairs_rhp(
         load(spark, sf_dir, "embeddings"),
         EMBED_DUP_THRESHOLD,
         n_planes=RHP_N_PLANES,
         bands=RHP_BANDS,
         dim=RHP_DIM,
-    ).select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
+        scope=scope,
+    )
+    return scope.attach(
+        pairs.select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 # ----------------------------------------------------------------------
