@@ -210,6 +210,23 @@ def test_xlsx_inline_strings_variant(spark, tmp_path):
     assert grid_rows(read_grid(spark, str(p)))[1] == ["x", "y"]
 
 
+def test_xls_legacy_gate_is_honest(spark, tmp_path):
+    # legacy binary .xls needs xlrd, which this container doesn't ship:
+    # the branch must fail loudly with NotImplementedError (import gate),
+    # never silently misparse. If xlrd ever appears, the pandas path
+    # takes over and this test's expectation flips — that's the tripwire.
+    p = tmp_path / "legacy.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # OLE2 magic stub
+    try:
+        import xlrd  # noqa: F401
+
+        pytest.skip("xlrd present — gate not reachable in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="xlrd"):
+        read_grid(spark, str(p))
+
+
 def test_row_as_list_and_extension_helpers(spark, tmp_path):
     # reference tests/test_file_parser.py:128-180
     p = tmp_path / "r.csv"
