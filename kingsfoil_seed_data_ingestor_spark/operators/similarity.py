@@ -353,9 +353,15 @@ def ann_recall_at_k(
         vectors, query_ids, k=k, n_clusters=n_clusters, iters=iters, nprobe=nprobe,
         scope=scope,
     ).select("query_id", "neighbor_id")
-    hits = ann.join(brute, ["query_id", "neighbor_id"], "left_semi")
+    # both join inputs are ≤ |queries|·k rows (top-k outputs), but the
+    # static planner can't see that through the window/agg lineage and
+    # falls back to sort-merge — broadcast explicitly so the plan is
+    # right even before AQE's runtime correction
+    hits = ann.join(F.broadcast(brute), ["query_id", "neighbor_id"], "left_semi")
     per_q = brute.select("query_id").distinct().join(
-        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        F.broadcast(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        ),
         "query_id",
         "left",
     ).select(
