@@ -23,6 +23,7 @@ from kingsfoil_seed_data_ingestor_spark.functions import text as TX
 from kingsfoil_seed_data_ingestor_spark.operators import multimodal as MM
 from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
 from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
+from kingsfoil_seed_data_ingestor_spark.operators import components as CC
 from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
 from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
 from kingsfoil_seed_data_ingestor_spark.plans.core import register
@@ -569,6 +570,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_dups(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    pairs AS (
+        SELECT i, j FROM p WHERE common::DOUBLE / (ni + nj - common) >= 0.5
+    ),
+    edges AS (
+        SELECT i AS src, j AS dst FROM pairs
+        UNION ALL
+        SELECT j AS src, i AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl AS lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component_id
+    FROM reach GROUP BY node
+    """,
+    doc="Duplicate-CLUSTER formation: similarity is not transitive, so "
+    "near-dup pairs (word-3-gram Jaccard ≥ 0.5) are closed into "
+    "connected components by distributed min-label propagation "
+    "(operators/components.py) — component id = smallest doc id, the "
+    "deterministic keeper. Each iteration is one (node,label)-narrow "
+    "join + min-aggregate; dup clusters are near-cliques so 2-3 "
+    "iterations converge. The oracle recomputes the closure via a "
+    "recursive CTE, pinning the transitive grouping itself.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scope = CacheScope()
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, scope=scope)
+    return scope.attach(
+        CC.connected_components(pairs, src="i", dst="j", scope=scope)
+    )
 
 
 @register(

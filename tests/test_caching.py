@@ -22,6 +22,7 @@ def n_pinned(spark) -> int:
 #: every registered query whose operator persists intermediates
 CACHING_QUERIES = [
     "dedup_ngram_jaccard",
+    "dedup_components",
     "dedup_minhash_lsh",
     "dedup_embed_cosine",
     "dedup_embed_cosine_tiled",

@@ -547,3 +547,50 @@ def test_extract_audio_features_plumbing(corpus):
         assert r.sample_rate == 16000
         assert r.duration_sec == pytest.approx(r.byte_size / 32000.0, abs=1e-6)
         assert 0.0 <= r.rms_level <= 1.0
+
+
+# ----------------------------------------------------------------------
+# connected components (duplicate-cluster formation)
+# ----------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    # chain 1-2-3 (transitivity through the middle node), island 5-6,
+    # duplicate + reversed edges must not matter; node 9 has no edge and
+    # must be absent
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (6, 5), (2, 3)], "i long, j long"
+    )
+    got = {r.doc_id: r.component_id for r in CC.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    n = 12  # diameter 11: needs several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "i long, j long"
+    )
+    got = {r.doc_id: r.component_id for r in CC.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_nonconvergence_guard(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "i long, j long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        CC.connected_components(edges, max_iterations=2)
+
+
+def test_component_stats(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "i long, j long")
+    comps = CC.connected_components(edges)
+    stats = {r.component_id: r for r in CC.component_stats(comps).collect()}
+    assert stats[1].n_docs == 3 and stats[1].max_doc_id == 3
+    assert stats[7].n_docs == 2 and stats[7].max_doc_id == 8
