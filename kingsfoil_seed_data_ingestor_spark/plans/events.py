@@ -151,3 +151,37 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "events_topk_salted",
+    oracle="""
+    SELECT event_type, CAST(rank AS INT) AS rank, event_id, value
+    FROM (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value DESC, event_id
+               ) AS rank
+        FROM events
+    ) WHERE rank <= 5
+    """,
+    doc="Exact per-type top-5 events by value via SALTED two-phase "
+    "ranking (operators/skew.py): a window over a skewed partition key "
+    "cannot be split by AQE — one viral key funnels through one task — "
+    "so phase 1 ranks within (key, salt(event_id)) across 16 parallel "
+    "groups and phase 2 ranks the <= k*16 survivors. The oracle is the "
+    "plain single-window top-k: salting must be invisible in the "
+    "output, pinning exactness of the decomposition.",
+)
+def events_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators.skew import salted_top_k
+
+    ev = load(spark, sf_dir, "events")
+    return salted_top_k(
+        ev.select("event_type", "event_id", "value"),
+        partition_by=["event_type"],
+        order_by=[F.desc("value"), F.asc("event_id")],
+        k=5,
+        salt_from=["event_id"],
+        n_salts=16,
+    ).select("event_type", F.col("rank").cast("int").alias("rank"), "event_id", "value")

@@ -594,3 +594,46 @@ def test_component_stats(spark):
     stats = {r.component_id: r for r in CC.component_stats(comps).collect()}
     assert stats[1].n_docs == 3 and stats[1].max_doc_id == 3
     assert stats[7].n_docs == 2 and stats[7].max_doc_id == 8
+
+
+# ----------------------------------------------------------------------
+# skew-resistant salted top-k
+# ----------------------------------------------------------------------
+
+
+def test_salted_top_k_equals_plain_window(spark):
+    from pyspark.sql import Window
+    from kingsfoil_seed_data_ingestor_spark.operators.skew import salted_top_k
+
+    # heavily skewed: key 'hot' has 5000 rows, others have 3
+    rows = [("hot", i, float((i * 37) % 1000)) for i in range(5000)]
+    rows += [(f"cold{j}", 10_000 + j * 10 + i, float(i)) for j in range(5) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, row_id long, v double")
+
+    got = salted_top_k(
+        df, ["k"], [F.desc("v"), F.asc("row_id")], k=4,
+        salt_from=["row_id"], n_salts=8,
+    ).select("k", "rank", "row_id", "v")
+
+    w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("row_id"))
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select("k", "rank", "row_id", "v")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_salted_top_k_spreads_hot_key(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators.skew import with_salt
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(2000)], "k string, row_id long"
+    )
+    n_groups = with_salt(df, ["row_id"], n_salts=16).select("k", "_salt").distinct().count()
+    assert n_groups == 16  # the hot key fans out over every salt group
+
+    # deterministic: same rows -> same salt assignment
+    a = {tuple(r) for r in with_salt(df, ["row_id"], 16).collect()}
+    b = {tuple(r) for r in with_salt(df, ["row_id"], 16).collect()}
+    assert a == b
