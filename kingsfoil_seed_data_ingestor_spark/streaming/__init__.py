@@ -8,6 +8,7 @@ operator, all over the ``events`` table shape.
 
 from kingsfoil_seed_data_ingestor_spark.streaming.events import (
     dedup_events,
+    enrich_events,
     read_event_stream,
     run_to_memory,
     session_window_stats,
@@ -26,6 +27,7 @@ __all__ = [
     "sliding_window_counts",
     "session_window_stats",
     "dedup_events",
+    "enrich_events",
     "user_running_totals",
     "run_to_memory",
     "stream_ingest_directory",

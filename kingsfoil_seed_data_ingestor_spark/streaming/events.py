@@ -175,6 +175,27 @@ def dedup_events(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to
+    each event. Works identically on a batch frame (same plan both
+    ways, like every transform here).
+
+    Streaming semantics: the static side is re-planned per micro-batch
+    (a dimension update between batches is picked up without restarting
+    the stream), the join is stateless (no watermark needed — only
+    stream-stream joins buffer state), and Catalyst broadcasts the
+    dimension exactly as in batch. The 100 TB/s posture: dimension
+    tables stay broadcast-sized or become stream-stream joins with
+    watermarks — this operator is the first, cheap rung.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 # ----------------------------------------------------------------------
 # custom stateful operator
 # ----------------------------------------------------------------------

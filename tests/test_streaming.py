@@ -206,3 +206,34 @@ def test_stream_ingest_drop_directory(spark, tmp_path):
     rejected = {p: r for p, r in results.items() if not r["success"]}
     assert len(ok) == 1 and "2024-Q3" in next(iter(ok))
     assert len(rejected) == 1 and "already uploaded" in rejected[next(iter(rejected))]["errors"][0]
+
+
+def test_enrich_events_stream_equals_batch(spark, tmp_path, batch_events):
+    from kingsfoil_seed_data_ingestor_spark.streaming import enrich_events
+
+    # static dimension derived from the same corpus: user tier
+    dim_path = str(tmp_path / "user_dim")
+    (
+        batch_events.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+        .write.parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path)
+
+    stream = read_event_stream(spark, SF_DIR, glob="events.parquet")
+    streamed = run_to_memory(
+        enrich_events(stream, dim)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum")),
+        "enriched",
+        output_mode="complete",
+    )
+    batch = (
+        enrich_events(batch_events, dim)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+    )
+    cols = ["tier", "n", "id_sum"]
+    assert as_sets(streamed, cols) == as_sets(batch, cols)
+    # left join: every event survives enrichment
+    assert streamed.agg(F.sum("n")).first()[0] == batch_events.count()
