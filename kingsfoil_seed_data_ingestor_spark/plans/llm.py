@@ -507,6 +507,78 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.contamination_pairs(docs.filter(F.col("doc_id") >= 5), eval_set, n=8)
 
 
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ), toks AS (
+        SELECT doc_id, lower(tok) AS term FROM t
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), doclen AS (
+        SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(doclen.n_toks * dfreq.df AS DOUBLE) AS score
+        FROM tf
+        JOIN doclen USING (doc_id)
+        JOIN dfreq USING (term)
+        CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, round(score, 6) AS tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rank FROM scored
+    ) WHERE rank <= 3 AND doc_id < 10
+    """,
+    doc="Per-document top-3 characteristic terms by tf-idf over the "
+    "full corpus (document frequencies computed corpus-wide, output "
+    "limited to docs 0-9). Inverted-index shape: explode tokens, one "
+    "groupBy per statistic, broadcast the corpus total. idf is the "
+    "LINEAR N/df variant: the score is then a ratio of exact integers "
+    "— one IEEE division, bit-identical in any engine — where log-idf "
+    "would inherit libm's last-ulp variance and make the cross-engine "
+    "hash gate flaky. Within-doc ranking is what the query reports; "
+    "swap in log1p-idf for cross-doc score comparisons at deployment.",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / (F.col("n_toks") * F.col("df")).cast("double"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 10))
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # deduplication
 # ----------------------------------------------------------------------
