@@ -508,6 +508,118 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents WHERE doc_id < 20
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+               ELSE []::VARCHAR[] END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+    doc="Within-document repetition (Gopher-style quality rule): the "
+    "fraction of duplicate word-3-grams inside each document — "
+    "boilerplate and degenerate loops score high and get filtered "
+    "before training. Pure per-row array math (no shuffle at all "
+    "beyond the scan): total grams vs distinct grams per doc.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    t = TX.tokens(F.col("text"))
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select("doc_id", grams.alias("grams")).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+        F.when(
+            F.size("grams") > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+    return out
+
+
+#: incremental dedup split point: docs below are the "historical corpus"
+#: (their fingerprints form the store), docs at/above are the new batch
+INCR_SPLIT_ID = 250
+#: planted re-uploads: these historical docs arrive again in the new
+#: batch under fresh ids (+100000) — the corpus has no organic exact dup
+#: crossing the split at sf0.01, so without planting, the check would
+#: only agree on silence (same pattern as the decontamination leak)
+INCR_REUPLOAD_IDS = (3, 7)
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+        WHERE doc_id IN {INCR_REUPLOAD_IDS}
+    ), fp AS (
+        SELECT doc_id, source, md5({SQL_NORMALIZED}) AS fp FROM base
+    ), store AS (
+        SELECT fp, MIN(doc_id) AS keeper_id FROM fp WHERE doc_id < {INCR_SPLIT_ID}
+        GROUP BY fp
+    )
+    SELECT f.doc_id, f.source, s.keeper_id
+    FROM fp f JOIN store s USING (fp)
+    WHERE f.doc_id >= {INCR_SPLIT_ID}
+    """,
+    doc="Incremental dedup — the production shape: a new batch is "
+    "checked against the HISTORICAL fingerprint store instead of "
+    "re-deduping the whole corpus (docs < 250 stand in as the store; "
+    "the rest plus two planted re-uploads of historical docs are the "
+    "incoming batch — the corpus has no organic exact dup crossing the "
+    "split, so the planting proves the store join FINDS collisions). "
+    "One keyed join of new fingerprints against the store; at 100 TB "
+    "the store is a bucketed table on the fingerprint so each daily "
+    "batch joins co-located without reshuffling history.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    reuploads = docs.filter(F.col("doc_id").isin(*INCR_REUPLOAD_IDS)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    )
+    base = docs.select("doc_id", "source", "text").unionByName(reuploads)
+    fp = base.select(
+        "doc_id", "source", TX.content_fingerprint(F.col("text")).alias("fp")
+    )
+    store = (
+        fp.filter(F.col("doc_id") < INCR_SPLIT_ID)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    return (
+        fp.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+        .join(store, "fp")
+        .select("doc_id", "source", "keeper_id")
+    )
+
+
+@register(
     "text_tfidf",
     oracle=f"""
     WITH t AS (
