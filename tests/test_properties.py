@@ -231,3 +231,48 @@ def test_keep_first_properties(spark, rows):
         else:
             assert i in kept_rows  # first occurrence kept
             seen.add((k1, k2))
+
+
+# ----------------------------------------------------------------------
+# connected components vs a plain union-find spec
+# ----------------------------------------------------------------------
+
+
+def spec_components(edges: "list[tuple[int, int]]") -> "dict[int, int]":
+    """Reference union-find: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+).filter(lambda e: e[0] != e[1])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_edge, min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    from kingsfoil_seed_data_ingestor_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "i long, j long")
+    got = {r.doc_id: r.component_id for r in connected_components(df).collect()}
+    assert got == spec_components(edges)
