@@ -185,3 +185,26 @@ def events_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_from=["event_id"],
         n_salts=16,
     ).select("event_type", F.col("rank").cast("int").alias("rank"), "event_id", "value")
+
+
+@register(
+    "events_interval_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id,
+           a.ts AS first_ts, b.ts AS then_ts, b.value AS then_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND a.ts <= b.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    doc="Event correlation / attribution: click -> purchase by the same "
+    "user within 1 hour — the batch twin of the stream-stream interval "
+    "join (streaming/events.correlate_events, watermarks both sides "
+    "bounding join state; parity pinned in test_streaming.py). The "
+    "equi key (user_id) carries the shuffle; the interval predicate "
+    "filters within the joined group, never a time-range explosion.",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.streaming.events import correlate_events
+
+    return correlate_events(load(spark, sf_dir, "events"))

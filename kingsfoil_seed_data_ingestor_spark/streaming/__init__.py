@@ -7,6 +7,7 @@ operator, all over the ``events`` table shape.
 """
 
 from kingsfoil_seed_data_ingestor_spark.streaming.events import (
+    correlate_events,
     dedup_events,
     enrich_events,
     read_event_stream,
@@ -27,6 +28,7 @@ __all__ = [
     "sliding_window_counts",
     "session_window_stats",
     "dedup_events",
+    "correlate_events",
     "enrich_events",
     "user_running_totals",
     "run_to_memory",

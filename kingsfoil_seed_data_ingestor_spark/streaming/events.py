@@ -196,6 +196,53 @@ def enrich_events(
     return events.join(F.broadcast(dim), on, how)
 
 
+def correlate_events(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: for each ``then_type`` event, the
+    ``first_type`` events by the same user in the preceding ``within``
+    interval (attribution / funnel correlation).
+
+    In streaming both sides carry watermarks and the join condition
+    bounds event-time distance, so Spark can size the join state and
+    drop rows older than ``watermark + within`` — without the interval
+    bound a stream-stream join would buffer forever. Batch execution of
+    the same plan is the oracle-comparable twin.
+    """
+    a = events.filter(F.col("event_type") == first_type).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("first_ts"),
+    )
+    b = events.filter(F.col("event_type") == then_type).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("then_id"),
+        F.col("ts").alias("then_ts"),
+        F.col("value").alias("then_value"),
+    )
+    if events.isStreaming:
+        a = a.withWatermark("first_ts", watermark)
+        b = b.withWatermark("then_ts", watermark)
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("first_ts") <= F.col("then_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        F.col("a_user").alias("user_id"),
+        "first_id",
+        "then_id",
+        "first_ts",
+        "then_ts",
+        "then_value",
+    )
+
+
 # ----------------------------------------------------------------------
 # custom stateful operator
 # ----------------------------------------------------------------------

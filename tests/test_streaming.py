@@ -237,3 +237,18 @@ def test_enrich_events_stream_equals_batch(spark, tmp_path, batch_events):
     assert as_sets(streamed, cols) == as_sets(batch, cols)
     # left join: every event survives enrichment
     assert streamed.agg(F.sum("n")).first()[0] == batch_events.count()
+
+
+def test_correlate_events_stream_equals_batch(spark, stream_events, batch_events):
+    from kingsfoil_seed_data_ingestor_spark.streaming import correlate_events
+
+    # stream-stream interval join (click -> purchase within 1h, same
+    # user, watermarks both sides) must produce the batch join's pairs;
+    # append mode: interval-join rows finalize once the watermark passes
+    streamed = run_to_memory(
+        correlate_events(stream_events), "correlated", output_mode="append"
+    )
+    batch = correlate_events(batch_events)
+    cols = ["user_id", "first_id", "then_id", "first_ts", "then_ts"]
+    assert batch.count() > 0  # the corpus genuinely correlates
+    assert as_sets(streamed, cols) == as_sets(batch, cols)
