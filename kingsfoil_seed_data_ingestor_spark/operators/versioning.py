@@ -366,6 +366,49 @@ class VersionStore:
         """Roll back a staged part (nothing was ever visible)."""
         shutil.rmtree(staged_dir, ignore_errors=True)
 
+    def compact_version(
+        self, source: Source, version_id: int, target_files: int = 1
+    ) -> int:
+        """Rewrite a version partition into ``target_files`` parquet
+        files — the small-file maintenance every multi-part / streaming
+        append path eventually needs (NCCI PTP arrives as parts; each
+        part commit adds task-count files; a year of quarterly appends
+        reads as thousands of tiny scans otherwise).
+
+        Sequence: write compacted files into ``_staging`` (invisible),
+        then under the meta writer lock swap the live directory by two
+        renames (live → trash, staged → live) and drop the trash. Rows
+        are byte-identical — this changes layout, never content; the
+        test pins count + content hash across the swap. The rename
+        window is the same visibility granularity the append commit
+        already has (a transactional table format subsumes both).
+
+        Returns the number of data files after compaction.
+        """
+        part_dir = (
+            self.root / "facts" / source.target_table / f"data_version_id={version_id}"
+        )
+        if not part_dir.exists():
+            raise KeyError(f"No fact partition for version {version_id}")
+        compacted = self.spark.read.parquet(str(part_dir)).coalesce(target_files)
+        staged = (
+            self.root
+            / "facts"
+            / source.target_table
+            / "_staging"
+            / f"compact-{version_id}-{uuid.uuid4().hex}"
+        )
+        compacted.write.mode("overwrite").parquet(str(staged))
+        trash = staged.with_name(staged.name + ".trash")
+        with self._meta_lock():
+            os.replace(part_dir, trash)
+            os.replace(staged, part_dir)
+        # drop non-data sidecar files (_SUCCESS) along with the old data
+        shutil.rmtree(trash, ignore_errors=True)
+        for marker in part_dir.glob("_SUCCESS*"):
+            marker.unlink(missing_ok=True)
+        return len(list(part_dir.glob("*.parquet")))
+
     def current_view(self, source: Source, variant: str | None = None) -> DataFrame:
         """The ``{table}_current`` view (reference ``init_db.py:418-517``):
         fact rows of the current completed version only.

@@ -490,3 +490,35 @@ def test_ingest_file_multipart_append(spark, store, tmp_path):
     assert v["part_count"] == 2
     cur = store.current_view(get_source("NCCI_PTP"), variant="practitioner")
     assert cur.count() == 6
+
+
+def test_compact_version_preserves_content(spark, store, tmp_path):
+    # multi-part append leaves one file batch per part commit; compaction
+    # must collapse the layout without changing a single row
+    from pathlib import Path
+
+    part1 = tmp_path / "c1.txt"
+    part1.write_text(PTP_TXT)
+    r1 = ingest_file(spark, store, "NCCI_PTP", str(part1), "2024-Q1", variant="practitioner")
+    part2 = tmp_path / "c2.txt"
+    part2.write_text(PTP_TXT.replace("00100", "22222"))
+    r2 = ingest_file(spark, store, "NCCI_PTP", str(part2), "2024-Q1", variant="practitioner")
+    assert r1["success"] and r2["success"]
+
+    src = get_source("NCCI_PTP")
+    part_dir = Path(store.root) / "facts" / src.target_table / "data_version_id=1"
+    before_files = len(list(part_dir.glob("*.parquet")))
+    assert before_files > 1
+
+    view = store.current_view(src, variant="practitioner")
+    def content_set(df):
+        return {tuple(r) for r in df.select(sorted(df.columns)).collect()}
+    before = content_set(view)
+
+    n_files = store.compact_version(src, 1, target_files=1)
+    assert n_files == 1
+    assert len(list(part_dir.glob("*.parquet"))) == 1
+    after_view = store.current_view(src, variant="practitioner")
+    assert content_set(after_view) == before
+    v = store.find_version("NCCI_PTP", "2024-Q1", "practitioner")
+    assert v["record_count"] == 6 and v["part_count"] == 2  # meta untouched
