@@ -522,3 +522,31 @@ def test_compact_version_preserves_content(spark, store, tmp_path):
     assert content_set(after_view) == before
     v = store.find_version("NCCI_PTP", "2024-Q1", "practitioner")
     assert v["record_count"] == 6 and v["part_count"] == 2  # meta untouched
+
+
+def test_current_view_partition_pruning(spark, store, tmp_path):
+    # the point of partitioning facts by data_version_id: a current-view
+    # read must touch ONLY the live version's directory, no matter how
+    # many historical versions exist on disk
+    p1 = tmp_path / "v1.csv"
+    p1.write_text(PFS_RVU_CSV)
+    ingest_file(spark, store, "PFS_RVU", str(p1), "2024-Q1")
+    p2 = tmp_path / "v2.csv"
+    p2.write_text(PFS_RVU_CSV.replace("1,234.56", "9.00"))
+    ingest_file(spark, store, "PFS_RVU", str(p2), "2024-Q2")
+
+    src = get_source("PFS_RVU")
+    view = store.current_view(src)
+    # inputFiles() reports the PRE-pruning relation listing; the honest
+    # probe is which files execution actually touched
+    files = [
+        r[0]
+        for r in view.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "current view reads no files?"
+    assert all("data_version_id=2" in f for f in files), files
+    assert not any("data_version_id=1" in f for f in files)
+    # and the plan itself prunes at the source: the scan carries a
+    # partition filter on the version key
+    plan = view._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "data_version_id" in plan
