@@ -428,6 +428,23 @@ class VersionStore:
         facts = self.spark.read.parquet(self.fact_path(source))
         return facts.filter(F.col("data_version_id").isin(ids))
 
+    def view_as_of(
+        self, source: Source, version_label: str, variant: str | None = None
+    ) -> DataFrame:
+        """Time travel by label: the fact rows of a *specific* completed
+        version — the reference's versioning model is exactly manual
+        snapshot-by-label (SURVEY.md §1.4), so reading any historical
+        quarter must stay a first-class query, not an export job.
+        Partition pruning makes this read exactly one directory no
+        matter how much history the table holds."""
+        v = self.find_version(source.source_code, version_label, variant)
+        if v is None or v["status"] != STATUS_COMPLETED:
+            raise KeyError(
+                f"No completed version ({source.source_code}, {version_label}, {variant})"
+            )
+        facts = self.spark.read.parquet(self.fact_path(source))
+        return facts.filter(F.col("data_version_id") == int(v["version_id"]))
+
     def register_current_views(self) -> None:
         """Register ``{table}_current`` temp views for every source that
         has fact data — the reference's 11-view query surface."""

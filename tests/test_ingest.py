@@ -550,3 +550,24 @@ def test_current_view_partition_pruning(spark, store, tmp_path):
     # partition filter on the version key
     plan = view._jdf.queryExecution().toString()
     assert "PartitionFilters" in plan and "data_version_id" in plan
+
+
+def test_view_as_of_time_travel(spark, store, tmp_path):
+    p1 = tmp_path / "t1.csv"
+    p1.write_text(PFS_RVU_CSV)
+    ingest_file(spark, store, "PFS_RVU", str(p1), "2024-Q1")
+    p2 = tmp_path / "t2.csv"
+    p2.write_text(PFS_RVU_CSV.replace("1,234.56", "7.77"))
+    ingest_file(spark, store, "PFS_RVU", str(p2), "2024-Q2")
+
+    src = get_source("PFS_RVU")
+    # current = Q2, but Q1 stays queryable by label with its ORIGINAL data
+    q1 = {r.hcpcs_code: r for r in store.view_as_of(src, "2024-Q1").collect()}
+    q2 = {r.hcpcs_code: r for r in store.view_as_of(src, "2024-Q2").collect()}
+    assert q1["00100"].work_rvu == 1234.56
+    assert q2["00100"].work_rvu == 7.77
+    cur = {r.hcpcs_code: r for r in store.current_view(src).collect()}
+    assert cur["00100"].work_rvu == 7.77
+
+    with pytest.raises(KeyError, match="No completed version"):
+        store.view_as_of(src, "2019-Q1")
