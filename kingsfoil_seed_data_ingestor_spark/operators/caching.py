@@ -34,10 +34,17 @@ class CacheScope:
 
     def persist(self, df: DataFrame) -> DataFrame:
         """Persist ``df`` (default spillable MEMORY_AND_DISK level) and
-        track it for release. A DataFrame that is already cached —
-        e.g. the caller persisted the input under an outer scope — is
-        returned untouched so ownership stays with that outer scope."""
-        if df.is_cached:
+        track it for release. A DataFrame whose PLAN is already cached
+        — the caller persisted it (or an equivalent plan) under an
+        outer scope — is returned untouched so ownership stays with
+        that outer scope. The check must be ``storageLevel`` (a live
+        CacheManager lookup by plan), NOT ``is_cached`` (a Python
+        object attribute set only by persist() on that instance): two
+        DataFrame objects over the same source would otherwise
+        double-register, and this scope's release would drop the
+        caller's cache out from under it."""
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
             return df
         df = df.persist()
         self._dfs.append(df)

@@ -46,10 +46,21 @@ def _ensure_checkpoint_dir(spark) -> None:
     analysis cost goes exponential (measured: a 12-hop chain never
     finished planning). Reliable checkpoints go to the configured dir;
     default one lazily for sessions (tests, the driver harness) that
-    never set it. On a cluster, point this at shared storage."""
+    never set it. On a cluster, point this at shared storage.
+
+    File lifetime: sessions built by ``session.get_spark`` set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` so files die
+    with their RDDs; that conf is static, so for foreign sessions the
+    defaulted tmp dir is registered for removal at interpreter exit —
+    checkpoint data from finished runs never outlives the process."""
+    import atexit
+    import shutil
+
     sc = spark.sparkContext
     if sc._jsc.sc().checkpointDir().isEmpty():
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="kingsfoil-ckpt-"))
+        ckpt_dir = tempfile.mkdtemp(prefix="kingsfoil-ckpt-")
+        sc.setCheckpointDir(ckpt_dir)
+        atexit.register(shutil.rmtree, ckpt_dir, True)
 
 
 def connected_components(
@@ -96,9 +107,13 @@ def connected_components(
         # decimal: exact far beyond int64 at billion-node × wide-id scale
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
+    # ``max_iterations`` bounds CHANGING propagation rounds only — the
+    # final no-change round that *confirms* the fixpoint is always
+    # allowed, so a graph converging exactly on the last budgeted round
+    # is not misreported as divergent
     prev_sum = label_sum(labels)
-    converged = False
-    for _ in range(max_iterations):
+    changing_rounds = 0
+    while True:
         # min label among each node's neighbors, then keep min(own, that)
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -118,15 +133,15 @@ def connected_components(
         )
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
-            converged = True
             break
+        changing_rounds += 1
+        if changing_rounds > max_iterations:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations — pathological graph diameter; switch to "
+                "small-star/large-star"
+            )
         prev_sum = new_sum
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "iterations — pathological graph diameter; switch to "
-            "small-star/large-star"
-        )
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

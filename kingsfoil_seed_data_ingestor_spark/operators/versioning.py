@@ -110,6 +110,20 @@ class VersionStore:
         self.root = Path(root)
         (self.root / "meta").mkdir(parents=True, exist_ok=True)
         (self.root / "facts").mkdir(parents=True, exist_ok=True)
+        self._recover_interrupted_compactions()
+
+    def _recover_interrupted_compactions(self) -> None:
+        """Roll back a compaction that crashed between its two swap
+        renames: the live partition dir is missing and its data sits in
+        ``_staging/compact-<vid>-*.trash``. Restore the trash to live;
+        any trash whose live dir exists is post-swap garbage to drop."""
+        for trash in self.root.glob("facts/*/_staging/compact-*.trash"):
+            version_id = trash.name.split("-")[1]
+            live = trash.parent.parent / f"data_version_id={version_id}"
+            if live.exists():
+                shutil.rmtree(trash, ignore_errors=True)
+            else:
+                os.replace(trash, live)
 
     # ---------------- meta table plumbing ----------------
 
@@ -375,22 +389,24 @@ class VersionStore:
         part commit adds task-count files; a year of quarterly appends
         reads as thousands of tiny scans otherwise).
 
-        Sequence: write compacted files into ``_staging`` (invisible),
-        then under the meta writer lock swap the live directory by two
-        renames (live → trash, staged → live) and drop the trash. Rows
-        are byte-identical — this changes layout, never content; the
-        test pins count + content hash across the swap. The rename
-        window is the same visibility granularity the append commit
-        already has (a transactional table format subsumes both).
+        Concurrency/crash discipline: the whole operation — status
+        check, snapshot read, compacted write, swap — runs under the
+        meta writer lock, and the swap re-verifies that the partition's
+        file set is unchanged since the snapshot (a concurrent
+        lock-free ``commit_staged`` would otherwise have its part
+        silently deleted); on any drift the staged copy is discarded
+        and the call raises for retry. A crash between the two swap
+        renames leaves the data in ``_staging/*.trash`` with the live
+        dir missing — ``VersionStore.__init__`` restores exactly that
+        state (trash present ∧ live absent ⇒ roll back). Rows are
+        byte-identical — this changes layout, never content; the test
+        pins count + content hash across the swap.
 
         Returns the number of data files after compaction.
         """
         part_dir = (
             self.root / "facts" / source.target_table / f"data_version_id={version_id}"
         )
-        if not part_dir.exists():
-            raise KeyError(f"No fact partition for version {version_id}")
-        compacted = self.spark.read.parquet(str(part_dir)).coalesce(target_files)
         staged = (
             self.root
             / "facts"
@@ -398,9 +414,25 @@ class VersionStore:
             / "_staging"
             / f"compact-{version_id}-{uuid.uuid4().hex}"
         )
-        compacted.write.mode("overwrite").parquet(str(staged))
         trash = staged.with_name(staged.name + ".trash")
         with self._meta_lock():
+            pdf = self._read_versions()
+            hit = pdf[pdf.version_id == version_id]
+            if hit.empty or hit.iloc[0].status != STATUS_COMPLETED:
+                raise ValueError(
+                    f"Version {version_id} is not completed; refusing compaction"
+                )
+            if not part_dir.exists():
+                raise KeyError(f"No fact partition for version {version_id}")
+            snapshot = sorted(f.name for f in part_dir.glob("*.parquet"))
+            compacted = self.spark.read.parquet(str(part_dir)).coalesce(target_files)
+            compacted.write.mode("overwrite").parquet(str(staged))
+            if sorted(f.name for f in part_dir.glob("*.parquet")) != snapshot:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise RuntimeError(
+                    f"Partition changed during compaction of version {version_id}; "
+                    "discarded staged copy — retry"
+                )
             os.replace(part_dir, trash)
             os.replace(staged, part_dir)
         # drop non-data sidecar files (_SUCCESS) along with the old data

@@ -496,7 +496,9 @@ DECON_LEAK_TOKENS = 27
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # slice from the CANONICAL tokenizer so the planted leak can never
+    # drift from what contamination_pairs itself tokenizes
+    toks = TX.tokens(F.col("text"))
     planted = docs.filter(F.col("doc_id") == DECON_LEAK_SRC_ID).select(
         F.lit(-1).cast("long").alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, DECON_LEAK_TOKENS)).alias("text"),

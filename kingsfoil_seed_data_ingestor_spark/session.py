@@ -51,6 +51,11 @@ def get_spark(
         # that can take arbitrarily long, so ask for a periodic GC often
         # enough that state from finished queries never piles up
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # iterative operators (connected components) checkpoint per
+        # iteration; without this, reliable-checkpoint files outlive
+        # their RDDs for the whole session (static conf — sessions we
+        # don't build fall back to the atexit cleanup in components.py)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

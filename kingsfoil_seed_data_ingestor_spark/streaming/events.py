@@ -68,7 +68,14 @@ def read_event_stream(
         probe = probe.option("pathGlobFilter", glob)
     if recursive:
         probe = probe.option("recursiveFileLookup", "true")
-    ts_is_nanos = dict(probe.parquet(source_dir).dtypes).get("ts") == "bigint"
+    try:
+        ts_is_nanos = dict(probe.parquet(source_dir).dtypes).get("ts") == "bigint"
+    except Exception:
+        # no matching files yet — the canonical start-stream-before-data
+        # deployment. Assume the current µs layout; a ns-layout feed
+        # appearing later would need the stream restarted, which is the
+        # price of any schema change on a file-source stream.
+        ts_is_nanos = False
 
     schema = EVENTS_NANOS_SCHEMA if ts_is_nanos else EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)

@@ -76,3 +76,22 @@ def test_cache_scope_respects_outer_ownership(spark):
     assert n_pinned(spark) >= 1, "inner release must not steal outer's cache"
     outer.release()
     assert n_pinned(spark) == 0
+
+
+def test_cache_scope_detects_equivalent_plan_cached_elsewhere(spark):
+    # the already-cached check must be a CacheManager lookup by PLAN,
+    # not a Python object attribute: a fresh DataFrame object over a
+    # cached plan must not be re-registered (its release would drop the
+    # owner's cache)
+    spark.catalog.clearCache()
+    owner = spark.range(77).selectExpr("id", "id * 3 AS y")
+    owner.persist()
+    owner.count()
+    equivalent = spark.range(77).selectExpr("id", "id * 3 AS y")  # new object
+    scope = CacheScope()
+    out = scope.persist(equivalent)
+    assert out is equivalent
+    scope.release()
+    assert n_pinned(spark) >= 1, "scope release must not drop the owner's cache"
+    owner.unpersist()
+    assert n_pinned(spark) == 0

@@ -571,3 +571,36 @@ def test_view_as_of_time_travel(spark, store, tmp_path):
 
     with pytest.raises(KeyError, match="No completed version"):
         store.view_as_of(src, "2019-Q1")
+
+
+def test_compact_refuses_uncompleted_and_recovers_from_crash(spark, store, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    p = tmp_path / "cc.csv"
+    p.write_text(PFS_RVU_CSV)
+    ingest_file(spark, store, "PFS_RVU", str(p), "2024-Q1")
+    src = get_source("PFS_RVU")
+
+    # refuse compaction of anything but a completed version
+    vid = store.create_version("PFS_RVU", "2024-Q9")  # status=processing
+    with pytest.raises(ValueError, match="not completed"):
+        store.compact_version(src, vid)
+
+    # crash between the two swap renames: live dir gone, data in trash.
+    # A fresh store (restart) must restore the partition.
+    part_dir = Path(store.root) / "facts" / src.target_table / "data_version_id=1"
+    staging = part_dir.parent / "_staging"
+    staging.mkdir(exist_ok=True)
+    trash = staging / "compact-1-deadbeef.trash"
+    shutil.move(str(part_dir), str(trash))
+    assert not part_dir.exists()
+    recovered = VersionStore(spark, str(store.root))
+    assert part_dir.exists() and not trash.exists()
+    assert recovered.current_view(src).count() == 3
+
+    # post-swap garbage (trash with live dir present) is dropped
+    garbage = staging / "compact-1-cafebabe.trash"
+    garbage.mkdir()
+    VersionStore(spark, str(store.root))
+    assert not garbage.exists() and part_dir.exists()

@@ -637,3 +637,16 @@ def test_salted_top_k_spreads_hot_key(spark):
     a = {tuple(r) for r in with_salt(df, ["row_id"], 16).collect()}
     b = {tuple(r) for r in with_salt(df, ["row_id"], 16).collect()}
     assert a == b
+
+
+def test_connected_components_converges_on_exact_budget(spark):
+    # fixpoint reached on the LAST budgeted changing round: the
+    # confirming no-change round must not count against the budget
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "i long, j long")
+    got = {
+        r.doc_id: r.component_id
+        for r in CC.connected_components(edges, max_iterations=1).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}

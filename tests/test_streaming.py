@@ -252,3 +252,26 @@ def test_correlate_events_stream_equals_batch(spark, stream_events, batch_events
     cols = ["user_id", "first_id", "then_id", "first_ts", "then_ts"]
     assert batch.count() > 0  # the corpus genuinely correlates
     assert as_sets(streamed, cols) == as_sets(batch, cols)
+
+
+def test_read_event_stream_on_empty_directory(spark, tmp_path):
+    # canonical file-stream deployment: the stream is defined BEFORE
+    # any data arrives; the schema probe must not explode on an empty
+    # source, and files dropped later flow through
+    src = tmp_path / "future_feed"
+    src.mkdir()
+    stream = read_event_stream(spark, str(src))  # must not raise
+    out = run_to_memory(
+        stream.groupBy().agg(F.count(F.lit(1)).alias("n")), "empty_feed"
+    )
+    # zero micro-batches -> the sink holds either nothing or a 0-count row
+    first = out.first()
+    assert first is None or first.n == 0
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    raw.write.parquet(str(src / "late.parquet"))
+    stream2 = read_event_stream(spark, str(src), recursive=True)
+    out2 = run_to_memory(
+        stream2.groupBy().agg(F.count(F.lit(1)).alias("n")), "late_feed"
+    )
+    assert out2.first().n == raw.count()
