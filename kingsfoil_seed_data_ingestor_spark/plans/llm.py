@@ -621,6 +621,75 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns — Java regex and RE2 agree on this subset (character
+#: classes, bounded repetition, \b word boundaries)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+#: docs that get PII planted (the synthetic corpus contains none — an
+#: all-zero redaction count would only prove the engines agree on
+#: silence, same reasoning as the decontamination leak)
+PII_PLANT_IDS = (2, 5)
+PII_SUFFIX = " Contact jane.doe@example.com or 555-123-4567 ssn 123-45-6789"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id IN {PII_PLANT_IDS}
+                    THEN text || '{PII_SUFFIX}' ELSE text END AS text
+        FROM documents WHERE doc_id < 10
+    ), counted AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+               len(regexp_extract_all(text, '{PII_SSN}')) AS n_ssns
+        FROM base
+    )
+    SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+           CAST(n_phones AS INT) AS n_phones, CAST(n_ssns AS INT) AS n_ssns,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_SSN}', '[SSN]', 'g'),
+               '{PII_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM counted
+    """,
+    doc="PII scrubbing — the redaction pass every training corpus runs "
+    "before the mix is frozen: count and replace emails, phone "
+    "numbers, and SSNs with typed placeholders, entirely in native "
+    "regexp expressions (single scan, no shuffle, no Python). SSNs "
+    "redact before phones so the overlapping digit shapes can't "
+    "double-fire. The corpus has no organic PII, so two docs get a "
+    "planted contact line (same planted-evidence reasoning as "
+    "decontamination); the oracle hash-checks the REDACTED TEXT "
+    "itself, not just the counts.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    text = F.when(
+        F.col("doc_id").isin(*PII_PLANT_IDS), F.concat(F.col("text"), F.lit(PII_SUFFIX))
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_SSN,
+            "[SSN]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count("text", F.lit(PII_SSN)).cast("int").alias("n_ssns"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 @register(
     "text_tfidf",
     oracle=f"""
