@@ -650,3 +650,30 @@ def test_connected_components_converges_on_exact_budget(spark):
         for r in CC.connected_components(edges, max_iterations=1).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_pii_scrub_removes_all_patterns(spark):
+    import re
+
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import (
+        PII_EMAIL,
+        PII_PHONE,
+        PII_SSN,
+        PII_SUFFIX,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world" + PII_SUFFIX), (2, "clean text")], "doc_id long, text string"
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"), PII_SSN, "[SSN]"
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    rows = {r.doc_id: r.out for r in df.select("doc_id", redacted.alias("out")).collect()}
+    assert "[EMAIL]" in rows[1] and "[PHONE]" in rows[1] and "[SSN]" in rows[1]
+    for pat in (PII_EMAIL, PII_PHONE, PII_SSN):
+        assert not re.search(pat, rows[1]), f"unredacted {pat}"
+    assert rows[2] == "clean text"
