@@ -1,6 +1,12 @@
 """Engine operators: dedup, typed ingest pipeline, versioning, orchestration."""
 
+from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
+from kingsfoil_seed_data_ingestor_spark.operators.components import (
+    component_stats,
+    connected_components,
+)
 from kingsfoil_seed_data_ingestor_spark.operators.dedup import keep_first
+from kingsfoil_seed_data_ingestor_spark.operators.skew import salted_top_k, with_salt
 from kingsfoil_seed_data_ingestor_spark.operators.ingest import (
     IngestPlan,
     build_ingest_plan,
@@ -16,6 +22,11 @@ from kingsfoil_seed_data_ingestor_spark.operators.pipeline import (
 )
 
 __all__ = [
+    "CacheScope",
+    "connected_components",
+    "component_stats",
+    "salted_top_k",
+    "with_salt",
     "keep_first",
     "IngestPlan",
     "build_ingest_plan",
