@@ -762,6 +762,99 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: token budget per packed training sequence (toy-sized for the corpus)
+PACK_BUDGET = 256
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len({SQL_TOKENS}) AS n_tok FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    ), b AS (
+        -- FLOOR, not CAST: DuckDB's double->BIGINT cast rounds while
+        -- Spark's truncates; floor agrees everywhere for positives
+        SELECT source, CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+               n_tok
+        FROM c
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           SUM(n_tok) AS bin_tokens
+    FROM b GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    doc="Sequence packing — the step that turns a cleaned corpus into "
+    "fixed-budget training sequences: docs stream in id order per "
+    "source, a running token total assigns each doc to bin "
+    "floor(tokens_before/budget) (greedy contiguous packing, overflow "
+    "allowed at bin boundaries), then per-bin fill stats. One window "
+    "partitioned by source + one groupBy — at 100 TB each source "
+    "stratum packs independently, and the window's sort key is the "
+    "storage order so the shuffle is the only data movement.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", TX.token_count(F.col("text")).alias("n_tok"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    b = c.select(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET).cast("long").alias("bin_id"),
+        "n_tok",
+    )
+    return (
+        b.groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+        .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "dedup_apply",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source, md5({SQL_NORMALIZED}) AS fp FROM documents
+    ), keep AS (
+        SELECT fp, MIN(doc_id) AS keeper_id FROM fp GROUP BY fp
+    )
+    SELECT f.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (f.doc_id = k.keeper_id) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (f.doc_id <> k.keeper_id) AS BIGINT) AS n_removed
+    FROM fp f JOIN keep k USING (fp)
+    GROUP BY f.source
+    """,
+    doc="Dedup APPLICATION — not just the report: every doc resolves "
+    "against its content-fingerprint group's keeper (min id) and the "
+    "cleaned corpus = rows where doc_id = keeper_id. Reported as "
+    "per-source kept/removed counts so the result is stable; the "
+    "keeper join is the same single fingerprint shuffle as dedup_exact "
+    "plus one broadcastable keeper table.",
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", TX.content_fingerprint(F.col("text")).alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    joined = fp.join(keep, "fp")
+    is_keeper = F.col("doc_id") == F.col("keeper_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(is_keeper, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~is_keeper, 1).otherwise(0)).cast("long").alias("n_removed"),
+    )
+
+
 # ----------------------------------------------------------------------
 # deduplication
 # ----------------------------------------------------------------------
