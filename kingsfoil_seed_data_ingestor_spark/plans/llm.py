@@ -633,6 +633,22 @@ PII_PLANT_IDS = (2, 5)
 PII_SUFFIX = " Contact jane.doe@example.com or 555-123-4567 ssn 123-45-6789"
 
 
+def pii_redact(col) -> "F.Column":
+    """The production redaction expression (email → SSN → phone, in
+    that order so overlapping digit shapes can't double-fire). Shared
+    by the registered query and its unit test so the test exercises
+    THIS expression, not a private copy."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL, "[EMAIL]"),
+            PII_SSN,
+            "[SSN]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+
+
 @register(
     "text_pii_scrub",
     oracle=f"""
@@ -672,15 +688,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isin(*PII_PLANT_IDS), F.concat(F.col("text"), F.lit(PII_SUFFIX))
     ).otherwise(F.col("text"))
     base = docs.select("doc_id", text.alias("text"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
-            PII_SSN,
-            "[SSN]",
-        ),
-        PII_PHONE,
-        "[PHONE]",
-    )
+    redacted = pii_redact(F.col("text"))
     return base.select(
         "doc_id",
         F.regexp_count("text", F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
@@ -843,10 +851,13 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fp = docs.select(
-        "doc_id", "source", TX.content_fingerprint(F.col("text")).alias("fp")
+        "doc_id", "source", TX.content_fingerprint(F.col("text")).alias("fingerprint")
     )
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
-    joined = fp.join(keep, "fp")
+    # keeper selection comes from the exact-dedup OPERATOR, not a local
+    # re-implementation — if the keeper rule ever changes, plan and
+    # operator change together
+    keep = DD.exact_dedup(docs).select("fingerprint", "keeper_id")
+    joined = fp.join(keep, "fingerprint")
     is_keeper = F.col("doc_id") == F.col("keeper_id")
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

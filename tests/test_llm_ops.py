@@ -660,18 +660,14 @@ def test_pii_scrub_removes_all_patterns(spark):
         PII_PHONE,
         PII_SSN,
         PII_SUFFIX,
+        pii_redact,
     )
 
     df = spark.createDataFrame(
         [(1, "hello world" + PII_SUFFIX), (2, "clean text")], "doc_id long, text string"
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"), PII_SSN, "[SSN]"
-        ),
-        PII_PHONE,
-        "[PHONE]",
-    )
+    # exercise the PRODUCTION expression, not a private copy
+    redacted = pii_redact(F.col("text"))
     rows = {r.doc_id: r.out for r in df.select("doc_id", redacted.alias("out")).collect()}
     assert "[EMAIL]" in rows[1] and "[PHONE]" in rows[1] and "[SSN]" in rows[1]
     for pat in (PII_EMAIL, PII_PHONE, PII_SSN):
