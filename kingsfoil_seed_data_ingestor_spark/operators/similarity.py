@@ -328,31 +328,20 @@ def knn_ivf_kmeans(
     return scope.attach(out) if own else out
 
 
-def ann_recall_at_k(
+def recall_vs_bruteforce(
     vectors: DataFrame,
+    ann: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    n_clusters: int = 8,
-    iters: int = 3,
-    nprobe: int = 2,
-    scope: CacheScope | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
-    """Measured recall@k of the k-means IVF path against exact brute
-    force — the honesty metric for an ANN index (a quantizer that
-    routes badly shows up here as recall, not as a silent wrong
-    answer). One row: (n_queries, k, nprobe, avg_recall).
-
-    The vector table feeds the brute-force scan, every Lloyd
-    iteration, and the final probe scan — persisted once under
-    ``scope`` so the iterative driver loop doesn't re-read the source
-    per job (auto-released with the result when no scope is passed)."""
-    scope, own = scope_or_own(scope)
-    vectors = scope.persist(vectors)
+    """Recall@k of any ANN result (``query_id, neighbor_id`` rows)
+    against the exact brute-force top-k over ``vectors`` — the honesty
+    metric for an ANN index (a quantizer that routes badly shows up
+    here as recall, not as a silent wrong answer). One row:
+    (n_queries, k, nprobe, avg_recall)."""
     brute = knn_bruteforce(vectors, query_ids, k=k).select("query_id", "neighbor_id")
-    ann = knn_ivf_kmeans(
-        vectors, query_ids, k=k, n_clusters=n_clusters, iters=iters, nprobe=nprobe,
-        scope=scope,
-    ).select("query_id", "neighbor_id")
+    ann = ann.select("query_id", "neighbor_id")
     # both join inputs are ≤ |queries|·k rows (top-k outputs), but the
     # static planner can't see that through the window/agg lineage and
     # falls back to sort-merge — broadcast explicitly so the plan is
@@ -367,12 +356,38 @@ def ann_recall_at_k(
     ).select(
         "query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
     )
-    out = per_q.agg(
+    return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.lit(k).alias("k"),
-        F.lit(nprobe).alias("nprobe"),
+        F.lit(-1 if nprobe is None else nprobe).alias("nprobe"),
         F.round(F.avg(F.col("n_hits") / k), 6).alias("avg_recall"),
     )
+
+
+def ann_recall_at_k(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Recall@k of the in-session trained IVF path (trains the
+    quantizer inline — for index-less use; the registered query goes
+    through the persisted index via ``operators.ann_index`` instead).
+
+    The vector table feeds the brute-force scan, every Lloyd
+    iteration, and the final probe scan — persisted once under
+    ``scope`` so the iterative driver loop doesn't re-read the source
+    per job (auto-released with the result when no scope is passed)."""
+    scope, own = scope_or_own(scope)
+    vectors = scope.persist(vectors)
+    ann = knn_ivf_kmeans(
+        vectors, query_ids, k=k, n_clusters=n_clusters, iters=iters, nprobe=nprobe,
+        scope=scope,
+    )
+    out = recall_vs_bruteforce(vectors, ann, query_ids, k=k, nprobe=nprobe)
     return scope.attach(out) if own else out
 
 
@@ -465,6 +480,15 @@ def near_dup_pairs_rhp(
     from 13.5 s to the low seconds. Per-vector ``l2_norm`` is folded in
     the same index order as the per-pair form, so ``dot/(nᵢ·nⱼ)`` is
     bit-identical to the oracle's ``dot/(√dot(a,a)·√dot(b,b))``.
+
+    Caller contract: ``vectors`` is scanned TWICE — once to build the
+    banded table, once to build the normed rejoin table (each persisted
+    under ``scope`` after its scan). This is deliberate: both are
+    narrow column-pruned parquet reads, and pinning the full embedding
+    payload in executor memory just to save the second scan is exactly
+    the O(N·d)-resident footprint this operator avoids. Callers holding
+    ``vectors`` already persisted (e.g. inside a multi-query scope) pay
+    nothing extra.
     """
     rows_per_band = n_planes // bands
     planes = rhp_sign_planes(n_planes, dim)

@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kingsfoil_seed_data_ingestor_spark.operators.caching import (
+    CacheScope,
+    scope_or_own,
+)
+
 
 def with_salt(df: DataFrame, salt_from: list[str], n_salts: int = 16) -> DataFrame:
     """Add a deterministic ``_salt`` in [0, n_salts) hashed from the
@@ -67,3 +72,69 @@ def salted_top_k(
         partial.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    partition_by: list[str],
+    order_col: str,
+    val_col: str,
+    out_col: str = "cum",
+    bucket_rows: int = 1024,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Exact running sum per key, ordered by ``order_col``, that never
+    funnels a whole key stratum through one task.
+
+    ``F.sum(v).over(Window.partitionBy(K).orderBy(o))`` is the
+    unsplittable-window hazard again — only now for prefix sums
+    (sequence packing, byte offsets, cumulative quotas): every row of a
+    key runs through ONE task, and a key stratum is unbounded at 100 TB.
+    Salting can't help (a prefix sum is order-dependent), but a
+    two-phase scan does — the textbook parallel prefix sum:
+
+    1. split the order domain into deterministic buckets
+       (``floor(order_col / bucket_rows)`` — no range-sampling, so the
+       split is stable across stage retries) and running-sum within
+       ``(K, bucket)``: parallel across buckets;
+    2. per-bucket totals → running-sum *offsets* across buckets within
+       the key (one narrow row per non-empty bucket per key — the only
+       single-task-per-key stage, shrunk ``bucket_rows``-fold; recurse
+       if even that is too big), broadcast back and add.
+
+    Requires ``order_col`` to be non-negative integral and unique per
+    key (ids, byte positions). Output = input columns + ``out_col``,
+    bit-identical to the single-window form.
+    """
+    scope, own = scope_or_own(scope)
+    # persisted because local sums AND bucket totals both consume it —
+    # the alternative recomputes the (possibly expensive) val_col
+    # expression once per branch
+    bucketed = scope.persist(
+        df.withColumn("_bkt", F.floor(F.col(order_col) / F.lit(bucket_rows)))
+    )
+    w_local = (
+        Window.partitionBy(*partition_by, "_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("_local_cum", F.sum(val_col).over(w_local))
+    totals = bucketed.groupBy(*partition_by, "_bkt").agg(
+        F.sum(val_col).alias("_tot")
+    )
+    w_off = (
+        Window.partitionBy(*partition_by)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *partition_by,
+        "_bkt",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    out = (
+        local.join(F.broadcast(offsets), [*partition_by, "_bkt"])
+        .withColumn(out_col, F.col("_local_cum") + F.col("_off"))
+        .drop("_bkt", "_local_cum", "_off")
+    )
+    return scope.attach(out) if own else out

@@ -64,6 +64,32 @@ STATUS_PROCESSING = "processing"
 STATUS_COMPLETED = "completed"
 STATUS_FAILED = "failed"
 
+
+def _append_row(pdf: pd.DataFrame, row: dict) -> pd.DataFrame:
+    """Append one dict row, keeping existing column dtypes.
+
+    ``pd.concat`` with a single-row frame whose column is all-NA emits
+    a pandas 2.x ``FutureWarning`` (all-NA entries will stop being
+    excluded from dtype determination) — and under the future semantics
+    a nullable int/float column would silently degrade to object. Pin
+    the all-NA columns of the new row to the existing dtype up front
+    (integers widen to float64, the NaN-capable form concat produces
+    today) so the behavior is explicit and version-proof.
+    """
+    new = pd.DataFrame([row])
+    if pdf.empty:
+        return new
+    for c in pdf.columns:
+        if c in new.columns and new[c].isna().all():
+            dt = pdf[c].dtype
+            if pd.api.types.is_integer_dtype(dt) or pd.api.types.is_bool_dtype(dt):
+                dt = "float64"  # NaN-capable widening, same as concat today
+            try:
+                new[c] = new[c].astype(dt)
+            except (TypeError, ValueError):
+                pass
+    return pd.concat([pdf, new], ignore_index=True)
+
 #: a writer holding the meta lock longer than this is presumed dead —
 #: the lock is broken so a crashed ingest can't wedge the store forever
 LOCK_STALE_SECONDS = 60.0
@@ -116,14 +142,20 @@ class VersionStore:
         """Roll back a compaction that crashed between its two swap
         renames: the live partition dir is missing and its data sits in
         ``_staging/compact-<vid>-*.trash``. Restore the trash to live;
-        any trash whose live dir exists is post-swap garbage to drop."""
-        for trash in self.root.glob("facts/*/_staging/compact-*.trash"):
-            version_id = trash.name.split("-")[1]
-            live = trash.parent.parent / f"data_version_id={version_id}"
-            if live.exists():
-                shutil.rmtree(trash, ignore_errors=True)
-            else:
-                os.replace(trash, live)
+        any trash whose live dir exists is post-swap garbage to drop.
+
+        Runs under the meta lock: a *live* compactor holds the lock
+        across its two renames, so without it a store constructed in
+        that window would see "trash present, live missing" and restore
+        the trash out from under the in-flight swap."""
+        with self._meta_lock():
+            for trash in self.root.glob("facts/*/_staging/compact-*.trash"):
+                version_id = trash.name.split("-")[1]
+                live = trash.parent.parent / f"data_version_id={version_id}"
+                if live.exists():
+                    shutil.rmtree(trash, ignore_errors=True)
+                else:
+                    os.replace(trash, live)
 
     # ---------------- meta table plumbing ----------------
 
@@ -214,10 +246,7 @@ class VersionStore:
                 "error_message": None,
                 "imported_at": None,
             }
-            new = pd.DataFrame([row])
-            self._write_versions(
-                new if pdf.empty else pd.concat([pdf, new], ignore_index=True)
-            )
+            self._write_versions(_append_row(pdf, row))
             return version_id
 
     def _mutate(self, version_id: int, **updates) -> None:
@@ -365,15 +394,22 @@ class VersionStore:
         """Publish a staged part: move its data files into the version's
         partition directory. Pure same-filesystem renames — no data
         rewrite, each file appears atomically (the same visibility
-        granularity Spark's own append commit protocol provides)."""
+        granularity Spark's own append commit protocol provides).
+
+        Takes the meta lock (cheap: a handful of renames) so a commit
+        can never land between ``compact_version``'s snapshot re-verify
+        and its directory swap — without it the swap would move the
+        freshly committed part to trash and delete it. The lock turns
+        the compactor's re-verify from best-effort into airtight."""
         part_dir = (
             self.root / "facts" / source.target_table / f"data_version_id={version_id}"
         )
-        part_dir.mkdir(parents=True, exist_ok=True)
         staged = Path(staged_dir)
         prefix = staged.name
-        for f in sorted(staged.glob("*.parquet")):
-            os.replace(f, part_dir / f"{prefix}-{f.name}")
+        with self._meta_lock():
+            part_dir.mkdir(parents=True, exist_ok=True)
+            for f in sorted(staged.glob("*.parquet")):
+                os.replace(f, part_dir / f"{prefix}-{f.name}")
         shutil.rmtree(staged, ignore_errors=True)
 
     def discard_staged(self, staged_dir: str) -> None:
@@ -506,8 +542,7 @@ class VersionStore:
         }
         with self._meta_lock():
             if self._logs_path.exists():
-                logs = pd.read_parquet(self._logs_path)
-                logs = pd.concat([logs, pd.DataFrame([row])], ignore_index=True)
+                logs = _append_row(pd.read_parquet(self._logs_path), row)
             else:
                 logs = pd.DataFrame([row])
             fd, tmp = tempfile.mkstemp(dir=self.root / "meta", suffix=".parquet")

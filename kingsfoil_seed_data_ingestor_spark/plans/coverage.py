@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from kingsfoil_seed_data_ingestor_spark.functions import transforms as X
 from kingsfoil_seed_data_ingestor_spark.operators.asof import asof_join
 from kingsfoil_seed_data_ingestor_spark.operators.dedup import keep_first
-from kingsfoil_seed_data_ingestor_spark.plans.core import register
+from functools import partial
+
+from kingsfoil_seed_data_ingestor_spark.plans.core import register as _register
+
+# reference-parity band: always inside the driver's correctness window
+register = partial(_register, priority=10)
 from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 
 DEC = "decimal(18,4)"

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kingsfoil_seed_data_ingestor_spark.plans.core import register
+from functools import partial
+
+from kingsfoil_seed_data_ingestor_spark.plans.core import register as _register
+
+# streaming-twin band: after reference parity, before extensions
+register = partial(_register, priority=20)
 from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 
 DEC = "decimal(18,4)"

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.functions import transforms as X
-from kingsfoil_seed_data_ingestor_spark.plans.core import register
+from functools import partial
+
+from kingsfoil_seed_data_ingestor_spark.plans.core import register as _register
+
+# reference-parity band: always inside the driver's correctness window
+register = partial(_register, priority=10)
 from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 
 # Exact money arithmetic: cast to decimal before aggregating so sums are

@@ -281,6 +281,68 @@ def test_ann_recall_testdata_floor(spark):
     assert row.avg_recall >= 0.9
 
 
+def test_ivf_index_build_reuse_staleness_and_search_parity(spark, tmp_path):
+    import os
+    import shutil
+
+    from kingsfoil_seed_data_ingestor_spark.operators import ann_index as ANN
+
+    src = str(tmp_path / "emb.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/embeddings.parquet", src)
+    vectors = spark.read.parquet(src)
+    root = str(tmp_path / "idx")
+
+    d1 = ANN.ensure_ivf_index(vectors, src, n_clusters=4, iters=2, root=root)
+    meta_mtime = os.path.getmtime(os.path.join(d1, "meta.json"))
+    # second ensure reuses the index without rebuilding
+    d2 = ANN.ensure_ivf_index(vectors, src, n_clusters=4, iters=2, root=root)
+    assert d2 == d1
+    assert os.path.getmtime(os.path.join(d1, "meta.json")) == meta_mtime
+
+    # persisted-index search ≡ in-session trained search (same quantizer
+    # params ⇒ identical centroids by training determinism)
+    got = ANN.search_ivf_index(spark, d1, [5, 7], k=3, nprobe=2)
+    want = SIM.knn_ivf_kmeans(vectors, [5, 7], k=3, n_clusters=4, iters=2, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # param change and source change each key a DIFFERENT index
+    d3 = ANN.ensure_ivf_index(vectors, src, n_clusters=8, iters=2, root=root)
+    assert d3 != d1
+    os.utime(src, ns=(1, 1))  # stamp change ⇒ stale
+    d4 = ANN.ensure_ivf_index(vectors, src, n_clusters=4, iters=2, root=root)
+    assert d4 != d1
+
+
+#: frozen neighbors of the persisted-index ANN search at sf0.01
+#: (8 lists / 3 Lloyd iterations / nprobe=3, k=5) — training and search
+#: are deterministic, so these rows are a pure function of the testdata;
+#: regenerate with tools/check_correctness.py + a collect if the corpus
+#: or quantizer params ever change
+ANN_IVF_GOLDEN_SF0_01 = [
+    (0, 1, 365, 0.369994), (0, 2, 334, 0.362722), (0, 3, 387, 0.331139),
+    (0, 4, 423, 0.296934), (0, 5, 73, 0.295434),
+    (1, 1, 386, 0.371485), (1, 2, 27, 0.348208), (1, 3, 407, 0.32701),
+    (1, 4, 195, 0.322744), (1, 5, 64, 0.316374),
+    (2, 1, 117, 0.318143), (2, 2, 450, 0.266344), (2, 3, 145, 0.263494),
+    (2, 4, 188, 0.263272), (2, 5, 418, 0.254029),
+    (3, 1, 130, 0.399872), (3, 2, 149, 0.329934), (3, 3, 343, 0.308472),
+    (3, 4, 174, 0.303548), (3, 5, 231, 0.298788),
+    (4, 1, 114, 0.398513), (4, 2, 496, 0.341212), (4, 3, 408, 0.322753),
+    (4, 4, 482, 0.313897), (4, 5, 280, 0.279826),
+]
+
+
+def test_ann_ivf_golden_neighbors_sf0_01(spark):
+    # hard gate for the no-oracle trained path: exact frozen neighbor
+    # rows at the driver's correctness SF
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import embed_ann_ivf
+
+    got = sorted(
+        tuple(r) for r in embed_ann_ivf(spark, "/root/testdata/sf0.01").collect()
+    )
+    assert got == sorted(ANN_IVF_GOLDEN_SF0_01)
+
+
 def test_near_dup_pairs_exact_tiled_matches_single_block(vectors):
     # block_rows=2 forces a 3-block grid (6 cells incl. diagonals); the
     # tiled result must be identical to the single-tile one, pair for
@@ -637,6 +699,48 @@ def test_salted_top_k_spreads_hot_key(spark):
     a = {tuple(r) for r in with_salt(df, ["row_id"], 16).collect()}
     b = {tuple(r) for r in with_salt(df, ["row_id"], 16).collect()}
     assert a == b
+
+
+def test_bucketed_prefix_sum_equals_plain_window(spark):
+    from pyspark.sql import Window
+    from kingsfoil_seed_data_ingestor_spark.operators.skew import bucketed_prefix_sum
+
+    # skewed: key 'hot' has 3000 rows spread over many buckets, cold
+    # keys are tiny and share buckets; ids interleave across keys and
+    # are sparse (gaps) so bucket boundaries don't align with keys
+    rows = [("hot", i * 3, (i * 7) % 50) for i in range(3000)]
+    rows += [(f"cold{j}", 1 + j * 17 + i * 101, i) for j in range(6) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, oid long, v long")
+
+    got = bucketed_prefix_sum(
+        df, partition_by=["k"], order_col="oid", val_col="v",
+        out_col="cum", bucket_rows=64,
+    ).select("k", "oid", "cum")
+
+    w = (
+        Window.partitionBy("k")
+        .orderBy("oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w)).select("k", "oid", "cum")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_bucketed_prefix_sum_splits_key_stratum(spark):
+    # the whole point: one key's rows must NOT collapse into one
+    # phase-1 window group — count the distinct (key, bucket) groups
+    from kingsfoil_seed_data_ingestor_spark.operators.skew import bucketed_prefix_sum
+
+    df = spark.createDataFrame(
+        [("hot", i, 1) for i in range(1000)], "k string, oid long, v long"
+    )
+    out = bucketed_prefix_sum(
+        df, ["k"], "oid", "v", out_col="cum", bucket_rows=100
+    )
+    # correctness of the running sum under heavy bucketing
+    assert out.agg(F.max("cum")).first()[0] == 1000
+    n_groups = df.withColumn("_b", F.floor(F.col("oid") / 100)).select("k", "_b").distinct().count()
+    assert n_groups == 10  # phase 1 parallelism: 10 groups, not 1
 
 
 def test_connected_components_converges_on_exact_budget(spark):

@@ -59,9 +59,11 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         sql = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -102,7 +104,7 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(s)} rows")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    print(f"\n{checked - len(failures)}/{checked} queries match")
     return 1 if failures else 0
 
 
