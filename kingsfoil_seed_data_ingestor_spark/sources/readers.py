@@ -9,7 +9,9 @@ pinned by reference tests ``tests/test_file_parser.py:90-125``):
 * ``.txt`` sniffs the delimiter (tab vs comma vs pipe) by counting
   occurrences in the first 4 KiB;
 * ``.xlsx`` / ``.xls`` are driver-read (uploads are capped at 100 MB in
-  the reference, ``app/config.py:22``) then parallelized.
+  the reference, ``app/config.py:22``) then parallelized — both via
+  vendored parsers of the public formats (SpreadsheetML here, BIFF8 in
+  ``sources/biff.py``), no openpyxl/xlrd dependency.
 
 Spark specifics: the CSV scan itself is distributed and splittable; the
 driver only touches a small head sample (encoding probe, delimiter
@@ -234,26 +236,21 @@ def _read_xlsx_grid(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(norm or [tuple([""] * n_cols)], schema=_string_schema(n_cols))
 
 
-def _read_excel_grid(spark: SparkSession, path: str, engine: str) -> DataFrame:
-    """Driver-side Excel read → parallelized all-string frame.
+def _read_xls_grid(spark: SparkSession, path: str) -> DataFrame:
+    """Driver-side legacy ``.xls`` read via the vendored BIFF8 parser
+    (``sources/biff.py`` — OLE2 container + BIFF8 records, both public
+    formats) → parallelized all-string frame. Mirrors the reference's
+    xlrd path (``app/services/file_parser.py:53-61``) under the same
+    grid contract; no external Excel engine needed. Unsupported
+    variants (pre-BIFF8, encrypted) raise a loud ValueError rather
+    than misparse."""
+    from kingsfoil_seed_data_ingestor_spark.sources.biff import parse_xls_grid
 
-    There is no Excel datasource in stock PySpark; files are small
-    (uploads, ≤100 MB) so a pandas driver read is the pragmatic path —
-    a DataSourceV2 (or ``com.crealytics:spark-excel``) is the cluster
-    alternative if Excel ever needs to scale.
-    """
-    try:
-        import pandas as pd
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("pandas required for Excel ingestion") from exc
-    try:
-        pdf = pd.read_excel(path, header=None, dtype=str, na_filter=False, engine=engine)
-    except ImportError as exc:
-        raise NotImplementedError(
-            f"Excel engine {engine!r} not installed in this environment"
-        ) from exc
-    pdf.columns = [f"_c{i}" for i in range(pdf.shape[1])]
-    return spark.createDataFrame(pdf.astype(str), schema=_string_schema(pdf.shape[1]))
+    with open(path, "rb") as fh:
+        rows = parse_xls_grid(fh.read())
+    n_cols = max((len(r) for r in rows), default=1) or 1
+    norm = [tuple(r + [""] * (n_cols - len(r))) for r in rows]
+    return spark.createDataFrame(norm or [tuple([""] * n_cols)], schema=_string_schema(n_cols))
 
 
 def read_grid(
@@ -275,8 +272,8 @@ def read_grid(
     if ext in (".xlsx", ".xls"):
         if ext == ".xlsx":
             df = _read_xlsx_grid(spark, str(path))
-        else:  # legacy binary .xls genuinely needs xlrd
-            df = _read_excel_grid(spark, str(path), "xlrd")
+        else:  # legacy binary .xls via the vendored BIFF8 parser
+            df = _read_xls_grid(spark, str(path))
         head = [
             [str(v).strip() for v in row]
             for row in df.limit(head_rows).collect()

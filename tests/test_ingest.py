@@ -179,6 +179,25 @@ def test_mue_golden_ingest_via_xlsx(spark, store, tmp_path):
     assert cur["J1100"].mue_value == 5 and cur["J1100"].mai_id is None
 
 
+def test_mue_golden_ingest_via_xls(spark, store, tmp_path):
+    # the SAME MUE content through the legacy .xls upload path
+    # (vendored BIFF8 reader, no xlrd — reference file_parser.py:53-61):
+    # full ingest_file, matching the CSV golden results cell for cell
+    from tests.test_sources import write_xls
+
+    rows = [line.split(",") for line in MUE_CSV.strip().splitlines()]
+    p = tmp_path / "mue.xls"
+    write_xls(p, rows)
+    r = ingest_file(spark, store, "NCCI_MUE_PRAC", str(p), "2024-Q1")
+    assert r["success"] and r["records_inserted"] == 4
+    cur = {
+        row.hcpcs_code: row
+        for row in store.current_view(get_source("NCCI_MUE_PRAC")).collect()
+    }
+    assert cur["00100"].mue_value == 0 and cur["00100"].mai_id == 3
+    assert cur["J1100"].mue_value == 5 and cur["J1100"].mai_id is None
+
+
 # ----------------------------------------------------------------------
 # golden ingest: NCCI PTP ('*' semantics, partial header match, TXT tabs)
 # ----------------------------------------------------------------------

@@ -7,6 +7,8 @@ Ports the observable behaviors the reference pins in
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from kingsfoil_seed_data_ingestor_spark.sources import (
@@ -210,21 +212,219 @@ def test_xlsx_inline_strings_variant(spark, tmp_path):
     assert grid_rows(read_grid(spark, str(p)))[1] == ["x", "y"]
 
 
-def test_xls_legacy_gate_is_honest(spark, tmp_path):
-    # legacy binary .xls needs xlrd, which this container doesn't ship:
-    # the branch must fail loudly with NotImplementedError (import gate),
-    # never silently misparse. If xlrd ever appears, the pandas path
-    # takes over and this test's expectation flips — that's the tripwire.
-    p = tmp_path / "legacy.xls"
-    p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # OLE2 magic stub
-    try:
-        import xlrd  # noqa: F401
+# ----------------------------------------------------------------------
+# legacy .xls (BIFF8) — fixture hand-assembled per the public MS-CFB +
+# MS-XLS specs (no xls writer ships in this container, so the bytes are
+# built record by record; the reader is an independent implementation
+# of the same specs, parsing CFB FAT/miniFAT chains and BIFF8 records
+# it never sees at write time)
+# ----------------------------------------------------------------------
 
-        pytest.skip("xlrd present — gate not reachable in this environment")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="xlrd"):
+
+def _biff_rec(rid, payload):
+    import struct
+
+    return struct.pack("<HH", rid, len(payload)) + payload
+
+
+def _biff_bof(dt):
+    import struct
+
+    return _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0x0DBB, 0x07CC, 0, 0))
+
+
+def _build_workbook_stream(rows):
+    """BIFF8 stream: globals (SST + BOUNDSHEET) + one sheet substream.
+    Strings intern into the SST (latin-1 compressed or UTF-16 as
+    needed); ints become RK records, floats NUMBER, "" BLANK."""
+    import struct
+
+    strings: list[str] = []
+    sheet = bytearray(_biff_bof(0x0010))
+    for r, row in enumerate(rows):
+        for c, v in enumerate(row):
+            if isinstance(v, str):
+                if v == "":
+                    sheet += _biff_rec(0x0201, struct.pack("<HHH", r, c, 0))
+                else:
+                    if v not in strings:
+                        strings.append(v)
+                    sheet += _biff_rec(
+                        0x00FD, struct.pack("<HHHI", r, c, 0, strings.index(v))
+                    )
+            elif isinstance(v, int) and -(1 << 29) <= v < (1 << 29):
+                sheet += _biff_rec(0x027E, struct.pack("<HHHi", r, c, 0, (v << 2) | 0x02))
+            else:
+                sheet += _biff_rec(0x0203, struct.pack("<HHHd", r, c, 0, float(v)))
+    sheet += _biff_rec(0x000A, b"")
+
+    def sst_entry(s):
+        if all(ord(ch) < 256 for ch in s):
+            return struct.pack("<HB", len(s), 0x00) + s.encode("latin-1")
+        return struct.pack("<HB", len(s), 0x01) + s.encode("utf-16-le")
+
+    sst_payload = struct.pack("<II", len(strings), len(strings)) + b"".join(
+        sst_entry(s) for s in strings
+    )
+    name = "Sheet1"
+    bs_payload = (
+        struct.pack("<IBB", 0, 0, 0)
+        + struct.pack("<BB", len(name), 0)
+        + name.encode("latin-1")
+    )
+    glob = bytearray(_biff_bof(0x0005))
+    glob += _biff_rec(0x00FC, sst_payload)
+    glob += _biff_rec(0x0085, bs_payload)
+    glob += _biff_rec(0x000A, b"")
+    # patch the BOUNDSHEET's sheet-start offset now that globals is sized
+    off_bs = len(_biff_bof(0x0005)) + 4 + len(sst_payload) + 4
+    stream = glob + sheet
+    struct.pack_into("<I", stream, off_bs, len(glob))
+    return bytes(stream)
+
+
+def _cfb_dirent(name, typ, start, size, child=0xFFFFFFFF):
+    import struct
+
+    nb = (name + "\0").encode("utf-16-le")
+    e = bytearray(128)
+    e[0 : len(nb)] = nb
+    struct.pack_into("<H", e, 64, len(nb))
+    e[66] = typ
+    e[67] = 1  # black
+    struct.pack_into("<I", e, 68, 0xFFFFFFFF)  # left sibling
+    struct.pack_into("<I", e, 72, 0xFFFFFFFF)  # right sibling
+    struct.pack_into("<I", e, 76, child)
+    struct.pack_into("<I", e, 116, start)
+    struct.pack_into("<Q", e, 120, size)
+    return bytes(e)
+
+
+def _cfb_header(n_fat_sectors, first_dir, first_minifat, n_minifat):
+    import struct
+
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 24, 0x003E)
+    struct.pack_into("<H", hdr, 26, 0x0003)
+    struct.pack_into("<H", hdr, 28, 0xFFFE)
+    struct.pack_into("<H", hdr, 30, 9)  # 512-byte sectors
+    struct.pack_into("<H", hdr, 32, 6)  # 64-byte minisectors
+    struct.pack_into("<I", hdr, 44, n_fat_sectors)
+    struct.pack_into("<I", hdr, 48, first_dir)
+    struct.pack_into("<I", hdr, 56, 4096)  # mini cutoff
+    struct.pack_into("<I", hdr, 60, first_minifat)
+    struct.pack_into("<I", hdr, 64, n_minifat)
+    struct.pack_into("<I", hdr, 68, 0xFFFFFFFE)  # no DIFAT chain
+    struct.pack_into("<I", hdr, 72, 0)
+    struct.pack_into("<I", hdr, 76, 0)  # DIFAT[0]: FAT in sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", hdr, 76 + 4 * i, 0xFFFFFFFF)
+    return hdr
+
+
+def write_xls(path, rows, mini_stream=False):
+    """Assemble a complete .xls (CFB + BIFF8). ``mini_stream=True``
+    keeps the workbook stream under 4096 bytes so it lands in the CFB
+    mini stream (the layout real small files use); otherwise the stream
+    is padded past the cutoff into regular sectors."""
+    import struct
+
+    stream = _build_workbook_stream(rows)
+    if mini_stream:
+        assert len(stream) < 4096, "mini-stream fixture must stay under the cutoff"
+        mini = stream + b"\0" * (-len(stream) % 64)
+        n_mini = len(mini) // 64
+        container = mini + b"\0" * (-len(mini) % 512)
+        n_container = len(container) // 512
+        # sectors: 0=FAT, 1=dir, 2=miniFAT, 3..=mini-stream container
+        minifat = [(i + 1) if i < n_mini - 1 else 0xFFFFFFFE for i in range(n_mini)]
+        minifat += [0xFFFFFFFF] * (128 - len(minifat))
+        fat = [0xFFFFFFFD, 0xFFFFFFFE, 0xFFFFFFFE]
+        fat += [(3 + i + 1) if i < n_container - 1 else 0xFFFFFFFE for i in range(n_container)]
+        fat += [0xFFFFFFFF] * (128 - len(fat))
+        d = (
+            _cfb_dirent("Root Entry", 5, 3, len(mini), child=1)
+            + _cfb_dirent("Workbook", 2, 0, len(stream))
+            + b"\0" * 256
+        )
+        data = (
+            bytes(_cfb_header(1, 1, 2, 1))
+            + struct.pack("<128I", *fat)
+            + d
+            + struct.pack("<128I", *minifat)
+            + container
+        )
+    else:
+        stream = stream + b"\0" * max(0, 4608 - len(stream))
+        stream += b"\0" * (-len(stream) % 512)
+        n_stream = len(stream) // 512
+        # sectors: 0=FAT, 1=dir, 2..=workbook stream
+        fat = [0xFFFFFFFD, 0xFFFFFFFE]
+        fat += [(2 + i + 1) if i < n_stream - 1 else 0xFFFFFFFE for i in range(n_stream)]
+        fat += [0xFFFFFFFF] * (128 - len(fat))
+        d = (
+            _cfb_dirent("Root Entry", 5, 0xFFFFFFFE, 0, child=1)
+            + _cfb_dirent("Workbook", 2, 2, len(stream))
+            + b"\0" * 256
+        )
+        data = (
+            bytes(_cfb_header(1, 1, 0xFFFFFFFE, 0))
+            + struct.pack("<128I", *fat)
+            + d
+            + stream
+        )
+    Path(path).write_bytes(data)
+
+
+def test_xls_grid_contract(spark, tmp_path):
+    # same contract as the xlsx test: all cells strings, blanks "",
+    # numerics rendered as their raw value text; exercises LABELSST
+    # (latin-1 + UTF-16 SST entries), RK ints (negative too), NUMBER
+    # doubles and BLANK cells through the regular-sector CFB layout
+    p = tmp_path / "legacy.xls"
+    write_xls(
+        p,
+        [
+            ["HCPCS", "Description", "Fee"],
+            ["0001U", "Some lab test", 42],
+            ["0002M", "", 12.5],
+            ["", "unicode £é", -7],
+        ],
+    )
+    grid = read_grid(spark, str(p))
+    rows = grid_rows(grid)
+    assert rows == [
+        ["HCPCS", "Description", "Fee"],
+        ["0001U", "Some lab test", "42"],
+        ["0002M", "", "12.5"],
+        ["", "unicode £é", "-7"],
+    ]
+    assert grid.n_cols == 3 and grid.extension == ".xls"
+    assert all(isinstance(v, str) for r in rows for v in r)
+
+
+def test_xls_mini_stream_layout(spark, tmp_path):
+    # small workbooks live in the CFB mini stream (64-byte minisectors
+    # chained by the miniFAT inside the root entry's stream) — the
+    # layout every real sub-4KB .xls upload uses
+    p = tmp_path / "small.xls"
+    write_xls(p, [["A", "B"], ["1", "x"]], mini_stream=True)
+    assert grid_rows(read_grid(spark, str(p)))  == [["A", "B"], ["1", "x"]]
+
+
+def test_xls_rejects_non_biff8_and_garbage(spark, tmp_path):
+    # pre-BIFF8 and truncated/garbage containers must fail loudly,
+    # never silently misparse (the reference surfaces parse errors to
+    # the upload UI the same way)
+    p = tmp_path / "garbage.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # magic, no container
+    with pytest.raises(ValueError):
         read_grid(spark, str(p))
+    p2 = tmp_path / "notole.xls"
+    p2.write_bytes(b"not an ole file at all")
+    with pytest.raises(ValueError, match="CFB|OLE2"):
+        read_grid(spark, str(p2))
 
 
 def test_row_as_list_and_extension_helpers(spark, tmp_path):
