@@ -99,6 +99,44 @@ def shingle_sizes(posts: DataFrame) -> DataFrame:
     return posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
 
+def shingle_hash_table(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """``(doc_id, sh)`` posting list with 64-bit *hashed* shingles.
+
+    Tokens are hashed to longs BEFORE the windowed n-gram assembly, so
+    the window exchange shuffles ``(doc_id, pos, long)`` — a fixed
+    ~20 bytes per posting instead of the full shingle string — and the
+    n-gram itself is ``xxhash64(h₀, h₁, h₂)`` over longs, never a
+    string concat. Set semantics under hashing are exact up to 64-bit
+    collisions (≈ m²/2⁶⁵ for m shingles — 3e-9 even at a billion
+    distinct shingles per join key), and every downstream consumer
+    (Jaccard counts, min-hash minima) is hash-invariant, so results
+    match the string formulation; the DuckDB oracles pin that.
+
+    ``distinct=False`` skips the set-dedup shuffle entirely — correct
+    whenever the consumer is multiset-invariant (min-hash minima) or
+    dedups itself (``collect_set``). The rows leave the window stage
+    hash-partitioned by ``doc_id``, so a following ``groupBy(doc_id)``
+    needs no further exchange.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TX.tokens(F.col(text_col))).alias("pos", "tok"),
+    ).select("doc_id", "pos", F.xxhash64("tok").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("h")] + [F.lead("h", k).over(w) for k in range(1, n)]
+    grams = toks.select(
+        "doc_id",
+        F.when(parts[-1].isNotNull(), F.xxhash64(*parts)).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    return grams.distinct() if distinct else grams
+
+
 def _pairs_with_jaccard(posts: DataFrame, pair_filter: DataFrame | None = None) -> DataFrame:
     """Shared-shingle counts → Jaccard for (i < j) pairs.
 
@@ -149,7 +187,9 @@ def jaccard_pairs(
     results (the oracle-checked configuration).
     """
     scope, own = scope_or_own(scope)
-    posts = shingle_table(docs, n, id_col, text_col)
+    posts = shingle_hash_table(docs, n, id_col, text_col).withColumnRenamed(
+        "sh", "shingle"
+    )
     if max_doc_freq is not None:
         rare = (
             posts.groupBy("shingle")
@@ -185,18 +225,19 @@ def minhash_signatures(
     """k min-hash values per document from k seeded xxhash64 functions
     over the shingle set.
 
-    Shape: shingle posting list → ``groupBy(doc).agg(min(xxhash64(k,
-    s)) × k)``. All k hashes evaluate in one tight codegen'd aggregate
-    pass with map-side partial aggregation — only k partial minima per
-    document cross the shuffle. (The earlier array formulation — k
-    separate ``transform``+``array_min`` lambdas — ran on Spark's
-    interpreted expression path and measured ~5× slower; a
-    two-parameter lambda in ``F.transform`` also silently binds its
-    second argument to the array index, so a seed must never be a
-    lambda parameter.)
+    Shape: hashed shingle posting list → ``groupBy(doc).agg(min(
+    xxhash64(k, sh)) × k)``. All k hashes evaluate in one tight
+    codegen'd aggregate pass with map-side partial aggregation — only
+    k partial minima per document cross the shuffle. (The earlier
+    array formulation — k separate ``transform``+``array_min`` lambdas
+    — ran on Spark's interpreted expression path and measured ~5×
+    slower; a two-parameter lambda in ``F.transform`` also silently
+    binds its second argument to the array index, so a seed must never
+    be a lambda parameter.)
     """
-    posts = shingle_table(docs, n, id_col, text_col)
-    return minhash_signatures_from_posts(posts, num_hashes)
+    return minhash_profiles(docs, num_hashes, n, id_col, text_col).select(
+        "doc_id", "signature"
+    )
 
 
 def minhash_signatures_from_posts(posts: DataFrame, num_hashes: int = 128) -> DataFrame:
@@ -219,6 +260,37 @@ def minhash_signatures_from_posts(posts: DataFrame, num_hashes: int = 128) -> Da
     )
     signature = F.array(*[F.col(f"_h{k}") for k in range(num_hashes)])
     return minima.select("doc_id", signature.alias("signature"))
+
+
+def minhash_profiles(
+    docs: DataFrame,
+    num_hashes: int = 96,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document ``(doc_id, signature, shset)`` in ONE aggregation.
+
+    The k min-hash lanes and the exact shingle set (for candidate
+    verification) come out of the same ``groupBy(doc_id)`` over a
+    NON-distinct hashed posting list: minima are multiset-invariant and
+    ``collect_set`` dedups inside the aggregate, so the posting-list
+    ``distinct`` shuffle disappears — and because the posting rows
+    leave the shingle window already hash-partitioned by ``doc_id``,
+    this aggregate needs no exchange at all. One pass over the corpus
+    produces everything LSH banding and verification will read.
+
+    ``shset`` is bounded by the document's token count (longs, 8 B
+    each), not the corpus — per-row state stays small at any scale.
+    """
+    posts = shingle_hash_table(docs, n, id_col, text_col, distinct=False)
+    lanes = [
+        F.min(F.xxhash64(F.lit(k), F.col("sh"))).alias(f"_h{k}")
+        for k in range(num_hashes)
+    ]
+    prof = posts.groupBy("doc_id").agg(*lanes, F.collect_set("sh").alias("shset"))
+    signature = F.array(*[F.col(f"_h{k}") for k in range(num_hashes)])
+    return prof.select("doc_id", signature.alias("signature"), "shset")
 
 
 def lsh_candidate_pairs(
@@ -316,17 +388,34 @@ def minhash_near_dups(
     0.31), i.e. more mid-similarity candidate pairs reach verification;
     at trillion-pair scale where candidate volume dominates, raise
     ``rows_per_band`` to 4–6 and scale ``num_hashes`` with it.
+
+    Plan shape (the whole pipeline is 4 exchanges): one corpus pass
+    builds per-doc profiles (signature + shingle set, no exchange past
+    the shingle window), banding self-joins on the band key, and
+    verification joins the tiny candidate table back to the cached
+    profiles — broadcast-hinted, so no corpus-wide shuffle. If a
+    pathological threshold ever made the candidate set huge, Catalyst
+    falls back to a shuffle join on doc_id; the plan stays correct.
     """
-    # one posting-list build feeds signatures and the verification
-    # sets — persist instead of recomputing the tokenize/window/distinct
-    # pipeline per branch; candidates are consumed twice (doc semi-join
-    # + the pair join), so pin the tiny pair table too
     scope, own = scope_or_own(scope)
-    posts = scope.persist(shingle_table(docs, n, id_col, text_col))
-    sigs = minhash_signatures_from_posts(posts, num_hashes)
-    cands = scope.persist(lsh_candidate_pairs(sigs, bands, rows_per_band, scope=scope))
+    profiles = scope.persist(minhash_profiles(docs, num_hashes, n, id_col, text_col))
+    cands = scope.persist(
+        lsh_candidate_pairs(
+            profiles.select("doc_id", "signature"), bands, rows_per_band, scope=scope
+        )
+    )
+    paired = (
+        profiles.select(F.col("doc_id").alias("i"), F.col("shset").alias("sh_i"))
+        .join(F.broadcast(cands), "i")
+        .join(
+            profiles.select(F.col("doc_id").alias("j"), F.col("shset").alias("sh_j")),
+            "j",
+        )
+    )
+    common = F.size(F.array_intersect("sh_i", "sh_j"))
+    jac = common / (F.size("sh_i") + F.size("sh_j") - common)
     out = (
-        verify_pairs_exact_jaccard(posts, cands)
+        paired.select("i", "j", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
     )

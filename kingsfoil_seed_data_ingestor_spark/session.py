@@ -56,6 +56,27 @@ def get_spark(
         # their RDDs for the whole session (static conf — sessions we
         # don't build fall back to the atexit cleanup in components.py)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # the generated-class cache holds only 100 entries by default
+        # (static conf); a session serving the full query registry
+        # (~56 queries × several codegen stages each) evicts
+        # constantly, so every execution pays Janino recompilation of
+        # plans it already compiled — measured as a uniform ~1.5×
+        # inflation of EVERY query in a long bench session vs the same
+        # query in a fresh session (e.g. dedup_simhash 2.4 s isolated
+        # → 3.8 s in-suite). Size it to hold the whole workload; the
+        # JIT code cache grows with it
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m"
+        )
+        # ObjectHashAggregate (collect_set / collect_list aggregates)
+        # abandons its hash map for sort-based aggregation after only
+        # 128 distinct groups per task — a pre-Tungsten-era safety
+        # valve. Our typed-imperative aggregates keep bounded per-group
+        # state (a document's shingle set, a block row), so the hash
+        # path is safe at far higher group counts; the sort fallback
+        # just adds a per-partition sort of every posting row
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -33,24 +33,26 @@ def main():
     # warm the scan
     drain(docs)
 
-    posts = DD.shingle_table(docs, 3)
-    t("shingle_table (build+drain)", lambda: drain(posts))
-    posts = posts.persist()
-    t("posts persist+count", lambda: posts.count())
+    posts = DD.shingle_hash_table(docs, 3, distinct=False)
+    t("shingle_hash_table (no distinct)", lambda: drain(posts))
 
-    sigs = DD.minhash_signatures_from_posts(posts, 96)
-    t("signatures", lambda: drain(sigs))
+    profiles = DD.minhash_profiles(docs, 96, 3)
+    t("profiles (sigs+sets, one agg)", lambda: drain(profiles))
+    profiles = profiles.persist()
+    t("profiles persist+count", lambda: profiles.count())
 
-    cands = DD.lsh_candidate_pairs(sigs, 32, 3)
+    cands = DD.lsh_candidate_pairs(profiles.select("doc_id", "signature"), 32, 3)
     t("lsh_candidate_pairs", lambda: drain(cands))
     cands = cands.persist()
     t("cands persist+count", lambda: cands.count())
 
-    ver = DD.verify_pairs_exact_jaccard(posts, cands)
-    t("verify_pairs", lambda: drain(ver))
-
     full = DD.minhash_near_dups(docs, threshold=0.8)
-    t("FULL minhash_near_dups", lambda: drain(full))
+    t("FULL minhash_near_dups (cold)", lambda: drain(full))
+    profiles.unpersist()
+    cands.unpersist()
+    spark.catalog.clearCache()
+    full = DD.minhash_near_dups(docs, threshold=0.8)
+    t("FULL minhash_near_dups (cleared)", lambda: drain(full))
 
 
 if __name__ == "__main__":
