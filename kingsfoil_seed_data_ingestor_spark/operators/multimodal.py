@@ -133,14 +133,35 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _resize_bmp_nn(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for 24-bit BMP payloads: decode →
+    vectorized numpy index gather → re-encode. Source pixel for output
+    (x, y) is ``(x*w_src // width, y*h_src // height)`` — the floor
+    mapping, chosen because an external oracle can recompute it in
+    closed form."""
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    w, h, rgb = decode_bmp24(payload)
+    xs = (np.arange(width) * w) // width
+    ys = (np.arange(height) * h) // height
+    return encode_bmp24(width, height, rgb[np.ix_(ys, xs)].tobytes())
+
+
 def resize_images(
     assets: DataFrame, width: int = 224, height: int = 224
 ) -> DataFrame:
     """Arrow-batched resize-to-fixed-dims (the train-time normalization
-    step). The stub emits a deterministic payload derived from the
-    input checksum sized ``width*height`` bytes — a real kernel swaps
-    in PIL/opencv inside the same batch loop; schema, batch shape, and
-    partition-local execution are identical.
+    step). BMP payloads (magic ``BM``) resize through the REAL
+    nearest-neighbor kernel (decode → numpy gather → re-encode);
+    formats needing native codecs fall back to a deterministic
+    checksum-derived payload so the pipeline plumbing stays executable
+    without PIL/opencv — swap the real library into the same batch
+    loop when available.
 
     Payload bytes stay inside the Arrow batches end-to-end: the resized
     column is written/joined like any other binary column, never
@@ -152,7 +173,10 @@ def resize_images(
 
         for batch in batches:
             out = []
-            for checksum in batch["checksum"]:
+            for payload, checksum in zip(batch["payload"], batch["checksum"]):
+                if bytes(payload[:2]) == b"BM":
+                    out.append(_resize_bmp_nn(bytes(payload), width, height))
+                    continue
                 seed = int(checksum[:8], 16)
                 # deterministic fake pixel buffer (row-major, 1 byte/px)
                 out.append(

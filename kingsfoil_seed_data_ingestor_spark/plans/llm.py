@@ -772,6 +772,58 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ), toks AS (
+        SELECT doc_id, lower(tok) AS term FROM t
+    ), vocab AS (
+        SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM toks
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(vocab.cnt) AS BIGINT) AS sum_cnt,
+           round(AVG(ln(vocab.cnt::DOUBLE / tot.n)), 6) AS avg_logprob
+    FROM toks JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY toks.doc_id
+    """,
+    doc="Unigram language-model quality score: each document's mean "
+    "log-probability under the corpus's own unigram distribution — "
+    "the classic cheap 'model-based' quality signal (rare-token-heavy "
+    "and boilerplate docs separate immediately). Inverted-index shape: "
+    "explode tokens, corpus-count shuffle on the term, rejoin, one "
+    "aggregate per doc. sum_cnt is an exact-integer witness column so "
+    "the hash gate does not rest on libm alone; avg_logprob is rounded "
+    "to 6 decimals, far above the engines' last-ulp log variance. At "
+    "100 TB the vocabulary count is the only corpus-wide shuffle; the "
+    "head of the distribution can broadcast with a cold-tail fallback "
+    "join when the term table outgrows one executor.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scope = CacheScope()
+    docs = load(spark, sf_dir, "documents")
+    toks = scope.persist(
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+        ).select("doc_id", F.lower("tok").alias("term"))
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = toks.join(vocab, "term").crossJoin(F.broadcast(tot))
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("cnt").alias("sum_cnt"),
+        F.round(F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 6).alias(
+            "avg_logprob"
+        ),
+    )
+    return scope.attach(out)
+
+
 #: token budget per packed training sequence (toy-sized for the corpus)
 PACK_BUDGET = 256
 
@@ -1399,3 +1451,41 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_audio_features(assets).select(
         "asset_id", "sample_rate", "duration_sec", "rms_level"
     )
+
+
+@register(
+    "multimodal_bmp_resize",
+    priority=80,  # overflow band: NN-resize golden test is the hard gate
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id AS asset_id,
+           CAST(5 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           round(list_avg(list_transform(range(60),
+                 m -> (doc_id*31
+                       + (((m // 15) * h // 4 * w + (m // 3) % 5 * w // 5) * 3
+                          + m % 3) * 7) % 256)) / 255.0, 6) AS mean_luma
+    FROM p
+    """,
+    doc="REAL image resize path end to end: pattern BMPs are decoded, "
+    "nearest-neighbor-resampled to 5×4 with a vectorized numpy gather, "
+    "re-encoded, and decoded again by the feature kernel. The oracle "
+    "recomputes the resampled mean from the closed form — source pixel "
+    "for output (x,y) is (x*w//5, y*h//4) — so a mapping, row-order, "
+    "or re-encode bug on either side breaks the hash.",
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    resized = MM.resize_images(MM.render_bmp_assets(docs), width=5, height=4)
+    feats = MM.extract_image_features(
+        resized.select(
+            "asset_id",
+            F.lit("image/bmp").alias("media_type"),
+            "payload",
+            F.length("payload").cast("long").alias("byte_size"),
+        )
+    )
+    return feats.select("asset_id", "width", "height", "mean_luma")

@@ -6,6 +6,10 @@ watermarks, session windows, in-stream dedup, and a custom stateful
 operator, all over the ``events`` table shape.
 """
 
+from kingsfoil_seed_data_ingestor_spark.streaming.dedup import (
+    first_seen_filter,
+    streaming_corpus_dedup,
+)
 from kingsfoil_seed_data_ingestor_spark.streaming.events import (
     correlate_events,
     dedup_events,
@@ -31,6 +35,8 @@ __all__ = [
     "correlate_events",
     "enrich_events",
     "user_running_totals",
+    "streaming_corpus_dedup",
+    "first_seen_filter",
     "run_to_memory",
     "stream_ingest_directory",
     "watch_drop_directory",

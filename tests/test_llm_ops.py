@@ -601,6 +601,53 @@ def test_resize_images_plumbing(corpus):
     assert all(again[r.asset_id] == bytes(r.payload) for r in out)
 
 
+def test_resize_bmp_nearest_neighbor_golden():
+    # 4x2 source with distinct per-pixel values; resize to 2x1 must pick
+    # source pixels (0,0) and (2,0) under the floor mapping x*w//W
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+    from kingsfoil_seed_data_ingestor_spark.operators.multimodal import _resize_bmp_nn
+
+    src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = encode_bmp24(4, 2, src.tobytes())
+    w, h, rgb = decode_bmp24(_resize_bmp_nn(payload, 2, 1))
+    assert (w, h) == (2, 1)
+    assert rgb.tolist() == [[src[0, 0].tolist(), src[0, 2].tolist()]]
+    # upscale repeats pixels, never interpolates
+    w2, h2, rgb2 = decode_bmp24(_resize_bmp_nn(payload, 8, 2))
+    assert (w2, h2) == (8, 2)
+    assert rgb2[0, 0].tolist() == rgb2[0, 1].tolist() == src[0, 0].tolist()
+
+
+def test_resize_images_real_bmp_path(spark):
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.operators.multimodal import (
+        render_bmp_assets,
+        resize_images,
+    )
+    from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_bmp24
+
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    out = {
+        r.asset_id: bytes(r.payload)
+        for r in resize_images(render_bmp_assets(docs), width=5, height=4).collect()
+    }
+    for d in range(3):
+        w_src, h_src = 8 + d % 5, 6 + d % 3
+        k = np.arange(w_src * h_src * 3, dtype=np.int64)
+        src = ((d * 31 + k * 7) % 256).astype(np.uint8).reshape(h_src, w_src, 3)
+        xs = (np.arange(5) * w_src) // 5
+        ys = (np.arange(4) * h_src) // 4
+        w, h, rgb = decode_bmp24(out[d])
+        assert (w, h) == (5, 4)
+        assert np.array_equal(rgb, src[np.ix_(ys, xs)])
+
+
 def test_extract_audio_features_plumbing(corpus):
     assets = MM.attach_payload(corpus)
     out = {r.asset_id: r for r in MM.extract_audio_features(assets).collect()}

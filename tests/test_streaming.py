@@ -162,6 +162,58 @@ def test_user_running_totals_stateful(spark, tmp_path, batch_events):
     assert all(got[u][0] == want[u][0] for u in want)
 
 
+def test_streaming_corpus_dedup_matches_batch(spark, tmp_path):
+    from kingsfoil_seed_data_ingestor_spark.streaming import (
+        first_seen_filter,
+        streaming_corpus_dedup,
+    )
+
+    src = tmp_path / "doc_feed"
+    src.mkdir()
+    docs = load(spark, SF_DIR, "documents")
+    # batch 2 re-uploads five existing contents under fresh ids — the
+    # stateful fold must recognize them against batch-1 state
+    dups = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    docs.write.parquet(str(src / "b1.parquet"))
+    dups.write.parquet(str(src / "b2.parquet"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    streamed = run_to_memory(
+        streaming_corpus_dedup(stream), "corpus_dedup", output_mode="update"
+    )
+    # update mode appends per-batch rows; the max-n_copies row per
+    # fingerprint is the final state
+    final = (
+        streamed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy(F.desc("n_copies"))
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    # batch twin over the union must agree exactly (fold is commutative)
+    expect = streaming_corpus_dedup(docs.unionByName(dups))
+    got = {r.fingerprint: (r.keeper_id, r.n_copies) for r in final.collect()}
+    want = {r.fingerprint: (r.keeper_id, r.n_copies) for r in expect.collect()}
+    assert got == want
+    # every re-uploaded content maps back to its original keeper
+    re_up = {r.fingerprint for r in streaming_corpus_dedup(dups).collect()}
+    assert all(want[fp][0] < 100_000 and want[fp][1] >= 2 for fp in re_up)
+    # keeper application: survivors of the union = batch-1 keepers only
+    kept = first_seen_filter(final, docs.unionByName(dups))
+    assert kept.count() == len(want)
+    assert kept.filter(F.col("doc_id") >= 100_000).count() == 0
+
+
 # ----------------------------------------------------------------------
 # streaming ingest of a drop directory
 # ----------------------------------------------------------------------
