@@ -276,3 +276,111 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "i long, j long")
     got = {r.doc_id: r.component_id for r in connected_components(df).collect()}
     assert got == spec_components(edges)
+
+
+# ----------------------------------------------------------------------
+# hashed-shingle Jaccard ≡ string-shingle Jaccard (plain-Python spec)
+# ----------------------------------------------------------------------
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=3)
+_doc_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+def spec_jaccard_pairs(texts: list[str], n: int = 3) -> dict:
+    """Executable spec: string n-gram shingle sets, exact Jaccard for
+    every pair sharing at least one shingle."""
+    sets = []
+    for t in texts:
+        toks = t.split()
+        sets.append(
+            {" ".join(toks[k : k + n]) for k in range(len(toks) - n + 1)}
+        )
+    out = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = sets[i] & sets[j]
+            if inter:
+                out[(i, j)] = round(
+                    len(inter) / len(sets[i] | sets[j]), 6
+                )
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_doc_text, min_size=2, max_size=8))
+def test_hashed_shingle_jaccard_matches_string_spec(spark, texts):
+    # pins the hash-invariance claim of shingle_hash_table: Jaccard over
+    # 64-bit shingle hashes equals Jaccard over the shingle strings
+    from kingsfoil_seed_data_ingestor_spark.operators.text_dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.i, r.j): r.jaccard for r in jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert got == spec_jaccard_pairs(texts)
+
+
+# ----------------------------------------------------------------------
+# streaming dedup fold: batch-boundary and order invariance
+# ----------------------------------------------------------------------
+
+_fp = st.sampled_from(["a", "b", "c"])
+_doc_row = st.tuples(st.integers(min_value=0, max_value=999), _fp)
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists, self._v = True, v
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(_doc_row, min_size=1, max_size=30),
+    st.randoms(use_true_random=False),
+)
+def test_streaming_dedup_fold_is_order_and_batch_invariant(rows, rnd):
+    # the applyInPandasWithState fold must equal batch exact dedup no
+    # matter how rows split into micro-batches or in what order
+    import pandas as pd
+
+    from kingsfoil_seed_data_ingestor_spark.streaming.dedup import _fold_dedup
+
+    def run(order: list[tuple[int, str]], cuts: list[int]) -> dict:
+        state_by_fp: dict[str, _FakeState] = {}
+        final = {}
+        bounds = sorted({0, len(order), *cuts})
+        for lo, hi in zip(bounds, bounds[1:]):
+            batch = order[lo:hi]
+            for fp in {f for _, f in batch}:
+                ids = [d for d, f in batch if f == fp]
+                st_ = state_by_fp.setdefault(fp, _FakeState())
+                (out,) = _fold_dedup(
+                    (fp,), iter([pd.DataFrame({"doc_id": ids})]), st_
+                )
+                final[fp] = (out["keeper_id"][0], out["n_copies"][0])
+        return final
+
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    cuts_a = [rnd.randrange(len(rows) + 1) for _ in range(2)]
+    cuts_b = [rnd.randrange(len(rows) + 1) for _ in range(3)]
+    want = {
+        fp: (min(d for d, f in rows if f == fp), sum(1 for _, f in rows if f == fp))
+        for fp in {f for _, f in rows}
+    }
+    assert run(rows, cuts_a) == want
+    assert run(shuffled, cuts_b) == want
