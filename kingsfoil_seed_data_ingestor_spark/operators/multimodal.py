@@ -202,6 +202,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("duration_sec", T.DoubleType()),
         T.StructField("rms_level", T.DoubleType()),
+        # integer-exact count of sign boundaries (sample < 0 flips);
+        # n_crossings / (n_samples - 1) is the classic zero-crossing
+        # rate — a voiced/unvoiced & noisiness signal
+        T.StructField("n_crossings", T.LongType()),
     ]
 )
 
@@ -227,16 +231,18 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             decode_wav_pcm16,
         )
 
-        def one(payload: bytes, size: int) -> tuple[int, float, float]:
+        def one(payload: bytes, size: int) -> tuple[int, float, float, int]:
             if payload[:4] == b"RIFF":  # real decode: PCM-16 WAV
                 rate, samples = decode_wav_pcm16(bytes(payload))
                 sq = samples.astype(np.int64) ** 2  # exact integer sum
                 rms = float(np.sqrt(sq.sum() / len(samples))) if len(samples) else 0.0
-                return rate, round(len(samples) / rate, 6), round(rms, 6)
+                neg = samples < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                return rate, round(len(samples) / rate, 6), round(rms, 6), zc
             # stub for container-absent codecs: 2 bytes/sample mono fake
             rate = 16_000
             head = float(payload[0]) if len(payload) else 0.0
-            return rate, round(size / (2.0 * rate), 6), round(head / 255.0, 6)
+            return rate, round(size / (2.0 * rate), 6), round(head / 255.0, 6), 0
 
         for batch in batches:
             sizes = batch["byte_size"].to_numpy(dtype=np.int64)
@@ -250,6 +256,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                     "sample_rate": [d[0] for d in decoded],
                     "duration_sec": [d[1] for d in decoded],
                     "rms_level": [d[2] for d in decoded],
+                    "n_crossings": [d[3] for d in decoded],
                 }
             )
 

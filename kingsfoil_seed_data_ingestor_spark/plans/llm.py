@@ -1454,6 +1454,46 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_zcr",
+    priority=80,  # overflow band: WAV goldens + codec round-trip gate this
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 400 + (doc_id % 7) * 160 AS n
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id AS asset_id,
+           CAST(list_sum(list_transform(range(1, n),
+                i -> CASE WHEN (((doc_id*13 + (i-1)*97) % 2048) - 1024 < 0)
+                          != (((doc_id*13 + i*97) % 2048) - 1024 < 0)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS n_crossings,
+           round(list_sum(list_transform(range(1, n),
+                i -> CASE WHEN (((doc_id*13 + (i-1)*97) % 2048) - 1024 < 0)
+                          != (((doc_id*13 + i*97) % 2048) - 1024 < 0)
+                     THEN 1 ELSE 0 END))::DOUBLE / (n - 1), 6) AS zcr
+    FROM p
+    """,
+    doc="Zero-crossing rate per audio asset — an integer-exact DSP "
+    "feature (count of sign flips between adjacent PCM samples) "
+    "computed inside the Arrow decode kernel; the oracle recomputes "
+    "the count from the tone's closed form, so sample order, "
+    "endianness, or chunk-walk bugs in the codec break the hash.",
+)
+def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_wav_assets(docs)
+    feats = MM.extract_audio_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_crossings",
+        F.round(
+            F.col("n_crossings")
+            / (F.col("duration_sec") * F.col("sample_rate") - 1),
+            6,
+        ).alias("zcr"),
+    )
+
+
+@register(
     "multimodal_bmp_resize",
     priority=80,  # overflow band: NN-resize golden test is the hard gate
     oracle="""

@@ -648,6 +648,24 @@ def test_resize_images_real_bmp_path(spark):
         assert np.array_equal(rgb, src[np.ix_(ys, xs)])
 
 
+def test_audio_zero_crossings_golden(spark):
+    from kingsfoil_seed_data_ingestor_spark.functions.codecs import encode_wav_pcm16
+    from kingsfoil_seed_data_ingestor_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    # samples: + + - - + 0 -  → sign-boundary flips at 1→2, 3→4, 5→6
+    # (0 counts as nonnegative, so 4→5 is NOT a crossing)
+    wav = encode_wav_pcm16([5, 3, -2, -7, 9, 0, -1], 8000)
+    assets = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav), len(wav))],
+        "asset_id long, media_type string, payload binary, byte_size long",
+    )
+    row = extract_audio_features(assets).first()
+    assert row.n_crossings == 3
+    assert row.sample_rate == 8000
+
+
 def test_extract_audio_features_plumbing(corpus):
     assets = MM.attach_payload(corpus)
     out = {r.asset_id: r for r in MM.extract_audio_features(assets).collect()}
