@@ -298,12 +298,17 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     scope: CacheScope | None = None,
+    persist_banded: bool = True,
 ) -> DataFrame:
     """Distinct (i < j) pairs colliding in ≥1 LSH band.
 
     Band key = hash of the band's signature slice; the band index joins
     the key so buckets from different bands never mix. Shuffles on the
     band key only — candidate generation is linear in documents.
+
+    ``persist_banded=False`` skips pinning the banded table: right when
+    ``signatures`` is itself already cached (re-deriving the explode
+    from cache is cheaper than a second materialization round-trip).
     """
     banded = signatures.select(
         "doc_id",
@@ -324,7 +329,8 @@ def lsh_candidate_pairs(
     # both sides of the self-join read the banded table; persist the
     # (docs × bands) narrow rows so the signature aggregation runs once
     scope, own = scope_or_own(scope)
-    banded = scope.persist(banded)
+    if persist_banded:
+        banded = scope.persist(banded)
     left = banded.select(F.col("doc_id").alias("i"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("j"), "band", "bucket")
     out = (
@@ -399,10 +405,14 @@ def minhash_near_dups(
     """
     scope, own = scope_or_own(scope)
     profiles = scope.persist(minhash_profiles(docs, num_hashes, n, id_col, text_col))
-    cands = scope.persist(
-        lsh_candidate_pairs(
-            profiles.select("doc_id", "signature"), bands, rows_per_band, scope=scope
-        )
+    # cands is consumed exactly once (the broadcast below) and banding
+    # re-derives from the cached profiles, so neither needs pinning
+    cands = lsh_candidate_pairs(
+        profiles.select("doc_id", "signature"),
+        bands,
+        rows_per_band,
+        scope=scope,
+        persist_banded=False,
     )
     paired = (
         profiles.select(F.col("doc_id").alias("i"), F.col("shset").alias("sh_i"))
