@@ -1348,6 +1348,142 @@ def dedup_embed_cosine_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_fuzzy_apply",
+    priority=60,  # tail band: union-find property test + spec test gate it
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    pairs AS (
+        SELECT i, j FROM p WHERE common::DOUBLE / (ni + nj - common) >= 0.5
+    ),
+    edges AS (
+        SELECT i AS src, j AS dst FROM pairs
+        UNION ALL
+        SELECT j AS src, i AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl AS lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS component_id
+        FROM reach GROUP BY node
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (
+               coalesce(c.component_id, d.doc_id) = d.doc_id
+           ) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (
+               coalesce(c.component_id, d.doc_id) <> d.doc_id
+           ) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="FUZZY dedup application end to end: near-dup pairs (3-gram "
+    "Jaccard ≥ 0.5) close into connected components, the component's "
+    "min doc id becomes the keeper, and every document resolves "
+    "against it (singletons keep themselves via the left join — no "
+    "giant keeper table for the unduplicated majority, which at 100 TB "
+    "is nearly the whole corpus). Per-source kept/removed counts; the "
+    "oracle recomputes the full chain through a recursive CTE.",
+)
+def dedup_fuzzy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scope = CacheScope()
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, scope=scope)
+    comp = CC.connected_components(pairs, src="i", dst="j", scope=scope)
+    joined = docs.select("doc_id", "source").join(comp, "doc_id", "left")
+    keeper = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    is_keeper = keeper == F.col("doc_id")
+    out = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(is_keeper, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~is_keeper, 1).otherwise(0)).cast("long").alias("n_removed"),
+    )
+    return scope.attach(out)
+
+
+@register(
+    "corpus_prune_perplexity",
+    priority=60,  # tail band: band-arithmetic spec test gates it
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ), toks AS (
+        SELECT doc_id, lower(tok) AS term FROM t
+    ), vocab AS (
+        SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM toks
+    ), scored AS (
+        SELECT toks.doc_id,
+               round(AVG(ln(vocab.cnt::DOUBLE / tot.n)), 6) AS lp
+        FROM toks JOIN vocab USING (term) CROSS JOIN tot
+        GROUP BY toks.doc_id
+    ), banded AS (
+        SELECT d.lang, s.lp,
+               NTILE(10) OVER (
+                   PARTITION BY d.lang ORDER BY s.lp, s.doc_id
+               ) AS band
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (band BETWEEN 2 AND 9) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (band < 2 OR band > 9) AS BIGINT) AS n_dropped,
+           MIN(lp) FILTER (band BETWEEN 2 AND 9) AS kept_min_lp,
+           MAX(lp) FILTER (band BETWEEN 2 AND 9) AS kept_max_lp
+    FROM banded GROUP BY lang
+    """,
+    doc="CCNet-style perplexity-band pruning: score every document by "
+    "mean unigram log-probability, decile-band per language (ordered "
+    "on the ROUNDED score + doc id, so both engines band identically "
+    "despite libm last-ulp variance), and drop the extreme bands — "
+    "head deciles are boilerplate/repetition, tail deciles are noise. "
+    "One corpus-wide term-count shuffle + one window per language "
+    "stratum; at 100 TB replace NTILE with approx_percentile "
+    "band edges (documented trade: exact deciles need a per-stratum "
+    "sort, approximate edges are a single pass).",
+)
+def corpus_prune_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scope = CacheScope()
+    docs = load(spark, sf_dir, "documents")
+    toks = scope.persist(
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+        ).select("doc_id", F.lower("tok").alias("term"))
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 6
+            ).alias("lp")
+        )
+    )
+    banded = scored.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "band",
+        F.ntile(10).over(W.partitionBy("lang").orderBy("lp", "doc_id")),
+    )
+    in_band = F.col("band").between(2, 9)
+    out = banded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(in_band, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~in_band, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.min(F.when(in_band, F.col("lp"))).alias("kept_min_lp"),
+        F.max(F.when(in_band, F.col("lp"))).alias("kept_max_lp"),
+    )
+    return scope.attach(out)
+
+
 # ----------------------------------------------------------------------
 # multimodal byte columns
 # ----------------------------------------------------------------------

@@ -108,6 +108,73 @@ def test_jaccard_pairs(corpus):
     assert not any(2 in p or 4 in p for p in pairs)
 
 
+def test_fuzzy_apply_counts_match_union_find_spec(spark, corpus):
+    # independent spec: union-find over the (property-tested) pair
+    # table; keeper = component min; singletons keep themselves
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import dedup_fuzzy_apply
+
+    pairs = [(r.i, r.j) for r in DD.jaccard_pairs(corpus, threshold=0.5).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = [r.doc_id for r in corpus.collect()]
+    keepers = {d: find(d) for d in ids}
+    want_kept = sum(1 for d in ids if keepers[d] == d)
+
+    docs = corpus.withColumn("source", F.lit("t"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(f"{tmp}/documents.parquet")
+        row = dedup_fuzzy_apply(spark, tmp).first()
+    assert row.n_docs == len(ids)
+    assert row.n_kept == want_kept
+    assert row.n_removed == len(ids) - want_kept
+
+
+def test_prune_perplexity_band_arithmetic(spark):
+    # decile-band sizes are pure arithmetic of the stratum size: with
+    # m docs, bands 1..(m%10) hold ceil(m/10), the rest floor(m/10);
+    # dropped = |band 1| + |band 10|
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import corpus_prune_perplexity
+
+    import tempfile
+
+    rows = [
+        (i, f"tok{i} tok{i % 7} tok{i % 3} filler", "en" if i < 23 else "fr", "s")
+        for i in range(35)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        got = {r.lang: r for r in corpus_prune_perplexity(spark, tmp).collect()}
+
+    def band_sizes(m):
+        if m < 10:
+            return [1] * m
+        return [m // 10 + (1 if b <= m % 10 else 0) for b in range(1, 11)]
+
+    for lang, m in (("en", 23), ("fr", 12)):
+        sizes = band_sizes(m)
+        dropped = sizes[0] + (sizes[9] if len(sizes) >= 10 else 0)
+        assert got[lang].n_docs == m
+        assert got[lang].n_dropped == dropped
+        assert got[lang].n_kept == m - dropped
+        assert got[lang].kept_min_lp <= got[lang].kept_max_lp
+
+
 def test_minhash_matches_bruteforce(corpus):
     # at threshold 0.7 the S-curve (32 bands x 4 rows) gives ~1-6e-5
     # recall for the (0,1) pair at J=0.714; AT the midpoint (J = 0.5,
