@@ -263,6 +263,66 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+#: per-frame rows emitted by the audio frame sampler
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def sample_audio_frames(
+    assets: DataFrame, frame_len: int = 160, max_frames: int = 8
+) -> DataFrame:
+    """REAL frame sampling over audio payloads: split each PCM-16 WAV
+    into fixed-length sample frames (at most ``max_frames``, last frame
+    may be partial) and emit per-frame RMS — the windowed-DSP shape a
+    VAD / loudness / embedding front-end plugs into. One asset fans out
+    to ≤ ``max_frames`` rows inside the Arrow batch; the explode
+    happens Python-side so payload bytes are touched exactly once.
+    Non-WAV payloads emit a single (0, 0, 0.0) marker row (the codec
+    for them is import-gated)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            decode_wav_pcm16,
+        )
+
+        for batch in batches:
+            ids, fnos, lens, rmss = [], [], [], []
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                if bytes(payload[:4]) == b"RIFF":
+                    _, samples = decode_wav_pcm16(bytes(payload))
+                    nf = min(
+                        (len(samples) + frame_len - 1) // frame_len, max_frames
+                    )
+                    for f in range(nf):
+                        seg = samples[f * frame_len : (f + 1) * frame_len].astype(
+                            np.int64
+                        )
+                        rms = float(np.sqrt((seg**2).sum() / len(seg)))
+                        ids.append(asset_id)
+                        fnos.append(f)
+                        lens.append(len(seg))
+                        rmss.append(round(rms, 6))
+                else:
+                    ids.append(asset_id)
+                    fnos.append(0)
+                    lens.append(0)
+                    rmss.append(0.0)
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_no": fnos, "n_samples": lens, "rms": rmss}
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)
+
+
 def render_bmp_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Encoder kernel: a deterministic RGB test pattern per document,
     written through the REAL 24-bit BMP encoder (``functions.codecs``).

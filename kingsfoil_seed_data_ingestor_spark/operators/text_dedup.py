@@ -299,6 +299,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     scope: CacheScope | None = None,
     persist_banded: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (i < j) pairs colliding in ≥1 LSH band.
 
@@ -309,6 +310,17 @@ def lsh_candidate_pairs(
     ``persist_banded=False`` skips pinning the banded table: right when
     ``signatures`` is itself already cached (re-deriving the explode
     from cache is cheaper than a second materialization round-trip).
+
+    ``max_bucket_size`` is the hot-bucket guard for corpus scale: a
+    bucket of k colliding documents emits k(k-1)/2 candidate pairs, and
+    buckets holding large exact-duplicate clusters (or a degenerate
+    band of an all-boilerplate corpus) turn the band join quadratic.
+    Buckets above the cap are dropped from CANDIDATE GENERATION only —
+    run exact dedup first (`exact_dedup` collapses identical contents
+    with one linear shuffle) so that near-dup LSH never sees the
+    identical-content mass; what remains above a generous cap is a
+    boilerplate cluster better handled by a doc-frequency filter.
+    Leave ``None`` (default, exact recall) for oracle-gated runs.
     """
     banded = signatures.select(
         "doc_id",
@@ -331,6 +343,14 @@ def lsh_candidate_pairs(
     scope, own = scope_or_own(scope)
     if persist_banded:
         banded = scope.persist(banded)
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     left = banded.select(F.col("doc_id").alias("i"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("j"), "band", "bucket")
     out = (

@@ -1630,6 +1630,39 @@ def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_frames",
+    priority=80,  # overflow band: hand-built-waveform golden gates this
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 400 + (doc_id % 7) * 160 AS n
+        FROM documents WHERE doc_id < 20
+    ), f AS (
+        SELECT doc_id, n,
+               unnest(range(least((n + 159) // 160, 8))) AS frame_no
+        FROM p
+    )
+    SELECT doc_id AS asset_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(least(n - frame_no * 160, 160) AS INT) AS n_samples,
+           round(sqrt(list_avg(list_transform(
+                 range(frame_no * 160, least(frame_no * 160 + 160, n)),
+                 i -> pow(((doc_id*13 + i*97) % 2048) - 1024, 2)))), 6) AS rms
+    FROM f
+    """,
+    doc="REAL frame sampling: each WAV splits into ≤8 frames of 160 "
+    "PCM samples (20 ms at 8 kHz; last frame partial) with per-frame "
+    "RMS from exact integer sums — the windowed-DSP fan-out a VAD or "
+    "loudness gate runs on. The oracle recomputes every frame from the "
+    "tone's closed form, pinning frame boundaries, the partial-frame "
+    "length, and the frame cap.",
+)
+def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_wav_assets(docs)
+    return MM.sample_audio_frames(assets, frame_len=160, max_frames=8)
+
+
+@register(
     "multimodal_bmp_resize",
     priority=80,  # overflow band: NN-resize golden test is the hard gate
     oracle="""

@@ -175,6 +175,29 @@ def test_prune_perplexity_band_arithmetic(spark):
         assert got[lang].kept_min_lp <= got[lang].kept_max_lp
 
 
+def test_lsh_hot_bucket_guard(spark):
+    # three identical docs collide in every band (bucket size 3); the
+    # guard drops those buckets from candidate generation while pairs in
+    # small buckets survive
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(3)]
+        + [
+            (10, "a wholly different near dup text body here now"),
+            (11, "a wholly different near dup text body here today"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = DD.minhash_profiles(docs, 32, 3).select("doc_id", "signature")
+    uncapped = {(r.i, r.j) for r in DD.lsh_candidate_pairs(sigs, 16, 2).collect()}
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+    capped = {
+        (r.i, r.j)
+        for r in DD.lsh_candidate_pairs(sigs, 16, 2, max_bucket_size=2).collect()
+    }
+    assert (10, 11) in capped
+    assert not any(i < 3 and j < 3 for i, j in capped)
+
+
 def test_minhash_matches_bruteforce(corpus):
     # at threshold 0.7 the S-curve (32 bands x 4 rows) gives ~1-6e-5
     # recall for the (0,1) pair at J=0.714; AT the midpoint (J = 0.5,
@@ -731,6 +754,29 @@ def test_audio_zero_crossings_golden(spark):
     row = extract_audio_features(assets).first()
     assert row.n_crossings == 3
     assert row.sample_rate == 8000
+
+
+def test_sample_audio_frames_golden(spark):
+    import math
+
+    from kingsfoil_seed_data_ingestor_spark.functions.codecs import encode_wav_pcm16
+    from kingsfoil_seed_data_ingestor_spark.operators.multimodal import (
+        sample_audio_frames,
+    )
+
+    # 5 samples, frame_len=2 → frames [3,4], [5,12], [9] (partial last)
+    wav = encode_wav_pcm16([3, 4, 5, 12, 9], 8000)
+    assets = spark.createDataFrame(
+        [(7, bytearray(wav))], "asset_id long, payload binary"
+    )
+    rows = {r.frame_no: r for r in sample_audio_frames(assets, frame_len=2).collect()}
+    assert [rows[f].n_samples for f in (0, 1, 2)] == [2, 2, 1]
+    assert rows[0].rms == round(math.sqrt((9 + 16) / 2), 6)
+    assert rows[1].rms == round(math.sqrt((25 + 144) / 2), 6)
+    assert rows[2].rms == 9.0
+    # the frame cap truncates, never errors
+    capped = sample_audio_frames(assets, frame_len=2, max_frames=2).collect()
+    assert sorted(r.frame_no for r in capped) == [0, 1]
 
 
 def test_extract_audio_features_plumbing(corpus):
