@@ -1,0 +1,367 @@
+"""Corpus-assembly extension queries (round 5).
+
+Five operations a training-data pipeline runs after cleaning and
+dedup, plus one more multi-join warehouse shape:
+
+- ``dedup_spans``       — sub-document dedup: corpus-wide duplicate
+  8-token-span detection/removal (the CCNet/paragraph-dedup move at
+  span granularity, since the synthetic docs carry no newlines).
+- ``embed_quantize_int8`` — per-vector symmetric int8 quantization of
+  the embedding column with exact integer witnesses + reconstruction
+  error, the compression step before shipping vectors to an ANN index.
+- ``corpus_mix_plan``   — per-source token accounting → uniform-budget
+  sampling rates (the "data mixing" plan a pretraining run starts from).
+- ``events_funnel``     — ordered multi-stage conversion funnel
+  (view → click → purchase with strictly increasing event times).
+- ``q3_shipping_priority`` — TPC-H-Q3-shaped multi-join top-k
+  (segment-filtered customer ⋈ orders ⋈ lineitem, revenue ranking).
+
+All five register in the overflow priority band (70): the driver's
+capped correctness window keeps its r4 composition, and these queries
+are hard-gated by the oracle-parity pytest (tests/test_oracle_parity.py)
+which runs every registered oracle cross-engine at sf0.001.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.functions import text as TX
+from kingsfoil_seed_data_ingestor_spark.plans.core import register as _register
+from kingsfoil_seed_data_ingestor_spark.plans.llm import SQL_TOKENS
+from kingsfoil_seed_data_ingestor_spark.plans.relational import DEC, exact_double
+from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+register = partial(_register, priority=70)  # overflow band: oracle-parity pytest gates
+
+#: tokens per dedup span — small enough that boilerplate repeats, large
+#: enough that a span is meaningful content (CCNet uses paragraphs)
+SPAN = 8
+
+
+@register(
+    "dedup_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    ch AS (
+        SELECT doc_id, i AS idx,
+               md5(array_to_string(toks[i*{SPAN}+1 : i*{SPAN}+{SPAN}], ' ')) AS h,
+               least({SPAN}, len(toks) - i*{SPAN}) AS n_tok
+        FROM t, unnest(range(CAST(ceil(len(toks)/{SPAN}.0) AS BIGINT))) AS u(i)
+    ),
+    ranked AS (
+        SELECT doc_id, idx, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="Sub-document dedup at span granularity (CCNet-style duplicate-"
+    "paragraph removal; the synthetic corpus has no newlines, so the "
+    "'paragraph' is a fixed 8-token span): every doc splits into "
+    "contiguous token spans, spans are fingerprinted corpus-wide, and "
+    "only the FIRST occurrence (by doc_id, span position) of each "
+    "distinct span survives. Output is the per-doc audit a pipeline "
+    "dashboard reads: span count, duplicated-span count, tokens kept. "
+    "Plan: one narrow exchange on the 128-bit span fingerprint (rank "
+    "within fingerprint), one exchange back on doc_id — no pairwise "
+    "comparison anywhere, so cost is linear in corpus size at 100 TB. "
+    "A mega-hot fingerprint (universal boilerplate) concentrates its "
+    "rank sort on one task; the escape hatch is the same "
+    "first-occurrence-via-min(struct) aggregate + rejoin used by "
+    "operators/skew.py when a key exceeds task memory.",
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    n_spans = F.ceil(F.size("toks") / SPAN).cast("int")
+    span_structs = F.when(
+        F.size("toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(F.slice(F.col("toks"), i * SPAN + 1, F.lit(SPAN)), " ")
+                ).alias("h"),
+                F.least(F.lit(SPAN), F.size("toks") - i * SPAN).alias("n_tok"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:string,n_tok:int>>"))
+    spans = toks.select(
+        "doc_id", F.posexplode(span_structs).alias("idx", "s")
+    ).select("doc_id", "idx", F.col("s.h").alias("h"), F.col("s.n_tok").alias("n_tok"))
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "idx"))
+    ranked = spans.withColumn("rn", rn)
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tok")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM t
+    ),
+    q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r6,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_qabs,
+           CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
+           round(1e9 * list_sum(list_transform(range(len(v)),
+                 i -> pow(v[i+1] - qv[i+1] * scale, 2))) / len(v), 3) AS mse_e9
+    FROM q
+    """,
+    doc="Symmetric int8 quantization of the embedding column — the "
+    "compression step before vectors ship to an ANN index (4× smaller, "
+    "SIMD-friendly). Per vector: scale = max|v|/127, q = round-half-up"
+    "(v/scale); output is the quantization audit — rounded scale, the "
+    "EXACT integer sum of |q| (an order-independent witness the "
+    "cross-engine hash can trust bit-for-bit), saturated-lane count, "
+    "and reconstruction MSE. All arithmetic is native array expressions "
+    "(transform/aggregate/filter) inside whole-stage codegen: zero "
+    "Python, zero shuffle — a pure map over the vector table that "
+    "scales embarrassingly to 100 TB. floor(x+0.5) is spelled "
+    "explicitly in BOTH engines because their round() builtins disagree "
+    "on half-way cases; IEEE ops in identical order make the doubles "
+    "bit-identical.",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    t = emb.select("vec_id", v.alias("v"))
+    scale = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    s = t.select("vec_id", "v", scale.alias("scale")).filter(F.col("scale") > 0)
+    qv = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + 0.5))
+    q = s.select("vec_id", "v", "scale", qv.alias("qv"))
+    sum_qabs = F.aggregate(
+        F.transform(F.col("qv"), F.abs), F.lit(0.0), lambda a, x: a + x
+    ).cast("long")
+    n_sat = F.size(F.filter(F.col("qv"), lambda x: F.abs(x) >= 127)).cast("long")
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("qv"), lambda x, qx: F.pow(x - qx * F.col("scale"), 2)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r6"),
+        sum_qabs.alias("sum_qabs"),
+        n_sat.alias("n_sat"),
+        F.round(F.lit(1e9) * sq_err / F.size("v"), 3).alias("mse_e9"),
+    )
+
+
+@register(
+    "corpus_mix_plan",
+    oracle=f"""
+    WITH t AS (SELECT source, len({SQL_TOKENS}) AS n_tok FROM documents),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / (total * 1.0), 6) AS share,
+           round(least(1.0, (total / (n_src * 1.0)) / n_tokens), 6) AS sample_rate,
+           CAST(floor(least(1.0, (total / (n_src * 1.0)) / n_tokens) * n_tokens)
+                AS BIGINT) AS planned_tokens
+    FROM s, tot
+    """,
+    doc="Data-mixing plan: per-source token accounting plus the "
+    "sampling rate that flattens the mix to a uniform per-source token "
+    "budget (over-represented sources downsample; under-budget sources "
+    "keep rate 1.0 — no upsampling). This is the arithmetic a "
+    "pretraining run's sampler is configured from. Plan: one partial-"
+    "aggregated shuffle on source (~20 groups), a single-row broadcast "
+    "of the corpus totals, pure expression arithmetic after — at 100 TB "
+    "the only data-sized cost is the first aggregate's scan; everything "
+    "downstream is metadata-sized.",
+)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select("source", F.size(TX.tokens(F.col("text"))).alias("n_tok")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    budget = F.col("total") / (F.col("n_src") * F.lit(1.0))
+    rate = F.least(F.lit(1.0), budget / F.col("n_tokens"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / (F.col("total") * F.lit(1.0)), 6).alias("share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias("planned_tokens"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 12 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 12 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase
+    """,
+    doc="Ordered conversion funnel: users whose event history contains "
+    "view → click → purchase with STRICTLY increasing timestamps, each "
+    "stage within 12 hours of the previous stage's anchor (each stage "
+    "anchored at the earliest qualifying event — not mere per-type "
+    "existence, which would count a purchase that preceded the first "
+    "view; the attribution window keeps the funnel discriminative, "
+    "150→37→7 at sf0.01, instead of saturating). Classic product-"
+    "analytics shape the events table exists for. Plan: three "
+    "conditional-MIN aggregates, each a type-filtered scan (the "
+    "event_type predicate pushes to parquet) shuffled on user_id; "
+    "stage N+1 joins stage N's per-user anchor — all three joins "
+    "share the user_id partitioning, so AQE reuses the exchange. At "
+    "100 TB the per-stage state is one row per user, never per event.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    window = F.expr("INTERVAL 12 HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + window)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + window)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+#: Q3 cutoff — mid-range of the synthetic 1995–2001 order dates
+Q3_CUTOFF = "1998-06-01 00:00:00"
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l_discount AS DECIMAL(7,4))) AS DECIMAL(24,6))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, "
+    "revenue per order, top-10 — the canonical 'big fact ⋈ filtered "
+    "dims, rank the result' warehouse query. Revenue sums in exact "
+    "decimal (q1's trick) so the cross-engine hash never rests on "
+    "float association order; tie-break on l_orderkey makes the LIMIT "
+    "deterministic. Plan: both date filters push to parquet scans, "
+    "customer's segment filter prunes ~4/5 of the dim before the join, "
+    "AQE broadcasts the filtered dims at bench scale (at 100 TB the "
+    "orders join falls back to a shuffle join on the orderkey both "
+    "sides already share), and the final top-10 runs as TakeOrdered — "
+    "no global sort materializes.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit(Q3_CUTOFF).cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(7,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_double(F.sum(price * disc_f)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
