@@ -1,0 +1,158 @@
+"""Round-5 corpus-assembly queries: planted-case unit tests.
+
+The oracle-parity suite (test_oracle_parity.py) pins these queries
+against DuckDB on the driver testdata; this module pins their
+SEMANTICS on hand-built inputs where the right answer is computed by
+eye — planted duplicate spans, a vector whose quantization is known in
+closed form, a funnel history with out-of-order and out-of-window
+events.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.plans import corpus as CO
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _spans_by_doc(spark, texts, tmp_path):
+    path = str(tmp_path)
+    _docs(spark, texts).write.mode("overwrite").parquet(path + "/documents.parquet")
+    return {r.doc_id: r for r in CO.dedup_spans(spark, path).collect()}
+
+
+W8 = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one full span
+
+
+def test_dedup_spans_planted_duplicates(spark, tmp_path):
+    texts = [
+        W8 + " tail1 tail2",            # doc 0: span0 = W8, span1 = 2-token tail
+        W8 + " " + W8,                  # doc 1: W8 twice — 2nd is dup of doc0's
+        "unique a b c d e f g",         # doc 2: one full unique span
+    ]
+    out = _spans_by_doc(spark, texts, tmp_path)
+    # doc 0 owns the first occurrence of W8: nothing duplicated
+    assert out[0].n_spans == 2 and out[0].n_dup_spans == 0
+    assert out[0].kept_tokens == 10
+    # doc 1: both spans are W8 — both are later occurrences
+    assert out[1].n_spans == 2 and out[1].n_dup_spans == 2
+    assert out[1].kept_tokens == 0
+    # doc 2 untouched
+    assert out[2].n_spans == 1 and out[2].n_dup_spans == 0
+    assert out[2].kept_tokens == 8
+
+
+def test_dedup_spans_partial_tail_counts_actual_tokens(spark, tmp_path):
+    out = _spans_by_doc(spark, ["a b c d e f g h i j"], tmp_path)  # 10 tokens
+    assert out[0].n_spans == 2
+    assert out[0].kept_tokens == 10  # 8 + 2-token partial tail
+
+
+def test_dedup_spans_first_occurrence_is_positional_within_doc(spark, tmp_path):
+    # the SAME span twice inside one doc: first position wins
+    out = _spans_by_doc(spark, [W8 + " " + W8], tmp_path)
+    assert out[0].n_spans == 2
+    assert out[0].n_dup_spans == 1
+    assert out[0].kept_tokens == 8
+
+
+def test_quantize_int8_closed_form(spark, tmp_path):
+    # v = [127, -254, 63.5] scaled by s: scale = 254s/127 = 2s,
+    # q = [64, -127, 32] (63.5/2 = 31.75 -> floor(32.25) = 32)
+    s = 0.01
+    emb = spark.createDataFrame(
+        [(0, [127.0 * s, -254.0 * s, 63.5 * s], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    row = CO.embed_quantize_int8(spark, str(tmp_path)).first()
+    assert row.sum_qabs == 64 + 127 + 32
+    assert row.n_sat == 1
+    assert row.scale_r6 == pytest.approx(2 * s, abs=1e-6)
+
+
+def test_quantize_reconstruction_error_bounded_by_half_step(spark, tmp_path):
+    # round-half-up guarantees |v - q*scale| <= scale/2 per lane
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(50)
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = CO.embed_quantize_int8(spark, str(tmp_path))
+    # mse <= (scale/2)^2  =>  mse_e9 <= 1e9 * scale^2 / 4
+    bad = out.filter(
+        F.col("mse_e9") > 1e9 * F.pow(F.col("scale_r6") + 1e-6, 2) / 4
+    ).count()
+    assert bad == 0
+
+
+def test_mix_plan_rates_and_budget(spark, tmp_path):
+    # 3 sources: 100, 200, 700 tokens; budget = 1000/3 per source
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows = [
+        (0, words(100), "en", "a", 0),
+        (1, words(200), "en", "b", 0),
+        (2, words(700), "en", "c", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in CO.corpus_mix_plan(spark, str(tmp_path)).collect()}
+    assert out["a"].sample_rate == 1.0 and out["a"].planned_tokens == 100
+    assert out["b"].sample_rate == 1.0 and out["b"].planned_tokens == 200
+    # c downsamples to the uniform budget 1000/3
+    assert out["c"].sample_rate == pytest.approx(1000 / 3 / 700, abs=1e-6)
+    assert out["c"].planned_tokens == 333
+    assert abs(out["a"].share - 0.1) < 1e-9
+
+
+def _events(spark, rows):
+    # (user, type, minutes-offset)
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(minutes=m), u, t, 0.0, "{}")
+        for i, (u, t, m) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_funnel_ordering_and_window(spark, tmp_path):
+    rows = [
+        # user 1: clean funnel inside windows
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        # user 2: purchase BEFORE click — reaches click only
+        (2, "view", 0), (2, "purchase", 5), (2, "click", 10),
+        # user 3: click outside the 12 h window
+        (3, "view", 0), (3, "click", 13 * 60),
+        # user 4: click at the first view, not after it (strict >)
+        (4, "view", 0), (4, "click", 0),
+        # user 5: purchase just inside click's window
+        (5, "view", 0), (5, "click", 1), (5, "purchase", 1 + 12 * 60),
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    row = CO.events_funnel(spark, str(tmp_path)).first()
+    assert row.n_view == 5
+    assert row.n_click == 3  # users 1, 2, 5
+    assert row.n_purchase == 2  # users 1, 5 (user 2's purchase precedes the click)
