@@ -303,6 +303,63 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nv.crossJoin(nc).crossJoin(np_)
 
 
+#: shard-shuffle seed — version the permutation, not the code
+SHARD_SEED = "shard-v1"
+N_SHARDS = 8
+
+
+@register(
+    "corpus_shard_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({SQL_TOKENS}) AS n_tok,
+               md5('{SHARD_SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tok, k,
+               (strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % {N_SHARDS}
+                   AS shard
+        FROM t
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           arg_min(doc_id, k) AS first_doc,
+           arg_max(doc_id, k) AS last_doc
+    FROM s GROUP BY shard
+    """,
+    doc="Seeded global shuffle into training shards — the step between "
+    "a cleaned corpus and a training run: every doc gets a "
+    "deterministic permutation key md5(seed:doc_id) (same idiom as the "
+    "md5-threshold sampler: hex strings are fixed-width, so string "
+    "order IS numeric order and both engines agree bit-for-bit), the "
+    "key's first hex digit assigns the shard, and the within-shard "
+    "training order is the key order. Re-running with the same seed "
+    "reproduces the permutation exactly; bumping the seed reshuffles — "
+    "the property that makes data-order ablations possible. Output is "
+    "the shard audit (doc/token balance + the first/last docs in "
+    "training order, an order witness the cross-engine hash checks via "
+    "arg_min/arg_max). At 100 TB the materialization is "
+    "repartitionByRange(shard, key) + sortWithinPartitions(key) + "
+    "per-shard parquet — a single range shuffle; this query is the "
+    "plan/audit side and aggregates in one pass, no sort.",
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit(f"{SHARD_SEED}:"), F.col("doc_id").cast("string")))
+    digit = F.conv(F.substring(F.col("k"), 1, 1), 16, 10).cast("long")
+    t = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tok"), k.alias("k")
+    ).withColumn("shard", digit % N_SHARDS)
+    return t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min_by("doc_id", "k").alias("first_doc"),
+        F.max_by("doc_id", "k").alias("last_doc"),
+    )
+
+
 #: Q3 cutoff — mid-range of the synthetic 1995–2001 order dates
 Q3_CUTOFF = "1998-06-01 00:00:00"
 

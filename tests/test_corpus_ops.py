@@ -122,6 +122,20 @@ def test_mix_plan_rates_and_budget(spark, tmp_path):
     assert abs(out["a"].share - 0.1) < 1e-9
 
 
+def test_shard_plan_deterministic_partition(spark, tmp_path):
+    texts = ["w %d" % i for i in range(40)]
+    _docs(spark, texts).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    a = sorted(CO.corpus_shard_plan(spark, str(tmp_path)).collect())
+    b = sorted(CO.corpus_shard_plan(spark, str(tmp_path)).collect())
+    assert a == b  # same seed -> identical permutation and audit
+    assert sum(r.n_docs for r in a) == 40  # shards partition the corpus
+    assert all(0 <= r.shard < CO.N_SHARDS for r in a)
+    # the order witness is a real doc from the shard, not an aggregate artifact
+    assert all(r.first_doc != r.last_doc or r.n_docs == 1 for r in a)
+
+
 def _events(spark, rows):
     # (user, type, minutes-offset)
     base = dt.datetime(2024, 1, 1)
