@@ -599,3 +599,51 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
+
+
+# ----------------------------------------------------------------------
+# sub-document span dedup (CCNet-style duplicate-paragraph removal)
+# ----------------------------------------------------------------------
+
+#: tokens per dedup span — small enough that boilerplate repeats, large
+#: enough that a span is meaningful content (CCNet uses paragraphs)
+SPAN = 8
+
+
+def span_table(
+    docs: DataFrame,
+    span: int = SPAN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, idx, h, n_tok)`` — every contiguous ``span``-token
+    chunk of every document, md5-fingerprinted.
+
+    md5 (not xxhash64) on purpose: the fingerprint doubles as the
+    cross-engine grouping key for the DuckDB oracle, and hex-string md5
+    is portable. The array build (sequence + slice + array_join) runs
+    on the interpreted expression path — acceptable here because spans
+    tile the document (one chunk per SPAN tokens), unlike the sliding
+    shingle builders whose per-token window made the interpreted path
+    a measured 5× loss. No window also means this works unchanged on
+    batch AND streaming frames (pure per-row expressions).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TX.tokens(F.col(text_col)).alias("toks")
+    )
+    n_spans = F.ceil(F.size("toks") / span).cast("int")
+    structs = F.when(
+        F.size("toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(F.slice(F.col("toks"), i * span + 1, F.lit(span)), " ")
+                ).alias("h"),
+                F.least(F.lit(span), F.size("toks") - i * span).alias("n_tok"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:string,n_tok:int>>"))
+    return toks.select("doc_id", F.posexplode(structs).alias("idx", "s")).select(
+        "doc_id", "idx", F.col("s.h").alias("h"), F.col("s.n_tok").alias("n_tok")
+    )

@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.functions import text as TX
+from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
 from kingsfoil_seed_data_ingestor_spark.plans.core import register as _register
 from kingsfoil_seed_data_ingestor_spark.plans.llm import SQL_TOKENS
 from kingsfoil_seed_data_ingestor_spark.plans.relational import DEC, exact_double
@@ -38,9 +39,9 @@ from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 
 register = partial(_register, priority=70)  # overflow band: oracle-parity pytest gates
 
-#: tokens per dedup span — small enough that boilerplate repeats, large
-#: enough that a span is meaningful content (CCNet uses paragraphs)
-SPAN = 8
+#: tokens per dedup span — see operators/text_dedup.SPAN (shared with
+#: the streaming twin in streaming/spans.py)
+SPAN = DD.SPAN
 
 
 @register(
@@ -81,23 +82,7 @@ SPAN = 8
 )
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
-    n_spans = F.ceil(F.size("toks") / SPAN).cast("int")
-    span_structs = F.when(
-        F.size("toks") > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.struct(
-                F.md5(
-                    F.array_join(F.slice(F.col("toks"), i * SPAN + 1, F.lit(SPAN)), " ")
-                ).alias("h"),
-                F.least(F.lit(SPAN), F.size("toks") - i * SPAN).alias("n_tok"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<h:string,n_tok:int>>"))
-    spans = toks.select(
-        "doc_id", F.posexplode(span_structs).alias("idx", "s")
-    ).select("doc_id", "idx", F.col("s.h").alias("h"), F.col("s.n_tok").alias("n_tok"))
+    spans = DD.span_table(docs, SPAN)
     rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "idx"))
     ranked = spans.withColumn("rn", rn)
     return ranked.groupBy("doc_id").agg(

@@ -21,6 +21,9 @@ from kingsfoil_seed_data_ingestor_spark.streaming.events import (
     tumbling_window_counts,
     user_running_totals,
 )
+from kingsfoil_seed_data_ingestor_spark.streaming.spans import (
+    streaming_span_dedup,
+)
 from kingsfoil_seed_data_ingestor_spark.streaming.ingest import (
     stream_ingest_directory,
     watch_drop_directory,
@@ -36,6 +39,7 @@ __all__ = [
     "enrich_events",
     "user_running_totals",
     "streaming_corpus_dedup",
+    "streaming_span_dedup",
     "first_seen_filter",
     "run_to_memory",
     "stream_ingest_directory",

@@ -327,3 +327,78 @@ def test_read_event_stream_on_empty_directory(spark, tmp_path):
         stream2.groupBy().agg(F.count(F.lit(1)).alias("n")), "late_feed"
     )
     assert out2.first().n == raw.count()
+
+
+# ----------------------------------------------------------------------
+# streaming span dedup (custom stateful operator, span granularity)
+# ----------------------------------------------------------------------
+
+
+def test_streaming_span_dedup_matches_batch(spark, tmp_path):
+    from kingsfoil_seed_data_ingestor_spark.streaming import streaming_span_dedup
+
+    src = tmp_path / "doc_feed"
+    src.mkdir()
+    docs = load(spark, SF_DIR, "documents").limit(60)
+    # batch 2 re-uploads three docs under fresh ids: every span of those
+    # docs is a later occurrence the fold must attribute to batch-1
+    dups = docs.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    docs.write.parquet(str(src / "b1.parquet"))
+    dups.write.parquet(str(src / "b2.parquet"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    streamed = run_to_memory(
+        streaming_span_dedup(stream), "span_dedup", output_mode="update"
+    )
+    final = (
+        streamed.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("h").orderBy(F.desc("n_seen"))),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    # batch twin over the union must agree exactly (fold is commutative)
+    expect = streaming_span_dedup(docs.unionByName(dups))
+    got = {r.h: (r.keeper_doc, r.keeper_idx, r.n_seen) for r in final.collect()}
+    want = {r.h: (r.keeper_doc, r.keeper_idx, r.n_seen) for r in expect.collect()}
+    assert got == want
+    # re-uploaded spans keep their batch-1 keeper
+    re_up = {r.h for r in streaming_span_dedup(dups).collect()}
+    assert all(want[h][0] < 100_000 for h in re_up)
+
+
+def test_streaming_span_dedup_batch_twin_matches_plan(spark):
+    """The stateful operator's batch twin and the registered
+    dedup_spans plan must tell the same story: a span instance is a
+    duplicate iff it is not the keeper occurrence."""
+    from kingsfoil_seed_data_ingestor_spark.operators.text_dedup import span_table
+    from kingsfoil_seed_data_ingestor_spark.plans.corpus import dedup_spans
+    from kingsfoil_seed_data_ingestor_spark.streaming import streaming_span_dedup
+
+    docs = load(spark, SF_DIR, "documents")
+    twin = streaming_span_dedup(docs)
+    spans = span_table(docs)
+    # duplicates per doc according to the twin's keeper registry
+    dup_rows = (
+        spans.join(twin, "h")
+        .filter(
+            (F.col("doc_id") != F.col("keeper_doc"))
+            | (F.col("idx") != F.col("keeper_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    plan = dedup_spans(spark, SF_DIR).select("doc_id", "n_dup_spans").filter(
+        F.col("n_dup_spans") > 0
+    )
+    got = {(r.doc_id, r.n_dup_spans) for r in dup_rows.collect()}
+    want = {(r.doc_id, r.n_dup_spans) for r in plan.collect()}
+    assert got == want
