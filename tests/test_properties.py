@@ -384,3 +384,49 @@ def test_streaming_dedup_fold_is_order_and_batch_invariant(rows, rnd):
     }
     assert run(rows, cuts_a) == want
     assert run(shuffled, cuts_b) == want
+
+
+# ----------------------------------------------------------------------
+# span dedup: Spark plan vs a plain-Python spec
+# ----------------------------------------------------------------------
+
+
+def spec_span_dedup(texts, span=8):
+    """First-occurrence span dedup computed the obvious way."""
+    seen = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        chunks = [toks[i : i + span] for i in range(0, len(toks), span)]
+        n_dup = kept = 0
+        for ch in chunks:
+            key = " ".join(ch)
+            if key in seen:
+                n_dup += 1
+            else:
+                seen.add(key)
+                kept += len(ch)
+        if chunks:
+            out[doc_id] = (len(chunks), n_dup, kept)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(_word, min_size=0, max_size=20).map(" ".join), min_size=1, max_size=8))
+def test_dedup_spans_matches_python_spec(spark, tmp_path_factory, texts):
+    from kingsfoil_seed_data_ingestor_spark.plans.corpus import dedup_spans
+
+    tmp = tmp_path_factory.mktemp("spanprop")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.kept_tokens)
+        for r in dedup_spans(spark, str(tmp)).collect()
+    }
+    assert got == spec_span_dedup(texts)
