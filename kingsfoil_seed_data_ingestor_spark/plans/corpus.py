@@ -288,6 +288,51 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nv.crossJoin(nc).crossJoin(np_)
 
 
+@register(
+    "events_cube_hourly",
+    oracle="""
+    WITH e AS (SELECT event_type, hour(ts) AS hr, value FROM events)
+    SELECT event_type, CAST(hr AS BIGINT) AS hr,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(hr) AS INTEGER) AS g_hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(24,6)) AS DOUBLE)
+               AS sum_value
+    FROM e GROUP BY CUBE(event_type, hr)
+    """,
+    doc="CUBE over (event_type, hour-of-day): all four grouping sets — "
+    "per-cell, per-type, per-hour, grand total — in ONE pass with "
+    "GROUPING() indicators disambiguating aggregation NULLs from data "
+    "NULLs (the §2.7 completeness twin of rollup_doc_counts, which "
+    "pins ROLLUP). Value sums go through exact decimal so the "
+    "cross-engine hash never rests on float association order. Plan: "
+    "Spark expands the cube map-side and aggregates all sets in one "
+    "shuffle — 4× the partial-aggregate rows, not 4 scans; at 100 TB "
+    "prefer explicit GROUPING SETS over high-arity cubes (2^n sets).",
+)
+def events_cube_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), F.col("value").cast(DEC).alias("v")
+    )
+    return (
+        ev.cube("event_type", "hr")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hr").cast("int").alias("g_hr"),
+            F.count(F.lit(1)).alias("n"),
+            exact_double(F.sum("v")).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            "g_type",
+            "g_hr",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 #: shard-shuffle seed — version the permutation, not the code
 SHARD_SEED = "shard-v1"
 N_SHARDS = 8
