@@ -289,6 +289,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_column_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_partkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_suppkey,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d_returnflag,
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS d_shipdate,
+           CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+           CAST(MAX(l_quantity) AS BIGINT) AS max_qty,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_returnflag
+    FROM lineitem
+    """,
+    doc="One-pass multi-column profile of the fact table: exact "
+    "distinct cardinalities for four columns plus min/max/null counts "
+    "— the reference's A2/A5 profiling shape widened to the "
+    "warehouse-canonical 'column stats' report a query optimizer or "
+    "data catalog ingests. Multiple COUNT(DISTINCT)s compile to "
+    "Spark's Expand operator: one scan fans each row into one stream "
+    "per distinct-aggregate, partial-aggregated map-side — n "
+    "distincts cost one shuffle of pre-deduplicated keys, not n scans. "
+    "At 100 TB swap exact distincts for approx_count_distinct (HLL) "
+    "per the same plan shape; kept exact here so the cross-engine "
+    "hash stays bit-deterministic (sketch implementations differ).",
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("l_partkey")).alias("d_partkey"),
+        F.count_distinct(F.col("l_suppkey")).alias("d_suppkey"),
+        F.count_distinct(F.col("l_returnflag")).alias("d_returnflag"),
+        F.count_distinct(F.col("l_shipdate")).alias("d_shipdate"),
+        F.min("l_quantity").cast("long").alias("min_qty"),
+        F.max("l_quantity").cast("long").alias("max_qty"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias(
+            "null_returnflag"
+        ),
+    )
+
+
+@register(
     "events_cube_hourly",
     oracle="""
     WITH e AS (SELECT event_type, hour(ts) AS hr, value FROM events)
