@@ -213,22 +213,36 @@ def simhash_nibble_contrib(token_md5: Column, bit: int) -> Column:
     return (nibble % 2) * 2 - 1
 
 
-def simhash32_agg_exprs(token_md5: Column) -> list[Column]:
+def _nibble_contrib_sql(col: str, bit: int) -> str:
+    """SQL twin of :func:`simhash_nibble_contrib` (same ops, same
+    order) — built as ONE parsed fragment because constructing the
+    per-bit Column chains through py4j costs ~6 driver round trips per
+    bit and the 32/64-lane builders were spending more wall time
+    building the DAG than executing it."""
+    return (
+        f"((instr('0123456789abcdef', substring({col}, {bit + 1}, 1)) - 1) % 2)"
+        f" * 2 - 1"
+    )
+
+
+def simhash32_agg_exprs(token_md5: str = "tok_md5") -> list[Column]:
     """The 32 per-bit SUM expressions for a grouped simhash: use after
     exploding tokens, ``groupBy(doc)``; combine with
-    :func:`assemble_simhash`."""
+    :func:`assemble_simhash`. Takes the md5 COLUMN NAME (the exprs are
+    parsed SQL — see :func:`_nibble_contrib_sql`)."""
     return [
-        F.sum(simhash_nibble_contrib(token_md5, b)).alias(f"_sh{b}")
+        F.expr(f"sum({_nibble_contrib_sql(token_md5, b)}) AS _sh{b}")
         for b in range(SIMHASH_BITS)
     ]
 
 
 def assemble_simhash(prefix: str = "_sh") -> Column:
     """Fold the 32 per-bit sums into one integer: bit b set ⟺ sum > 0."""
-    out = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        out = out + F.when(F.col(f"{prefix}{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return out
+    terms = " + ".join(
+        f"(CASE WHEN {prefix}{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return F.expr(terms)
 
 
 #: width of the wide simhash — 64 bits kills the tiny-bucket ceiling of
@@ -238,17 +252,20 @@ def assemble_simhash(prefix: str = "_sh") -> Column:
 SIMHASH64_BITS = 64
 
 
-def simhash64_agg_exprs(token_md5: Column, token_md5b: Column) -> list[Column]:
+def simhash64_agg_exprs(
+    token_md5: str = "tok_md5", token_md5b: str = "tok_md5b"
+) -> list[Column]:
     """The 64 per-bit SUM expressions: bits 0–31 from the parity of
     ``md5(token)``'s nibbles, bits 32–63 from ``md5('x' ‖ token)`` — two
     independent 128-bit digests give 64 independent ±1 lanes with the
-    same engine-portable construction as the 32-bit variant."""
+    same engine-portable construction as the 32-bit variant. Takes the
+    two md5 COLUMN NAMES (parsed SQL, see :func:`_nibble_contrib_sql`)."""
     exprs = [
-        F.sum(simhash_nibble_contrib(token_md5, b)).alias(f"_sh{b}")
+        F.expr(f"sum({_nibble_contrib_sql(token_md5, b)}) AS _sh{b}")
         for b in range(32)
     ]
     exprs += [
-        F.sum(simhash_nibble_contrib(token_md5b, b - 32)).alias(f"_sh{b}")
+        F.expr(f"sum({_nibble_contrib_sql(token_md5b, b - 32)}) AS _sh{b}")
         for b in range(32, SIMHASH64_BITS)
     ]
     return exprs
@@ -258,9 +275,12 @@ def assemble_simhash64(prefix: str = "_sh") -> Column:
     """Fold 64 per-bit sums into one signed long. Bit 63 is the sign
     bit: added as −2⁶³ (two's complement) so the value stays inside
     BIGINT in both engines — ``1 << 63`` would overflow."""
-    out = F.lit(0).cast("long")
-    for b in range(SIMHASH64_BITS - 1):
-        out = out + F.when(F.col(f"{prefix}{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return out + F.when(
-        F.col(f"{prefix}{SIMHASH64_BITS - 1}") > 0, F.lit(-(1 << 63)).cast("long")
-    ).otherwise(0)
+    terms = " + ".join(
+        f"(CASE WHEN {prefix}{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(SIMHASH64_BITS - 1)
+    )
+    sign = (
+        f"(CASE WHEN {prefix}{SIMHASH64_BITS - 1} > 0 "
+        f"THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0L END)"
+    )
+    return F.expr(f"{terms} + {sign}")

@@ -427,10 +427,20 @@ def rhp_banded(
     narrow rows. Deliberately id-only: the vectors rejoin *after* the
     candidate-pair distinct, so the band shuffle moves 3 small ints per
     row instead of the embedding payload."""
-    bits = [
-        (dot(F.col(vec_col), F.array(*[F.lit(s) for s in plane])) > 0).cast("int")
-        for plane in planes
-    ]
+    # each plane's dot product is ONE parsed SQL fragment (identical
+    # ops and fold order to `dot`): building the ±1 literal array as
+    # dim × F.lit py4j calls per plane put ~1000 driver round trips in
+    # the DAG-build path before any execution (see PERF_NOTES round 5)
+    def _plane_bit(plane: list[float]) -> Column:
+        arr = ", ".join(f"{s}D" for s in plane)
+        dot_sql = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        return F.expr(f"CAST(({dot_sql}) > 0 AS INT)")
+
+    bits = [_plane_bit(plane) for plane in planes]
     buckets = [
         sum(
             (bits[b * rows_per_band + r] * (1 << r) for r in range(rows_per_band)),

@@ -253,13 +253,57 @@ def minhash_signatures_from_posts(posts: DataFrame, num_hashes: int = 128) -> Da
     would surface in the brute-force Jaccard oracle."""
     hashed = posts.select("doc_id", F.xxhash64(F.col("shingle")).alias("_H"))
     minima = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(k), F.col("_H"))).alias(f"_h{k}")
-            for k in range(num_hashes)
-        ]
+        *[F.expr(f"min(xxhash64({k}, _H)) AS _h{k}") for k in range(num_hashes)]
     )
-    signature = F.array(*[F.col(f"_h{k}") for k in range(num_hashes)])
+    signature = F.expr(
+        "array(" + ", ".join(f"_h{k}" for k in range(num_hashes)) + ")"
+    )
     return minima.select("doc_id", signature.alias("signature"))
+
+
+def minhash_lanes_from_hashed_posts(posts: DataFrame, num_hashes: int = 96) -> DataFrame:
+    """``(doc_id, signature)`` from a hashed posting list — lanes only.
+
+    Kept SEPARATE from ``collect_set`` on purpose: a lanes-only groupBy
+    compiles to whole-stage-codegen ``HashAggregateExec``, while any
+    aggregate list containing ``collect_set`` moves the ENTIRE
+    aggregation to ``ObjectHashAggregateExec`` — typed, non-codegen —
+    and the 96 min lanes ride along on the slow path (measured at
+    sf0.1: lanes alone 0.72 s, lanes fused with collect_set 2.0 s).
+    """
+    # ONE parsed SQL fragment per lane (and one for the array), not a
+    # 4-deep pyspark Column chain each: the py4j round trips of
+    # num_hashes × (lit → xxhash64 → min → alias) construction calls
+    # measured 1.4-1.8 s of pure driver-side DAG-build time at 96
+    # lanes — comparable to the query's entire execution. F.expr
+    # parses in the JVM in one hop.
+    lanes = [
+        F.expr(f"min(xxhash64({k}, sh)) AS _h{k}") for k in range(num_hashes)
+    ]
+    minima = posts.groupBy("doc_id").agg(*lanes)
+    signature = F.expr(
+        "array(" + ", ".join(f"_h{k}" for k in range(num_hashes)) + ")"
+    )
+    return minima.select("doc_id", signature.alias("signature"))
+
+
+def split_profiles_from_hashed_posts(
+    posts: DataFrame, num_hashes: int = 96
+) -> DataFrame:
+    """``(doc_id, signature, shset)`` as TWO aggregates joined, not one.
+
+    The lanes aggregate stays codegen'd (see
+    ``minhash_lanes_from_hashed_posts``); ``collect_set`` runs in its
+    own ObjectHashAggregate over the same posting rows. Both aggregates
+    inherit the posting list's doc_id hash-partitioning, so the join
+    re-aligns without an exchange — two cheap passes beat one fused
+    pass that drags 96 min lanes onto the non-codegen path (measured
+    at sf0.1: 2.0 s fused vs ~0.9 s split). ``posts`` should be
+    persisted by the caller (both branches scan it).
+    """
+    sigs = minhash_lanes_from_hashed_posts(posts, num_hashes)
+    shsets = posts.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
+    return sigs.join(shsets, "doc_id")
 
 
 def minhash_profiles(
@@ -322,21 +366,16 @@ def lsh_candidate_pairs(
     boilerplate cluster better handled by a doc-frequency filter.
     Leave ``None`` (default, exact recall) for oracle-gated runs.
     """
+    # single parsed expression for the band array — per-band Column
+    # construction costs ~5 py4j round trips each (see
+    # minhash_lanes_from_hashed_posts)
+    band_structs = ", ".join(
+        f"struct({b} AS band, "
+        f"hash(slice(signature, {b * rows_per_band + 1}, {rows_per_band})) AS bucket)"
+        for b in range(bands)
+    )
     banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bk")
     ).select("doc_id", "bk.band", "bk.bucket")
     # both sides of the self-join read the banded table; persist the
     # (docs × bands) narrow rows so the signature aggregation runs once
@@ -415,16 +454,27 @@ def minhash_near_dups(
     at trillion-pair scale where candidate volume dominates, raise
     ``rows_per_band`` to 4–6 and scale ``num_hashes`` with it.
 
-    Plan shape (the whole pipeline is 4 exchanges): one corpus pass
-    builds per-doc profiles (signature + shingle set, no exchange past
-    the shingle window), banding self-joins on the band key, and
-    verification joins the tiny candidate table back to the cached
-    profiles — broadcast-hinted, so no corpus-wide shuffle. If a
-    pathological threshold ever made the candidate set huge, Catalyst
-    falls back to a shuffle join on doc_id; the plan stays correct.
+    Plan shape: ONE corpus pass builds the hashed posting list (the
+    shingle window's exchange is the only corpus-wide shuffle); the
+    96 min-hash lanes aggregate from its cache on the codegen
+    HashAggregate path (no exchange — the window already partitioned
+    by doc_id); banding self-joins the pinned banded rows on the band
+    key; and the non-codegen ``collect_set`` needed for exact-Jaccard
+    verification materializes only for CANDIDATE documents
+    (``shingle_sets_for``) — its cost scales with the candidate set,
+    not the corpus, which is also the 100 TB posture: never pay an
+    ObjectHashAggregate over every document for sets only a few
+    thousand pairs will read. Verification broadcast-joins the tiny
+    set/candidate tables; if a pathological threshold ever made them
+    huge, Catalyst falls back to shuffle joins; the plan stays correct.
     """
     scope, own = scope_or_own(scope)
-    profiles = scope.persist(minhash_profiles(docs, num_hashes, n, id_col, text_col))
+    # one corpus pass builds the hashed posting list; both profile
+    # branches (lanes, shingle sets) aggregate from this cache
+    posts = scope.persist(
+        shingle_hash_table(docs, n, id_col, text_col, distinct=False)
+    )
+    profiles = scope.persist(split_profiles_from_hashed_posts(posts, num_hashes))
     # cands is consumed exactly once (the broadcast below) and banding
     # re-derives from the cached profiles, so neither needs pinning
     cands = lsh_candidate_pairs(
@@ -466,7 +516,7 @@ def simhash_table(
         F.col(id_col).alias("doc_id"),
         F.explode(TX.tokens(F.col(text_col))).alias("tok"),
     ).withColumn("tok_md5", F.md5("tok"))
-    per_bit = toks.groupBy("doc_id").agg(*TX.simhash32_agg_exprs(F.col("tok_md5")))
+    per_bit = toks.groupBy("doc_id").agg(*TX.simhash32_agg_exprs("tok_md5"))
     return per_bit.select("doc_id", TX.assemble_simhash().alias("simhash"))
 
 
@@ -487,7 +537,7 @@ def simhash64_table(
         .withColumn("tok_md5b", F.md5(F.concat(F.lit("x"), F.col("tok"))))
     )
     per_bit = toks.groupBy("doc_id").agg(
-        *TX.simhash64_agg_exprs(F.col("tok_md5"), F.col("tok_md5b"))
+        *TX.simhash64_agg_exprs("tok_md5", "tok_md5b")
     )
     return per_bit.select("doc_id", TX.assemble_simhash64().alias("simhash64"))
 
