@@ -375,6 +375,101 @@ def events_cube_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): aggregate the fact "
+    "table FIRST (HAVING on the grouped sum), then join the surviving "
+    "handful of orders to their dimensions — the agg-before-join "
+    "ordering that turns a fact⋈fact problem into a tiny-probe join. "
+    "l_quantity is integral-valued, so the BIGINT-cast sum is exact "
+    "and the HAVING threshold cannot sit on a float boundary. Plan: "
+    "one map-side-combined shuffle on orderkey; the filtered big-order "
+    "table broadcasts into both dimension joins; top-20 runs as "
+    "TakeOrdered. At 100 TB the same ordering holds — never join "
+    "lineitem to orders before reducing it.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey", F.col("_q").cast("long").alias("total_qty"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        F.broadcast(big)
+        .join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "events_user_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+    doc="Per-user inter-event gaps via lag(): the §2.5 window surface "
+    "beyond ranking/frames — offset functions over an event-time "
+    "order. Ties on ts break on event_id so the lag sequence is "
+    "deterministic in BOTH engines (same-timestamp events would "
+    "otherwise order arbitrarily and the gap sums would diverge); all "
+    "outputs are exact epoch-microsecond integers, no float in sight. "
+    "Plan: one shuffle on user_id feeds both the window and the "
+    "following aggregate (same partitioning, no second exchange). At "
+    "100 TB per-user history is the unit of locality — skewed users "
+    "are bounded by retention, not corpus size.",
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # events.ts loads as TIMESTAMP_NTZ; the session zone is pinned UTC
+    # (session.py / pin_comparable_conf), so the NTZ→LTZ cast is a
+    # relabel, not a shift, and epoch micros match DuckDB's epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
 #: shard-shuffle seed — version the permutation, not the code
 SHARD_SEED = "shard-v1"
 N_SHARDS = 8
