@@ -72,23 +72,32 @@ SPAN = DD.SPAN
     "only the FIRST occurrence (by doc_id, span position) of each "
     "distinct span survives. Output is the per-doc audit a pipeline "
     "dashboard reads: span count, duplicated-span count, tokens kept. "
-    "Plan: one narrow exchange on the 128-bit span fingerprint (rank "
-    "within fingerprint), one exchange back on doc_id — no pairwise "
-    "comparison anywhere, so cost is linear in corpus size at 100 TB. "
-    "A mega-hot fingerprint (universal boilerplate) concentrates its "
-    "rank sort on one task; the escape hatch is the same "
-    "first-occurrence-via-min(struct) aggregate + rejoin used by "
-    "operators/skew.py when a key exceeds task memory.",
+    "Plan: one narrow exchange on the 128-bit span fingerprint (a "
+    "partial-aggregated min(struct(doc_id, idx)) — NOT a rank window: "
+    "a mega-hot fingerprint (universal boilerplate) would funnel a "
+    "window's sort through one task, while the map-side-combined min "
+    "reduces each hot key to one row per input partition before it "
+    "ever shuffles), a join of occurrences back to their keeper (both "
+    "sides share the fingerprint partitioning — no extra exchange), "
+    "and one exchange back on doc_id. No pairwise comparison anywhere; "
+    "linear in corpus size at 100 TB. Same keeper rule as the "
+    "streaming twin (streaming/spans.py), so the two stay "
+    "plan-for-plan comparable.",
 )
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     spans = DD.span_table(docs, SPAN)
-    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "idx"))
-    ranked = spans.withColumn("rn", rn)
-    return ranked.groupBy("doc_id").agg(
+    keepers = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("_first")
+    )
+    is_first = (F.col("doc_id") == F.col("_first.doc_id")) & (
+        F.col("idx") == F.col("_first.idx")
+    )
+    flagged = spans.join(keepers, "h").withColumn("_keep", is_first)
+    return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_spans"),
-        F.sum(F.when(F.col("rn") == 1, F.col("n_tok")).otherwise(0)).alias(
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_dup_spans"),
+        F.sum(F.when(F.col("_keep"), F.col("n_tok")).otherwise(0)).alias(
             "kept_tokens"
         ),
     )
