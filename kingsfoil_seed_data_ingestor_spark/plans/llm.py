@@ -1140,6 +1140,33 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_ann_ivf_sq8",
+    oracle=None,
+    priority=90,  # overflow band: no SQL oracle; pytest pins recall floor
+    doc="IVF search over int8-quantized inverted lists (the faiss "
+    "IVF-SQ8 layout): pass 1 scores the FLOAT query against the byte "
+    "payload only — parquet column pruning means the probed partitions "
+    "are read at 1 B/lane, a 4× scan reduction that is the entire "
+    "point at 100 TB — and keeps a 4k-deep shortlist; pass 2 rescores "
+    "the shortlist against the float embeddings for an exact final "
+    "top-k in brute-force tie order. Build persists qv/scale/qnorm "
+    "next to the float payload in the cluster-partitioned index "
+    "(operators/ann_index.py). Quantization error only costs recall "
+    "when a true neighbor misses the shortlist; "
+    "tests/test_llm_ops.py pins recall@5 vs brute force and exact "
+    "agreement of the rescored scores.",
+)
+def embed_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ANN.ensure_ivf_sq8_index(
+        load(spark, sf_dir, "embeddings"),
+        f"{sf_dir}/embeddings.parquet",
+        n_clusters=8,
+        iters=3,
+    )
+    return ANN.search_ivf_sq8_index(spark, idx, KNN_QUERY_IDS, k=5, nprobe=3)
+
+
+@register(
     "embed_ann_ivf_medoid",
     oracle=f"""
     WITH reps AS (

@@ -955,3 +955,63 @@ def test_pii_scrub_removes_all_patterns(spark):
     for pat in (PII_EMAIL, PII_PHONE, PII_SSN):
         assert not re.search(pat, rows[1]), f"unredacted {pat}"
     assert rows[2] == "clean text"
+
+
+# ----------------------------------------------------------------------
+# IVF-SQ8: quantized inverted lists
+# ----------------------------------------------------------------------
+
+
+def test_sq8_quantization_closed_form(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators.ann_index import with_sq8_columns
+
+    s = 0.01
+    df = spark.createDataFrame(
+        [(0, [127.0 * s, -254.0 * s, 63.5 * s])],
+        "vec_id long, embedding array<float>",
+    )
+    row = with_sq8_columns(df, "embedding").first()
+    # scale = 254s/127 = 2s; q = [64, -127, 32] (round-half-up)
+    assert list(row.qv) == [64, -127, 32]
+    assert abs(row.scale - 2 * s) < 1e-6
+    import math
+
+    want_norm = 2 * s * math.sqrt(64**2 + 127**2 + 32**2)
+    # float32 storage of the embedding perturbs scale at ~1e-8
+    assert abs(row.qnorm - want_norm) < 1e-6
+
+
+def test_sq8_search_equals_float_ivf_when_shortlist_covers(spark, tmp_path):
+    """At sf0.001 the probed lists (~19 vectors) fit entirely inside
+    the shortlist (4·k = 20), so pass 1 cannot drop a true neighbor and
+    the exact rescore must reproduce the float-IVF results row for row."""
+    from kingsfoil_seed_data_ingestor_spark.operators import ann_index as ANN
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src)
+    qids = [0, 1, 2, 3, 4]
+    fidx = ANN.ensure_ivf_index(emb, src, n_clusters=8, iters=3, root=str(tmp_path))
+    qidx = ANN.ensure_ivf_sq8_index(emb, src, n_clusters=8, iters=3, root=str(tmp_path))
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ANN.search_ivf_index(spark, fidx, qids, k=5, nprobe=3).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ANN.search_ivf_sq8_index(spark, qidx, qids, k=5, nprobe=3).collect()
+    }
+    assert a == b
+
+
+def test_sq8_recall_floor_vs_bruteforce(spark, tmp_path):
+    from kingsfoil_seed_data_ingestor_spark.operators import ann_index as ANN
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src)
+    qids = [0, 1, 2, 3, 4]
+    qidx = ANN.ensure_ivf_sq8_index(emb, src, n_clusters=8, iters=3, root=str(tmp_path))
+    got = ANN.search_ivf_sq8_index(spark, qidx, qids, k=5, nprobe=3).collect()
+    exact = SIM.knn_bruteforce(emb, qids, k=5)
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    hits = sum(1 for r in got if (r.query_id, r.neighbor_id) in want)
+    assert hits / len(want) >= 0.9
