@@ -77,8 +77,11 @@ SPAN = DD.SPAN
     "a mega-hot fingerprint (universal boilerplate) would funnel a "
     "window's sort through one task, while the map-side-combined min "
     "reduces each hot key to one row per input partition before it "
-    "ever shuffles), a join of occurrences back to their keeper (both "
-    "sides share the fingerprint partitioning — no extra exchange), "
+    "ever shuffles), a join of occurrences back to their keeper (at "
+    "bench scale AQE broadcasts the keeper table — PLANS.md shows "
+    "BHJ=1 and a second pruned scan; at corpus scale the broadcast "
+    "stops applying and both sides fall back to the SAME fingerprint "
+    "hash-partitioning, so the join rides the existing exchange), "
     "and one exchange back on doc_id. No pairwise comparison anywhere; "
     "linear in corpus size at 100 TB. Same keeper rule as the "
     "streaming twin (streaming/spans.py), so the two stay "
