@@ -31,9 +31,16 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark.functions import text as TX
+from kingsfoil_seed_data_ingestor_spark.operators import skew as SK
 from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
 from kingsfoil_seed_data_ingestor_spark.plans.core import register as _register
-from kingsfoil_seed_data_ingestor_spark.plans.llm import SQL_TOKENS
+from kingsfoil_seed_data_ingestor_spark.plans.llm import (
+    _SQL_QUALITY,
+    PACK_BUDGET,
+    SQL_NORMALIZED,
+    SQL_TOKENS,
+    sql_hits,
+)
 from kingsfoil_seed_data_ingestor_spark.plans.relational import DEC, exact_double
 from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 
@@ -298,6 +305,126 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_click"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+@register(
+    "corpus_build_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, text, {SQL_TOKENS} AS toks,
+               md5({SQL_NORMALIZED}) AS fp
+        FROM documents
+    ),
+    k AS (
+        SELECT t.*, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM t
+    ),
+    m AS (
+        SELECT doc_id, source, len(toks) AS n_tok,
+               {sql_hits(TX.STOPWORDS["en"])} AS stop_hits,
+               length(text) AS n_chars_,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                   AS punct_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS digit_chars,
+               (doc_id = keeper) AS is_keeper
+        FROM k
+    ),
+    q AS (
+        SELECT doc_id, source, n_tok, is_keeper,
+               greatest(least(({_SQL_QUALITY}), 1.0), 0.0) AS score
+        FROM m
+    ),
+    stages AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(COUNT(*) FILTER (is_keeper) AS BIGINT) AS n_unique,
+               CAST(COUNT(*) FILTER (is_keeper AND score >= 0.5) AS BIGINT)
+                   AS n_final
+        FROM q GROUP BY source
+    ),
+    surv AS (
+        SELECT doc_id, source, n_tok FROM q WHERE is_keeper AND score >= 0.5
+    ),
+    c AS (
+        SELECT source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM surv
+    ),
+    packed AS (
+        SELECT source,
+               CAST(SUM(n_tok) AS BIGINT) AS final_tokens,
+               CAST(COUNT(DISTINCT CAST(FLOOR((cum - n_tok) / {PACK_BUDGET})
+                   AS BIGINT)) AS BIGINT) AS n_bins
+        FROM c GROUP BY source
+    )
+    SELECT stages.source, n_raw, n_unique, n_final,
+           coalesce(final_tokens, 0) AS final_tokens,
+           coalesce(n_bins, 0) AS n_bins
+    FROM stages LEFT JOIN packed ON stages.source = packed.source
+    """,
+    doc="The end-to-end corpus build as ONE Catalyst plan — the "
+    "composite this whole extension surface exists for: exact dedup "
+    "(corpus-wide md5 keeper resolution) → quality filter (the scored "
+    "funnel's ≥0.5 gate) → greedy sequence packing of the survivors, "
+    "reported as per-source stage survival (n_raw ≥ n_unique ≥ "
+    "n_final) plus final token mass and packed-bin count. Every stage "
+    "reuses the exact formula its standalone query pins (fingerprint = "
+    "dedup_exact's, score = text_quality_scores', bins = "
+    "corpus_pack_sequences'), so the composite cannot drift from its "
+    "parts. Plan: one corpus scan feeds keeper resolution (hot-key-"
+    "safe groupBy + rejoin), the quality expressions ride the same "
+    "projection, survivors run the scale-safe bucketed prefix sum "
+    "(operators/skew.py) — never a per-source single-task window — "
+    "and two small aggregates join on source at the end.",
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        TX.content_fingerprint(F.col("text")).alias("fp"),
+        F.size(TX.tokens(F.col("text"))).alias("n_tok"),
+        TX.quality_score(F.col("text")).alias("score"),
+    )
+    keepers = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    staged = base.join(keepers, "fp").withColumn(
+        "is_keeper", F.col("doc_id") == F.col("keeper")
+    )
+    stages = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).alias("n_unique"),
+        F.sum(
+            F.when(F.col("is_keeper") & (F.col("score") >= 0.5), 1).otherwise(0)
+        ).alias("n_final"),
+    )
+    surv = staged.filter(F.col("is_keeper") & (F.col("score") >= 0.5)).select(
+        "doc_id", "source", "n_tok"
+    )
+    cum = SK.bucketed_prefix_sum(
+        surv, partition_by=["source"], order_col="doc_id", val_col="n_tok"
+    )
+    packed = (
+        cum.withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET).cast("long"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("final_tokens"),
+            F.count_distinct(F.col("bin_id")).alias("n_bins"),
+        )
+    )
+    return stages.join(packed, "source", "left").select(
+        "source",
+        "n_raw",
+        "n_unique",
+        "n_final",
+        F.coalesce("final_tokens", F.lit(0)).alias("final_tokens"),
+        F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+    )
 
 
 @register(
