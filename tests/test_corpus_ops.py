@@ -170,3 +170,47 @@ def test_funnel_ordering_and_window(spark, tmp_path):
     assert row.n_view == 5
     assert row.n_click == 3  # users 1, 2, 5
     assert row.n_purchase == 2  # users 1, 5 (user 2's purchase precedes the click)
+
+
+def test_write_training_shards_order_and_partition(spark, tmp_path):
+    from kingsfoil_seed_data_ingestor_spark.operators.sharding import (
+        N_SHARDS,
+        with_shard_key,
+        write_training_shards,
+    )
+
+    texts = ["doc %d body" % i for i in range(80)]
+    docs = _docs(spark, texts)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out)
+    # every shard directory exists and together they partition the corpus
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    total = 0
+    want = {
+        r.doc_id: (r.shard, r.k) for r in with_shard_key(docs).collect()
+    }
+    for d in dirs:
+        shard = int(d.split("=")[1])
+        # training order = part files in name order (partition ids are
+        # range-ordered), rows within each file already key-sorted
+        parts = sorted(
+            f for f in os.listdir(f"{out}/{d}") if f.startswith("part-")
+        )
+        keys, got = [], []
+        for p in parts:
+            rows = spark.read.parquet(f"{out}/{d}/{p}").collect()
+            keys.extend(r.k for r in rows)
+            got.extend(rows)
+        total += len(got)
+        assert keys == sorted(keys)
+        assert all(want[r.doc_id][0] == shard for r in got)
+    assert total == 80
+    # shard audit agrees with the oracle-checked plan
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    plan = {r.shard: r.n_docs for r in CO.corpus_shard_plan(spark, str(tmp_path)).collect()}
+    per_dir = {
+        int(d.split("=")[1]): spark.read.parquet(f"{out}/{d}").count() for d in dirs
+    }
+    assert plan == per_dir
