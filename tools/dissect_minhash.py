@@ -36,10 +36,16 @@ def main():
     posts = DD.shingle_hash_table(docs, 3, distinct=False)
     t("shingle_hash_table (no distinct)", lambda: drain(posts))
 
-    profiles = DD.minhash_profiles(docs, 96, 3)
-    t("profiles (sigs+sets, one agg)", lambda: drain(profiles))
+    posts = posts.persist()
+    t("posts persist+count", lambda: posts.count())
+
+    profiles = DD.split_profiles_from_hashed_posts(posts, 96)
+    t("profiles (split lanes + shset aggs)", lambda: drain(profiles))
     profiles = profiles.persist()
     t("profiles persist+count", lambda: profiles.count())
+
+    fused = DD.minhash_profiles(docs, 96, 3)
+    t("profiles FUSED (ObjectHashAgg path)", lambda: drain(fused))
 
     cands = DD.lsh_candidate_pairs(profiles.select("doc_id", "signature"), 32, 3)
     t("lsh_candidate_pairs", lambda: drain(cands))
