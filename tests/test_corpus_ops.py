@@ -214,3 +214,26 @@ def test_write_training_shards_order_and_partition(spark, tmp_path):
         int(d.split("=")[1]): spark.read.parquet(f"{out}/{d}").count() for d in dirs
     }
     assert plan == per_dir
+
+
+def test_empty_corpus_through_new_plans(spark, tmp_path):
+    """Zero-row inputs flow through every new plan without error and
+    with the right cardinality (global aggregates keep their one row)."""
+    empty_docs = _docs(spark, []).limit(0)
+    empty_docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    _events(spark, []).limit(0).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+    assert CO.dedup_spans(spark, sf).count() == 0
+    assert CO.corpus_mix_plan(spark, sf).count() == 0
+    assert CO.corpus_build_pipeline(spark, sf).count() == 0
+    assert CO.embed_quantize_int8(spark, sf).count() == 0
+    assert CO.corpus_shard_plan(spark, sf).count() == 0
+    row = CO.events_funnel(spark, sf).first()
+    assert (row.n_view, row.n_click, row.n_purchase) == (0, 0, 0)
+    gaps = CO.events_user_gaps(spark, sf)
+    assert gaps.count() == 0
