@@ -975,6 +975,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
+#: doc-frequency cap for the guarded variant — chosen to BITE on the
+#: testdata (99th-pct shingle df is 4 at sf0.01), so the oracle pins the
+#: guard's semantics, not a no-op configuration
+JACCARD_DF_CAP = 3
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    priority=70,  # overflow band: oracle-parity pytest gates it
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, unnest({sql_shingles(3)}) AS sh FROM t),
+    keep AS (
+        SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM s GROUP BY sh)
+        WHERE c <= {JACCARD_DF_CAP}
+    ),
+    ps AS (SELECT s.doc_id, s.sh FROM s JOIN keep USING (sh)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM ps GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+        FROM ps a JOIN ps b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i, j,
+           round(common::DOUBLE / (zi.n + zj.n - common), 6) AS jaccard
+    FROM shared
+    JOIN sz zi ON zi.doc_id = i
+    JOIN sz zj ON zj.doc_id = j
+    WHERE common::DOUBLE / (zi.n + zj.n - common) >= 0.5
+    """,
+    doc="The hot-shingle guard under the oracle gate: Jaccard over "
+    "posting lists with document frequency capped at "
+    f"{JACCARD_DF_CAP} — the standard defense against boilerplate "
+    "shingles whose posting lists would otherwise explode the "
+    "inverted-index self-join quadratically at corpus scale. The cap "
+    "deliberately BITES at the parity-test SF (28 → 24 pairs at "
+    "sf0.001; 99th-pct shingle df ≈ 4), and the oracle applies the "
+    "identical cap to the brute-force definition, "
+    "so the guard's exact semantics (sizes and similarities computed "
+    "over the CAPPED sets) are cross-engine-pinned rather than just "
+    "documented. Plan: one extra df aggregate + semi-join on the "
+    "shingle hash before the pair join — both ride the existing "
+    "shingle partitioning.",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        max_doc_freq=JACCARD_DF_CAP,
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
