@@ -1048,10 +1048,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE {_JACCARD_PAIRS_CTE},
-    pairs AS (
+    -- MATERIALIZED: without it DuckDB inlines pairs -> p (the O(n²)
+    -- brute-force CTE) into every reference AND every recursive
+    -- iteration of reach, multiplying the n² work per iteration
+    pairs AS MATERIALIZED (
         SELECT i, j FROM p WHERE common::DOUBLE / (ni + nj - common) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT i AS src, j AS dst FROM pairs
         UNION ALL
         SELECT j AS src, i AS dst FROM pairs
@@ -1433,10 +1436,13 @@ def dedup_embed_cosine_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=60,  # tail band: union-find property test + spec test gate it
     oracle=f"""
     WITH RECURSIVE {_JACCARD_PAIRS_CTE},
-    pairs AS (
+    -- MATERIALIZED: without it DuckDB inlines pairs -> p (the O(n²)
+    -- brute-force CTE) into every reference AND every recursive
+    -- iteration of reach, multiplying the n² work per iteration
+    pairs AS MATERIALIZED (
         SELECT i, j FROM p WHERE common::DOUBLE / (ni + nj - common) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT i AS src, j AS dst FROM pairs
         UNION ALL
         SELECT j AS src, i AS dst FROM pairs
