@@ -1,24 +1,29 @@
-"""Corpus-assembly extension queries (round 5).
+"""Corpus-assembly + warehouse extension queries (round 5).
 
-Five operations a training-data pipeline runs after cleaning and
-dedup, plus one more multi-join warehouse shape:
+The operations a training-data pipeline runs after cleaning and dedup,
+plus warehouse shapes that round out the §2 surface:
 
-- ``dedup_spans``       — sub-document dedup: corpus-wide duplicate
-  8-token-span detection/removal (the CCNet/paragraph-dedup move at
-  span granularity, since the synthetic docs carry no newlines).
-- ``embed_quantize_int8`` — per-vector symmetric int8 quantization of
-  the embedding column with exact integer witnesses + reconstruction
-  error, the compression step before shipping vectors to an ANN index.
-- ``corpus_mix_plan``   — per-source token accounting → uniform-budget
-  sampling rates (the "data mixing" plan a pretraining run starts from).
-- ``events_funnel``     — ordered multi-stage conversion funnel
-  (view → click → purchase with strictly increasing event times).
-- ``q3_shipping_priority`` — TPC-H-Q3-shaped multi-join top-k
-  (segment-filtered customer ⋈ orders ⋈ lineitem, revenue ranking).
+- ``dedup_spans``         — sub-document dedup: corpus-wide duplicate
+  8-token-span removal (CCNet/paragraph dedup at span granularity).
+- ``embed_quantize_int8`` — symmetric int8 embedding quantization with
+  exact integer witnesses + reconstruction error.
+- ``corpus_mix_plan``     — per-source token accounting → uniform-budget
+  sampling rates (the data-mixing plan a pretraining run starts from).
+- ``corpus_shard_plan``   — seeded md5-permutation shard assignment +
+  order witnesses (materialized by ``operators/sharding.py``).
+- ``corpus_build_pipeline`` — exact dedup → quality gate → greedy
+  packing as ONE plan, per-source stage-survival audit.
+- ``events_funnel``       — ordered view→click→purchase funnel with a
+  12 h attribution window per stage.
+- ``events_user_gaps``    — lag() inter-event gaps, exact epoch-µs.
+- ``events_cube_hourly``  — CUBE grouping sets with GROUPING() flags.
+- ``profile_column_stats`` — one-pass multi-distinct column profile.
+- ``q3_shipping_priority`` / ``q18_large_orders`` — TPC-H Q3/Q18
+  shapes (filtered-dim top-k; agg-before-join HAVING).
 
-All five register in the overflow priority band (70): the driver's
-capped correctness window keeps its r4 composition, and these queries
-are hard-gated by the oracle-parity pytest (tests/test_oracle_parity.py)
+All register in the overflow priority band (70): the driver's capped
+correctness window keeps its r4 composition, and these queries are
+hard-gated by the oracle-parity pytest (tests/test_oracle_parity.py)
 which runs every registered oracle cross-engine at sf0.001.
 """
 
