@@ -63,18 +63,28 @@ def main() -> int:
                 pass  # a query failing surfaces in its timed run below
             spark.catalog.clearCache()
 
+    # TWO timed passes, report each query's best: single-pass totals
+    # swung ±35 % run-to-run (GC/page-cache state left by whatever ran
+    # before the bench — observed 62.7 s vs 47.6 s for identical code,
+    # with the inflation concentrated on the Arrow mapInPandas family).
+    # Per-query min across passes is the steady-state throughput number
+    # the cluster-sizing question actually needs.
     timings: dict[str, float] = {}
-    for name, q in QUERIES.items():
-        # drop persisted intermediates (posting lists, LSH bands) and
-        # force a JVM GC before the clock starts: otherwise a query can
-        # be billed for a stop-the-world collection of its predecessors'
-        # garbage (observed: a 0.8 s query reading 11.8 s under the
-        # accumulated heap pressure of the 170 executions before it)
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        t0 = time.perf_counter()
-        drain(q.spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name, q in QUERIES.items():
+            # drop persisted intermediates (posting lists, LSH bands)
+            # and force a JVM GC before the clock starts: otherwise a
+            # query can be billed for a stop-the-world collection of its
+            # predecessors' garbage (observed: a 0.8 s query reading
+            # 11.8 s under the accumulated heap pressure of the 170
+            # executions before it)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            drain(q.spark(spark, sf_dir))
+            t = round(time.perf_counter() - t0, 4)
+            if name not in timings or t < timings[name]:
+                timings[name] = t
 
     total = round(sum(timings.values()), 4)
     print(
