@@ -571,6 +571,76 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l_discount AS DECIMAL(7,4))) AS DECIMAL(24,6))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: the six-way join — lineitem ⋈ orders ⋈ "
+    "customer ⋈ supplier ⋈ nation ⋈ region with the classic "
+    "'customer and supplier in the SAME nation' local-volume "
+    "constraint and a region + date slice. The canonical multi-join "
+    "optimizer benchmark: join ORDER is everything. Plan: region "
+    "filters nation (broadcast of a 5-row and 25-row table), the date "
+    "filter pushes into the orders scan, and each dimension broadcasts "
+    "into the fact spine so lineitem is touched by exactly one pass of "
+    "broadcast-hash joins — zero sort-merge, one aggregate shuffle of "
+    "25 nation groups. Revenue in exact decimal (q1's trick). At "
+    "100 TB customer/supplier outgrow broadcast; the orderkey and "
+    "suppkey joins fall back to shuffles the fact side already "
+    "co-partitions, and nation/region stay broadcast.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = (
+        load(spark, sf_dir, "nation")
+        .join(
+            load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(7,4)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(exact_double(F.sum(price * disc_f)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
     "events_user_gaps",
     oracle="""
     WITH g AS (

@@ -46,6 +46,14 @@ def test_q3_dimension_joins_broadcast(spark):
     assert f["pushed_filters"] == 3, "both date filters + segment pushed"
 
 
+def test_q5_six_way_join_all_broadcast(spark):
+    f = facts(spark, "q5_local_supplier_volume")
+    assert f["smj"] == 0, "every dimension join must broadcast at test scale"
+    assert f["bhj"] == 5, "six tables join through five broadcast joins"
+    assert f["pushed_filters"] == 6, "region/date filters reach every scan"
+    assert f["exchanges"] <= 2, "one aggregate shuffle (+ presentation sort)"
+
+
 def test_q18_agg_before_join(spark):
     f = facts(spark, "q18_large_orders")
     assert f["smj"] == 0
