@@ -684,6 +684,55 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT f.cohort,
+           CAST((epoch_us(a.wk) - epoch_us(f.cohort)) / 604800000000
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort, week_offset
+    """,
+    doc="Weekly retention cohorts: users keyed by first-seen week, "
+    "counted per (cohort, week-offset) — the retention-matrix query "
+    "every product dashboard runs. Offsets are exact integers "
+    "(epoch-µs difference of week-truncated timestamps over a "
+    "constant), never float date math. Plan: one per-user MIN "
+    "aggregate + one distinct on (user, week) — both shuffle on "
+    "user_id, so AQE reuses the exchange — then a cohort join that "
+    "broadcasts at any realistic user/event ratio and a 2-key "
+    "aggregate. At 100 TB per-user state is two timestamps; the "
+    "matrix itself is O(weeks²) — metadata-sized.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = ev.distinct()
+    offset = (
+        (
+            F.unix_micros(F.col("wk").cast("timestamp"))
+            - F.unix_micros(F.col("cohort").cast("timestamp"))
+        )
+        / F.lit(604800000000)
+    ).cast("long")
+    return (
+        active.join(first, "user_id")
+        .select("cohort", offset.alias("week_offset"))
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 #: shard-shuffle seed — version the permutation, not the code
 SHARD_SEED = "shard-v1"
 N_SHARDS = 8
