@@ -685,6 +685,73 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_apply",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, len({SQL_TOKENS}) AS n_tok,
+               CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h32
+        FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM s
+    ),
+    r AS (
+        SELECT source,
+               least(1.0, (total / (n_src * 1.0)) / n_tokens) AS rate
+        FROM s, tot
+    ),
+    kept AS (
+        SELECT t.source, t.n_tok
+        FROM t JOIN r ON t.source = r.source
+        WHERE t.h32 < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """,
+    doc="The mix plan APPLIED: each source's uniform-budget rate "
+    "(exactly corpus_mix_plan's arithmetic) drives the deterministic "
+    "md5-threshold sampler — a doc survives iff the first 32 bits of "
+    "its content hash fall under floor(rate·2³²). Unlike "
+    "sample_stratified's fixed config rates, the rates here are "
+    "DATA-DERIVED inside the query, so plan and application cannot "
+    "disagree; the hash comparison is integer-exact in both engines "
+    "(rate = 1.0 ⇒ threshold 2³² keeps everything, no edge case). "
+    "Plan: one aggregate for the rate table (broadcast back — ~20 "
+    "rows), one filtered re-scan, one reporting aggregate; the "
+    "sampled SET is identical across runs and engines, which is what "
+    "makes training mixes reproducible.",
+)
+def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(TX.tokens(F.col("text"))).alias("n_tok"),
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("h32"),
+    )
+    s = t.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = s.agg(F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_src"))
+    rate = F.least(
+        F.lit(1.0), (F.col("total") / (F.col("n_src") * F.lit(1.0))) / F.col("n_tokens")
+    )
+    r = s.crossJoin(F.broadcast(tot)).select("source", rate.alias("rate"))
+    kept = t.join(F.broadcast(r), "source").filter(
+        F.col("h32") < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+    )
+
+
+@register(
     "events_retention_cohorts",
     oracle="""
     WITH f AS (
