@@ -752,6 +752,67 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, hr
+    ),
+    w AS (
+        SELECT event_type, hr, n,
+               CAST(SUM(n) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+               ) AS BIGINT) AS trail_sum,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+               ) AS BIGINT) AS trail_n
+        FROM h
+    )
+    SELECT event_type, hr, n, trail_sum,
+           round(n - trail_sum / (trail_n * 1.0), 6) AS deviation
+    FROM w
+    WHERE trail_n = 24 AND abs(n - trail_sum / (trail_n * 1.0)) > 5
+    """,
+    doc="Hourly volume anomalies per event type: each (type, hour) "
+    "bucket compared against its TRAILING 24-observed-bucket mean — "
+    "the moving-frame window shape (ROWS BETWEEN k PRECEDING AND 1 "
+    "PRECEDING) that monitoring pipelines run, and the one §2.5 frame "
+    "spec the running-total query doesn't cover. The frame counts "
+    "observed buckets, not wall-clock hours, so gaps shrink the "
+    "baseline instead of silently zero-filling (trail_n = 24 gates "
+    "fully-warmed windows only). deviation is exact-integer arithmetic "
+    "over bucket counts, rounded once for the hash. Plan: one "
+    "pre-aggregate to hourly buckets (the only data-sized shuffle), "
+    "then the window runs over ~hours×types rows — metadata-sized at "
+    "any corpus scale; per-type partitions are bounded by the "
+    "retention horizon, never by event volume.",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    h = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    t = h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    dev = F.col("n") - F.col("trail_sum") / (F.col("trail_n") * F.lit(1.0))
+    return (
+        t.filter((F.col("trail_n") == 24) & (F.abs(dev) > 5))
+        .select(
+            "event_type", "hr", "n", "trail_sum", F.round(dev, 6).alias("deviation")
+        )
+    )
+
+
+@register(
     "events_retention_cohorts",
     oracle="""
     WITH f AS (
