@@ -40,7 +40,9 @@ from kingsfoil_seed_data_ingestor_spark.operators import skew as SK
 from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
 from kingsfoil_seed_data_ingestor_spark.plans.core import register as _register
 from kingsfoil_seed_data_ingestor_spark.plans.llm import (
+    _SQL_EMBED_COS as LLM_SQL_EMBED_COS,
     _SQL_QUALITY,
+    EMBED_DUP_THRESHOLD as LLM_EMBED_DUP_THRESHOLD,
     PACK_BUDGET,
     SQL_NORMALIZED,
     SQL_TOKENS,
@@ -749,6 +751,56 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tok").alias("tokens_kept"),
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT i.vec_id AS i, j.vec_id AS j
+        FROM embeddings i JOIN embeddings j ON i.vec_id < j.vec_id
+        WHERE {LLM_SQL_EMBED_COS} >= {LLM_EMBED_DUP_THRESHOLD}
+    ),
+    edges AS MATERIALIZED (
+        SELECT i AS src, j AS dst FROM pairs
+        UNION ALL
+        SELECT j AS src, i AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl AS lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="Semantic duplicate clusters: connected components over the "
+    "EMBEDDING near-dup graph — text-side components "
+    "(dedup_components) catch lexical copies; this catches "
+    "paraphrase-level duplication that shares no shingles. Spark side "
+    "composes two already-oracle-gated operators: the block-grid exact "
+    "cosine pair table feeds the same min-label-propagation components "
+    "operator, so only the composition is new. The oracle recomputes "
+    "the closure over the brute-force cosine graph (recursive CTE, "
+    "pair table MATERIALIZED). At 100 TB the pair generation swaps to "
+    "the RHP-banded candidate path — same downstream closure.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+    from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
+    from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import EMBED_DUP_THRESHOLD
+
+    scope = CacheScope()
+    pairs = SIM.near_dup_pairs_exact(
+        load(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD, scope=scope
+    ).select(F.col("kept_id").alias("i"), F.col("dup_id").alias("j"))
+    out = CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
+        F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
+    )
+    return scope.attach(out)
 
 
 @register(
