@@ -643,6 +643,67 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l_discount AS DECIMAL(7,4))) AS DECIMAL(24,6))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): the lost-revenue-"
+    "per-customer ranking — returnflag-filtered fact ⋈ date-sliced "
+    "orders ⋈ customer ⋈ nation, grouped by customer, top-20. "
+    "Complements Q3/Q5/Q18: here the GROUP BY key is high-cardinality "
+    "(every customer), so the aggregate genuinely shuffles rather than "
+    "collapsing map-side, and the top-20 still runs as TakeOrdered on "
+    "the aggregated rows. Both filters push to their scans; dims "
+    "broadcast; revenue in exact decimal.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(7,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            exact_double(F.sum(price * disc_f)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
     "events_user_gaps",
     oracle="""
     WITH g AS (
