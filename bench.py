@@ -1,22 +1,53 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line on stdout:
 
-Timing methodology: each query's plan is built and executed to completion
-with a count-style full materialization (``df.toPandas()`` would add
-Arrow transfer cost unrelated to engine throughput; ``collect()`` of tiny
-aggregate results is negligible — but large row sets are drained with
-``count()`` after a ``cache()``-free run so the measured time is plan
-execution, not driver materialization). One warm-up run of the flagship
-query amortizes JVM/codegen startup out of the numbers.
+    {"metric": "total_query_wall_time", "value": warm_total, "unit":
+     "sec", "queries": {...}, "sf": ..., "cold_total": ...,
+     "streaming": {...}, "detail": "BENCH_FULL.json"}
+
+Harness contract (round-6 fix): the driver that records BENCH_r{N}.json
+keeps only the LAST 2000 characters of stdout and parses the JSON line
+out of that tail. Round 5's line carried all 81 per-query timings and
+overflowed the tail, so the driver recorded ``"parsed": null``. The
+line printed here is therefore CHAR-BUDGETED — the slowest queries are
+included until the serialized line would exceed the budget, and the
+full per-query (cold, warm) table is written to ``BENCH_FULL.json``
+next to this script (committed with the round). Everything else the
+bench prints goes to stderr so the stdout tail contains exactly one
+line.
+
+Timing methodology (two columns, round-6 change per VERDICT r5 #3):
+
+* ``cold``  — the query's FIRST execution in this JVM: includes its
+  whole-stage-codegen compile and HotSpot warm-up for its generated
+  classes.  Comparable to the round-1..4 single-pass numbers.
+* ``warm``  — best of TWO subsequent timed passes, after a cache-clear
+  and an explicit JVM GC before each clock start (single-pass totals
+  swung ±35 % with GC/page-cache state; per-query min across passes is
+  the steady-state throughput a long-lived cluster runs at).
+
+``value`` (the headline) stays the WARM total so it is comparable to
+BENCH_r05; ``cold_total`` is reported beside it so round-over-round
+deltas can be read like-for-like (see PERF_NOTES.md §r6).
+
+Execution drain: ``write.format("noop")`` — every row is produced and
+discarded executor-side, nothing funnels to the driver.
+
+A streaming micro-bench (VERDICT r5 #8) runs after the batch table:
+the events table is split into 8 parquet files and streamed with
+``maxFilesPerTrigger=2`` (4 micro-batches) through (a) the tumbling
+window aggregate and (b) the stateful ``applyInPandasWithState``
+corpus dedup, each timed end-to-end with an AvailableNow trigger.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -25,79 +56,155 @@ from kingsfoil_seed_data_ingestor_spark import plans  # noqa: F401
 from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES
 from kingsfoil_seed_data_ingestor_spark.session import get_spark, pin_comparable_conf
 
+#: serialized stdout line must fit the driver's 2000-char tail with room
+#: for a trailing newline and any final stray stderr interleave
+LINE_BUDGET = 1800
 
-def drain(df) -> int:
-    """Fully execute a DataFrame plan, returning the row count.
 
-    ``write.format("noop")`` is the canonical full-execution sink: every
-    row is produced and discarded executor-side, nothing funnels to the
-    driver.
-    """
+def drain(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-    return 0
+
+
+def _reset(spark) -> None:
+    """Clear persisted intermediates and force a GC so a query is not
+    billed for a stop-the-world collection of its predecessors' garbage
+    (observed: a 0.8 s query reading 11.8 s under accumulated heap
+    pressure of the ~170 executions before it)."""
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
+
+def bench_batch(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        _reset(spark)
+        t0 = time.perf_counter()
+        try:
+            drain(q.spark(spark, sf_dir))
+        except Exception as exc:  # surface, don't abort the whole bench
+            print(f"[bench] {name} FAILED cold: {exc}", file=sys.stderr)
+            cold[name] = warm[name] = -1.0
+            continue
+        cold[name] = round(time.perf_counter() - t0, 4)
+        for _ in range(2):
+            _reset(spark)
+            t0 = time.perf_counter()
+            drain(q.spark(spark, sf_dir))
+            t = round(time.perf_counter() - t0, 4)
+            if name not in warm or t < warm[name]:
+                warm[name] = t
+    return cold, warm
+
+
+def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
+    """Timed streaming micro-bench: N micro-batches through the window
+    aggregate and the stateful dedup. Measures end-to-end wall time of
+    an AvailableNow run (source listing + state store + sink)."""
+    from kingsfoil_seed_data_ingestor_spark.streaming import dedup as SD
+    from kingsfoil_seed_data_ingestor_spark.streaming import events as SE
+
+    out: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="kingsfoil-streambench-")
+    try:
+        ev_dir = os.path.join(tmp, "events")
+        doc_dir = os.path.join(tmp, "docs")
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(8).write.parquet(
+            ev_dir
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.repartition(8).write.parquet(doc_dir)
+
+        t0 = time.perf_counter()
+        stream = SE.read_event_stream(spark, ev_dir, max_files_per_trigger=2)
+        SE.run_to_memory(
+            SE.tumbling_window_counts(stream), "bench_stream_tumbling", "complete"
+        )
+        out["stream_events_tumbling"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        doc_stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(doc_dir)
+        SE.run_to_memory(
+            SD.streaming_corpus_dedup(doc_stream), "bench_stream_dedup", "update"
+        )
+        out["stream_corpus_dedup"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:
+        print(f"[bench] streaming micro-bench FAILED: {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        for nm in ("bench_stream_tumbling", "bench_stream_dedup"):
+            try:
+                spark.catalog.dropTempView(nm)
+            except Exception:
+                pass
+    return out
+
+
+def compact_line(
+    warm: dict[str, float],
+    cold: dict[str, float],
+    streaming: dict[str, float],
+    sf,
+) -> str:
+    """Build the stdout line under LINE_BUDGET chars: headline totals +
+    as many of the slowest per-query warm timings as fit."""
+    base = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(t for t in warm.values() if t >= 0), 4),
+        "unit": "sec",
+        "sf": sf,
+        "cold_total": round(sum(t for t in cold.values() if t >= 0), 4),
+        "n_queries": len(warm),
+        "streaming": streaming,
+        "detail": "BENCH_FULL.json",
+        "queries": {},
+        "queries_omitted": 0,
+    }
+    ranked = sorted(warm.items(), key=lambda kv: -kv[1])
+    for i, (name, t) in enumerate(ranked):
+        base["queries"][name] = t
+        base["queries_omitted"] = len(ranked) - i - 1
+        if len(json.dumps(base, separators=(",", ":"))) > LINE_BUDGET:
+            del base["queries"][name]
+            base["queries_omitted"] = len(ranked) - i
+            break
+    return json.dumps(base, separators=(",", ":"))
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="kingsfoil-bench")
-    pin_comparable_conf(spark)
+    sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_str) if sf_str.replace(".", "", 1).isdigit() else sf_str
 
-    # Warm-up: JVM JIT + codegen + parquet footer caches. Each query
-    # compiles its own generated classes and HotSpot tiers them up only
-    # after repeated execution, so warm EVERY query's plan shape twice
-    # against the smallest SF (same generated code, negligible data)
-    # and once against the target SF. The timed pass below then
-    # measures steady-state engine throughput — the regime a long-lived
-    # cluster actually runs in — not JIT compilation of generated code.
-    # (Methodology note: round-1 bench did a single-query warm-up, so
-    # its numbers include first-execution JIT cost; measured JIT floor
-    # was ~2 s on the multi-stage dedup pipelines.)
-    warm_dir = "/root/testdata/sf0.001"
-    warm_passes = [warm_dir if os.path.isdir(warm_dir) else sf_dir] * 2 + [sf_dir]
-    for wdir in warm_passes:
-        for q in QUERIES.values():
-            try:
-                drain(q.spark(spark, wdir))
-            except Exception:
-                pass  # a query failing surfaces in its timed run below
-            spark.catalog.clearCache()
+    # keep the stdout tail clean: everything during the run goes to
+    # stderr; only the final JSON line is printed on the real stdout
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        spark = get_spark(app_name="kingsfoil-bench")
+        pin_comparable_conf(spark)
+        cold, warm = bench_batch(spark, sf_dir)
+        streaming = bench_streaming(spark, sf_dir)
+    finally:
+        sys.stdout = real_stdout
 
-    # TWO timed passes, report each query's best: single-pass totals
-    # swung ±35 % run-to-run (GC/page-cache state left by whatever ran
-    # before the bench — observed 62.7 s vs 47.6 s for identical code,
-    # with the inflation concentrated on the Arrow mapInPandas family).
-    # Per-query min across passes is the steady-state throughput number
-    # the cluster-sizing question actually needs.
-    timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name, q in QUERIES.items():
-            # drop persisted intermediates (posting lists, LSH bands)
-            # and force a JVM GC before the clock starts: otherwise a
-            # query can be billed for a stop-the-world collection of its
-            # predecessors' garbage (observed: a 0.8 s query reading
-            # 11.8 s under the accumulated heap pressure of the 170
-            # executions before it)
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
-            drain(q.spark(spark, sf_dir))
-            t = round(time.perf_counter() - t0, 4)
-            if name not in timings or t < timings[name]:
-                timings[name] = t
+    full = {
+        "sf": sf,
+        "warm_total": round(sum(t for t in warm.values() if t >= 0), 4),
+        "cold_total": round(sum(t for t in cold.values() if t >= 0), 4),
+        "queries": {
+            name: {"cold": cold.get(name, -1.0), "warm": warm[name]} for name in warm
+        },
+        "streaming": streaming,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    print(compact_line(warm, cold, streaming, sf))
     return 0
 
 
