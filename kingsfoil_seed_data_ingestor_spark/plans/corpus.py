@@ -46,8 +46,11 @@ from kingsfoil_seed_data_ingestor_spark.plans.llm import (
     PACK_BUDGET,
     SQL_NORMALIZED,
     SQL_TOKENS,
+    sql_cosine,
+    sql_dot,
     sql_hits,
 )
+from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
 from kingsfoil_seed_data_ingestor_spark.plans.relational import DEC, exact_double
 from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 
@@ -857,6 +860,161 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope = CacheScope()
     pairs = SIM.near_dup_pairs_exact(
         load(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD, scope=scope
+    ).select(F.col("kept_id").alias("i"), F.col("dup_id").alias("j"))
+    out = CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
+        F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
+    )
+    return scope.attach(out)
+
+
+# ----------------------------------------------------------------------
+# blocked (sub-quadratic) semantic clustering — round 6
+# ----------------------------------------------------------------------
+#
+# The 100 TB composition the r5 verdict asked for: duplicate-graph edges
+# from RHP-banded LSH candidates + exact cosine rescore (compute ~linear
+# in N), never the all-pairs block GEMM. Why this query does NOT simply
+# re-run `dedup_semantic_clusters` through `near_dup_pairs_rhp` at the
+# same 0.42 threshold: sign-RHP collision probability per plane is
+# 1-θ/π, and at cosine 0.42 (θ≈65°) that is 0.64 vs 0.50 for unrelated
+# pairs — measured edge recall of the 16-plane/4-band family is 0.41 at
+# sf0.001 / 0.50 at sf0.01, and NO banding of any size clears 0.9
+# recall there without admitting an Ω(N²) candidate set (the standard
+# S-curve 1-(1-p^r)^b is ~flat when p_near ≈ p_random). 0.42 was chosen
+# for the *exact* referee because the synthetic corpus has no true
+# near-dups (max pair cosine ≈ 0.51 at sf0.1); production semantic
+# dedup clusters at cosine ≥ 0.85 where banding is sharp. So, following
+# the planted-leak pattern of `text_decontaminate`, this query PLANTS
+# the near-dup structure deterministically in-plan, identically in both
+# engines: each vector gets two scaled twins (front half ×1.25, back
+# half ×1.25 — float→double and ×1.25 are exact in IEEE754, so the
+# augmented table is bit-identical cross-engine). Twin cosines land at
+# ≈0.97-0.99, cross-document pairs stay ≤≈0.55, and the 32-plane/
+# 4-band×8-bit family reads them apart: per-band collision ≈0.66 for
+# twins vs 1/256 for unrelated pairs ⇒ pair recall ≈0.99 with ~1.5 % of
+# random pairs as candidates. pytest pins edge recall ≥ 0.9 against the
+# exact GEMM referee on the same augmented table and the cluster
+# refinement invariant (tests/test_llm_ops.py).
+
+SEM_BANDS, SEM_ROWS_PER_BAND, SEM_DIM = 4, 8, 64
+SEM_N_PLANES = SEM_BANDS * SEM_ROWS_PER_BAND
+SEM_THRESHOLD = 0.85
+SEM_TWIN_A, SEM_TWIN_B = 10_000_000, 20_000_000
+SEM_PLANES = SIM.rhp_sign_planes(SEM_N_PLANES, SEM_DIM)
+
+
+def _sql_sem_plane(plane: "list[float]") -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+
+
+def _sql_sem_bucket(b: int) -> str:
+    terms = [
+        f"(CASE WHEN {sql_dot('embedding', _sql_sem_plane(SEM_PLANES[b * SEM_ROWS_PER_BAND + r]))}"
+        f" > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(SEM_ROWS_PER_BAND)
+    ]
+    return " + ".join(terms)
+
+
+_SQL_SEM_BASE = "list_transform(range(len(embedding)), i -> embedding[i+1]::DOUBLE)"
+_SQL_SEM_TWIN_A = (
+    "list_transform(range(len(embedding)), i -> CASE WHEN i < 32 "
+    "THEN embedding[i+1]::DOUBLE * 1.25 ELSE embedding[i+1]::DOUBLE END)"
+)
+_SQL_SEM_TWIN_B = (
+    "list_transform(range(len(embedding)), i -> CASE WHEN i >= 32 "
+    "THEN embedding[i+1]::DOUBLE * 1.25 ELSE embedding[i+1]::DOUBLE END)"
+)
+
+
+def semantic_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-twin table: originals (cast to double) plus two
+    deterministic scaled twins per vector, ids offset so min-label
+    components label each cluster with its original vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    def twin(offset: int, cond: str) -> DataFrame:
+        return emb.select(
+            (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, i) -> CASE WHEN {cond} "
+                "THEN CAST(x AS DOUBLE) * 1.25D ELSE CAST(x AS DOUBLE) END)"
+            ).alias("embedding"),
+        )
+    return base.unionByName(twin(SEM_TWIN_A, "i < 32")).unionByName(
+        twin(SEM_TWIN_B, "i >= 32")
+    )
+
+
+@register(
+    "dedup_semantic_clusters_blocked",
+    priority=45,  # in-window: the r5 verdict's top ask
+    oracle=f"""
+    WITH RECURSIVE aug AS MATERIALIZED (
+        SELECT vec_id, {_SQL_SEM_BASE} AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SEM_TWIN_A}, {_SQL_SEM_TWIN_A} FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SEM_TWIN_B}, {_SQL_SEM_TWIN_B} FROM embeddings
+    ),
+    bits AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               {", ".join(f"{_sql_sem_bucket(b)} AS b{b}" for b in range(SEM_BANDS))}
+        FROM aug
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS i, b.vec_id AS j
+        FROM bits a JOIN bits b
+          ON a.vec_id < b.vec_id
+         AND ({" OR ".join(f"a.b{b} = b.b{b}" for b in range(SEM_BANDS))})
+        WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {SEM_THRESHOLD}
+    ),
+    edges AS MATERIALIZED (
+        SELECT i AS src, j AS dst FROM pairs
+        UNION ALL
+        SELECT j AS src, i AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl AS lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="Sub-quadratic semantic duplicate clustering — the 100 TB "
+    "composition: RHP-banded LSH candidates (32 deterministic ±1 "
+    "hyperplanes → 4 bands × 8 sign bits) + exact cosine rescore feed "
+    "min-label-propagation connected components; the all-pairs block "
+    "GEMM never runs. Near-dup structure is PLANTED deterministically "
+    "in-plan (two ×1.25 half-scaled twins per vector, exact IEEE754 "
+    "arithmetic in both engines) because the synthetic corpus has no "
+    "true near-dups in the ≥0.85 regime where LSH banding is sharp — "
+    "see the module comment for the S-curve math ruling out a "
+    "sub-quadratic candidate generator at the exact referee's 0.42 "
+    "tail threshold. The oracle applies the SAME augmentation, "
+    "banding, rescore, and recursive closure brute-force, so candidate "
+    "generation, verification, and clustering are all hash-pinned; "
+    "pytest additionally pins edge recall ≥0.9 and cluster refinement "
+    "vs the exact GEMM referee.",
+)
+def dedup_semantic_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+    from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
+
+    scope = CacheScope()
+    pairs = SIM.near_dup_pairs_rhp(
+        semantic_augmented(spark, sf_dir),
+        SEM_THRESHOLD,
+        n_planes=SEM_N_PLANES,
+        bands=SEM_BANDS,
+        dim=SEM_DIM,
+        scope=scope,
     ).select(F.col("kept_id").alias("i"), F.col("dup_id").alias("j"))
     out = CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
         F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")

@@ -1015,3 +1015,78 @@ def test_sq8_recall_floor_vs_bruteforce(spark, tmp_path):
     want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     hits = sum(1 for r in got if (r.query_id, r.neighbor_id) in want)
     assert hits / len(want) >= 0.9
+
+
+# ----------------------------------------------------------------------
+# blocked semantic clustering (round 6): recall + refinement vs the
+# exact GEMM referee on the planted-twin augmented table
+# ----------------------------------------------------------------------
+
+
+def test_semantic_blocked_recall_and_refinement_vs_exact(spark):
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+    from kingsfoil_seed_data_ingestor_spark.plans import corpus as CP
+
+    aug = CP.semantic_augmented(spark, "/root/testdata/sf0.001").cache()
+    try:
+        exact = {
+            (r.kept_id, r.dup_id)
+            for r in SIM.near_dup_pairs_exact(aug, CP.SEM_THRESHOLD).collect()
+        }
+        banded = {
+            (r.kept_id, r.dup_id)
+            for r in SIM.near_dup_pairs_rhp(
+                aug,
+                CP.SEM_THRESHOLD,
+                n_planes=CP.SEM_N_PLANES,
+                bands=CP.SEM_BANDS,
+                dim=CP.SEM_DIM,
+            ).collect()
+        }
+        # banded candidates pass the SAME exact-cosine rescore, so they
+        # can only be a subset of the exact pair set ...
+        assert banded <= exact
+        # ... and the 4x8 banding at the >=0.85 regime must recover at
+        # least 90% of the exact edges (measured ~0.99; the S-curve
+        # floor for twin-cosine ~0.97 pairs is 0.95)
+        assert len(banded) / len(exact) >= 0.9
+
+        # cluster refinement: blocked components (a sub-edge-set) must
+        # nest inside exact components — no blocked cluster may span two
+        # exact clusters
+        def clusters(pairs):
+            edges = spark.createDataFrame(
+                [(i, j) for i, j in pairs], "i long, j long"
+            )
+            return {
+                r.doc_id: r.component_id
+                for r in CC.connected_components(edges, src="i", dst="j").collect()
+            }
+
+        exact_c = clusters(exact)
+        blocked_c = clusters(banded)
+        rep = {}  # blocked cluster -> exact cluster it maps into
+        for node, bc in blocked_c.items():
+            ec = exact_c[node]
+            assert rep.setdefault(bc, ec) == ec
+    finally:
+        aug.unpersist()
+
+
+def test_semantic_blocked_registered_query_shape(spark):
+    from kingsfoil_seed_data_ingestor_spark.plans.corpus import (
+        SEM_TWIN_A,
+        SEM_TWIN_B,
+        dedup_semantic_clusters_blocked,
+    )
+
+    rows = dedup_semantic_clusters_blocked(spark, "/root/testdata/sf0.001").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.vec_id)
+    for cid, members in by_cluster.items():
+        # each planted cluster is {v, v+A, v+B} (minus at most one
+        # banding miss) and its label is the ORIGINAL vec_id
+        assert cid < SEM_TWIN_A
+        assert members <= {cid, cid + SEM_TWIN_A, cid + SEM_TWIN_B}
+        assert 2 <= len(members) <= 3
