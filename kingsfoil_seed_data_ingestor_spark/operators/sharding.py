@@ -32,11 +32,17 @@ def with_shard_key(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Append the permutation key ``k`` and ``shard`` columns — the
-    same md5 hex-order construction the oracle-checked plan pins."""
+    same md5 hex-order construction the oracle-checked plan pins.
+
+    The shard comes from the key's first FIFTEEN hex digits (60 bits,
+    fits a signed long) mod ``n_shards`` — a single digit (0–15) would
+    leave shards ≥ 16 empty and skew any ``n_shards`` not dividing 16
+    ~2× (round-6 fix; balance pinned for n_shards ∈ {3, 5, 10, 32} by
+    ``test_shard_key_balance_any_n_shards``)."""
     k = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     docs = docs.withColumn("k", k)
-    digit = F.conv(F.substring(F.col("k"), 1, 1), 16, 10).cast("long")
-    return docs.withColumn("shard", digit % n_shards)
+    h60 = F.conv(F.substring(F.col("k"), 1, 15), 16, 10).cast("long")
+    return docs.withColumn("shard", h60 % n_shards)
 
 
 def write_training_shards(

@@ -1147,7 +1147,7 @@ N_SHARDS = 8
     ),
     s AS (
         SELECT doc_id, n_tok, k,
-               (strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % {N_SHARDS}
+               CAST(concat('0x', substr(k, 1, 15)) AS BIGINT) % {N_SHARDS}
                    AS shard
         FROM t
     )
@@ -1163,7 +1163,8 @@ N_SHARDS = 8
     "deterministic permutation key md5(seed:doc_id) (same idiom as the "
     "md5-threshold sampler: hex strings are fixed-width, so string "
     "order IS numeric order and both engines agree bit-for-bit), the "
-    "key's first hex digit assigns the shard, and the within-shard "
+    "key's first 15 hex digits (60 bits — uniform for ANY n_shards, "
+    "not just powers of two ≤ 16) assign the shard, and the within-shard "
     "training order is the key order. Re-running with the same seed "
     "reproduces the permutation exactly; bumping the seed reshuffles — "
     "the property that makes data-order ablations possible. Output is "
@@ -1177,10 +1178,10 @@ N_SHARDS = 8
 def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     k = F.md5(F.concat(F.lit(f"{SHARD_SEED}:"), F.col("doc_id").cast("string")))
-    digit = F.conv(F.substring(F.col("k"), 1, 1), 16, 10).cast("long")
+    h60 = F.conv(F.substring(F.col("k"), 1, 15), 16, 10).cast("long")
     t = docs.select(
         "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tok"), k.alias("k")
-    ).withColumn("shard", digit % N_SHARDS)
+    ).withColumn("shard", h60 % N_SHARDS)
     return t.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),

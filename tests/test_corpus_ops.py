@@ -237,3 +237,27 @@ def test_empty_corpus_through_new_plans(spark, tmp_path):
     assert (row.n_view, row.n_click, row.n_purchase) == (0, 0, 0)
     gaps = CO.events_user_gaps(spark, sf)
     assert gaps.count() == 0
+
+
+def test_shard_key_balance_any_n_shards(spark):
+    """Round-6 fix: the shard key uses 60 hash bits, so every
+    n_shards — including >16 and non-divisors of 16 — gets all shards
+    populated and near-uniform balance (the single-hex-digit key left
+    shards >=16 permanently empty and skewed n_shards=3/5/6/10 ~2x)."""
+    from kingsfoil_seed_data_ingestor_spark.operators.sharding import with_shard_key
+
+    docs = _docs(spark, ["doc %d body" % i for i in range(3000)])
+    for n in (3, 5, 10, 32):
+        counts = {
+            r.shard: r.c
+            for r in with_shard_key(docs, n_shards=n)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert set(counts) == set(range(n))  # every shard populated
+        mean = 3000 / n
+        # binomial noise stays well inside +/-50% of the mean at these
+        # sizes (>=4.9 sigma); the old single-digit key violated this
+        # structurally (empty shards at n=32, 2x steps at n=3/5/10)
+        assert all(abs(c - mean) <= 0.5 * mean for c in counts.values()), counts
