@@ -218,9 +218,11 @@ def _nibble_contrib_sql(col: str, bit: int) -> str:
     order) — built as ONE parsed fragment because constructing the
     per-bit Column chains through py4j costs ~6 driver round trips per
     bit and the 32/64-lane builders were spending more wall time
-    building the DAG than executing it."""
+    building the DAG than executing it. ``col`` is an IDENTIFIER, not
+    an expression — backtick-quoted so names needing quoting (dots,
+    spaces) parse the same way the Column-based twin resolves them."""
     return (
-        f"((instr('0123456789abcdef', substring({col}, {bit + 1}, 1)) - 1) % 2)"
+        f"((instr('0123456789abcdef', substring(`{col}`, {bit + 1}, 1)) - 1) % 2)"
         f" * 2 - 1"
     )
 

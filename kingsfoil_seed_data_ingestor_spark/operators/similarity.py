@@ -433,8 +433,8 @@ def rhp_banded(
     # the DAG-build path before any execution (see PERF_NOTES round 5)
     def _plane_bit(plane: list[float]) -> Column:
         arr = ", ".join(f"{s}D" for s in plane)
-        dot_sql = (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
+        dot_sql = (  # vec_col is an identifier: backtick-quote it
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
             f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             f"0.0D, (acc, x) -> acc + x)"
         )

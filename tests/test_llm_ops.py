@@ -1090,3 +1090,18 @@ def test_semantic_blocked_registered_query_shape(spark):
         assert cid < SEM_TWIN_A
         assert members <= {cid, cid + SEM_TWIN_A, cid + SEM_TWIN_B}
         assert 2 <= len(members) <= 3
+
+
+def test_minhash_gate_sets_parity(spark):
+    """The candidate-gated set aggregate (the 100 TB switch) returns
+    the exact pair set of the corpus-wide default, on real testdata."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r.i, r.j, r.jaccard)
+        for r in DD.minhash_near_dups(docs, threshold=0.8).collect()
+    }
+    b = {
+        (r.i, r.j, r.jaccard)
+        for r in DD.minhash_near_dups(docs, threshold=0.8, gate_sets=True).collect()
+    }
+    assert a == b and len(a) > 0
