@@ -328,6 +328,110 @@ def knn_ivf_kmeans(
     return scope.attach(out) if own else out
 
 
+def _codebook_score_sql(vec_col: str, cent: "list[float]") -> str:
+    """``dot(vec, cent) / ||cent||`` as ONE parsed fragment with the
+    centroid as a double-literal array (17-sig-digit scientific
+    notation parses to the identical double in Spark and DuckDB).
+    Same fold shape as :func:`dot`, so the oracle's ``sql_dot`` twin
+    produces bit-identical scores. ``||vec||`` is deliberately
+    dropped: it is a common positive factor per row, so argmax and
+    rank order are unchanged and both engines omit it identically."""
+    arr = ", ".join(f"{v:.17e}D" for v in cent)
+    d = (
+        f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    cn = (
+        f"sqrt(aggregate(zip_with(array({arr}), array({arr}), "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+    )
+    return f"({d} / {cn})"
+
+
+def knn_ivf_frozen(
+    vectors: DataFrame,
+    codebook: "list[list[float]]",
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """IVF search against a FROZEN literal codebook — zero Python in
+    the plan: assignment, routing, probing, and scoring are all Column
+    expressions, so (unlike the numpy-assigned trained path) every
+    arithmetic step has an exact SQL twin and the query is
+    hash-checkable cross-engine.
+
+    Assignment = first cluster whose score weakly dominates all later
+    ones (argmax, ties → lowest id) over ``dot(v, c)/||c||`` — the
+    row-constant ``||v||`` is dropped from ranking scores in both
+    engines. Routing explodes the per-query scores and keeps the top
+    ``nprobe`` clusters; scoring probes only those clusters' members
+    with the full exact cosine. One hash shuffle on cluster id for the
+    probe join (broadcast on the ≤ |queries|·nprobe routed rows), one
+    window for the final top-k — the same physical shape as the
+    persisted-index search, minus the index-build scan pruning."""
+    nc = len(codebook)
+    s_cols = [
+        F.expr(_codebook_score_sql(vec_col, c)).alias(f"_s{i}")
+        for i, c in enumerate(codebook)
+    ]
+    scope, own = scope_or_own(scope)
+    # scored base feeds assignment AND query routing — one scan
+    base = scope.persist(vectors.select(F.col(id_col), F.col(vec_col), *s_cols))
+
+    cluster = F.lit(nc - 1)
+    for c in range(nc - 2, -1, -1):
+        cond = F.lit(True)
+        for j in range(c + 1, nc):
+            cond = cond & (F.col(f"_s{c}") >= F.col(f"_s{j}"))
+        cluster = F.when(cond, F.lit(c)).otherwise(cluster)
+    assigned = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        cluster.cast("int").alias("cluster"),
+    )
+
+    routed = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("cluster"), F.col(f"_s{i}").alias("rs")
+                        )
+                        for i in range(nc)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "q_vec", "p.cluster", "p.rs")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rs"), F.asc("cluster"))
+    probe = (
+        routed.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("cosine"))
+    )
+    return scope.attach(out) if own else out
+
+
 def recall_vs_bruteforce(
     vectors: DataFrame,
     ann: DataFrame,

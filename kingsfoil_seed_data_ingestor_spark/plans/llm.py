@@ -1270,6 +1270,115 @@ def embed_ann_ivf_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_ivf(load(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5)
 
 
+# ----------------------------------------------------------------------
+# frozen-codebook IVF: the TRAINED quantizer's search path, hash-checked
+# ----------------------------------------------------------------------
+
+FROZEN_NPROBE = 3
+
+
+def _sql_cb_lit(cent: "list[float]") -> str:
+    return "[" + ", ".join(f"{v:.17e}" for v in cent) + "]"
+
+
+def _sql_cb_score(vec: str, cent: "list[float]") -> str:
+    lit = _sql_cb_lit(cent)
+    return f"({sql_dot(vec, lit)} / sqrt({sql_dot(lit, lit)}))"
+
+
+def _sql_cb_assign_case(nc: int) -> str:
+    whens = []
+    for c in range(nc - 1):
+        cond = " AND ".join(f"s{c} >= s{j}" for j in range(c + 1, nc))
+        whens.append(f"WHEN {cond} THEN {c}")
+    return "CASE " + " ".join(whens) + f" ELSE {nc - 1} END"
+
+
+def _frozen_ivf_oracle() -> str:
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01 as CB,
+    )
+
+    nc = len(CB)
+    s_exprs = ",\n               ".join(
+        f"{_sql_cb_score('embedding', CB[i])} AS s{i}" for i in range(nc)
+    )
+    rs_case = "CASE c.cluster " + " ".join(
+        f"WHEN {i} THEN s{i}" for i in range(nc)
+    ) + " END"
+    vals = ", ".join(f"({i})" for i in range(nc))
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               {s_exprs}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, {_sql_cb_assign_case(nc)} AS cluster FROM s
+    ),
+    routed AS (
+        SELECT query_id, qv, cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rs DESC, cluster
+               ) AS rn
+        FROM (
+            SELECT vec_id AS query_id, embedding AS qv, c.cluster,
+                   {rs_case} AS rs
+            FROM s CROSS JOIN (VALUES {vals}) AS c(cluster)
+            WHERE vec_id IN ({ids})
+        )
+    ),
+    probe AS (SELECT query_id, qv, cluster FROM routed WHERE rn <= {FROZEN_NPROBE}),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {sql_cosine('p.qv', 'a.embedding')} AS score
+        FROM probe p JOIN assigned a
+          ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(score, 6) AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "embed_ann_ivf_frozen",
+    priority=45,  # in-window: r5 verdict asked for a hash-checked trained path
+    oracle=_frozen_ivf_oracle(),
+    doc="IVF search with the TRAINED coarse quantizer as a frozen "
+    "codebook (operators/codebook.py: the exact kmeans_centroids "
+    "output over the sf0.01 embeddings, k=8/iters=3 — the same "
+    "quantizer embed_ann_ivf's persisted index trains, shipped as "
+    "source literals the way production systems ship a "
+    "sample-trained codebook). With literal centroids the WHOLE "
+    "search is closed-form: assignment (argmax of dot/||c||, ties → "
+    "lowest cluster, ||v|| dropped as a row-constant factor in both "
+    "engines), top-nprobe routing, cluster-probed exact cosine "
+    "top-5 — all Column expressions with identical left-fold SQL "
+    "twins, so unlike the numpy-assigned index path this query is "
+    "hash-checked end to end at every SF. "
+    "test_frozen_codebook_matches_training pins the literals to the "
+    "live trainer; recall floors in tests/test_llm_ops.py cover "
+    "native (sf0.01) and transfer (sf0.001) corpora.",
+)
+def embed_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01,
+    )
+
+    return SIM.knn_ivf_frozen(
+        load(spark, sf_dir, "embeddings"),
+        FROZEN_IVF_SF0_01,
+        KNN_QUERY_IDS,
+        k=5,
+        nprobe=FROZEN_NPROBE,
+    )
+
+
 @register(
     "embed_ann_recall",
     priority=90,  # overflow band: no SQL oracle; gated by pytest recall floor

@@ -1105,3 +1105,45 @@ def test_minhash_gate_sets_parity(spark):
         for r in DD.minhash_near_dups(docs, threshold=0.8, gate_sets=True).collect()
     }
     assert a == b and len(a) > 0
+
+
+# ----------------------------------------------------------------------
+# frozen-codebook IVF (round 6)
+# ----------------------------------------------------------------------
+
+
+def test_frozen_codebook_matches_training(spark):
+    """The shipped codebook literals ARE the live trainer's output over
+    the sf0.01 corpus — fails loudly if the testdata generation or the
+    trainer arithmetic ever changes (regen note in operators/codebook)."""
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = SIM.kmeans_centroids(emb, k=8, iters=3)
+    assert cents == FROZEN_IVF_SF0_01
+
+
+def test_frozen_ivf_recall_native_and_transfer(spark):
+    """Recall@5 of the frozen-codebook search vs brute force: on the
+    corpus the codebook was trained on (sf0.01) and on a corpus it has
+    never seen (sf0.001) — the codebook-transfer deployment pattern."""
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01,
+    )
+
+    qids = [0, 1, 2, 3, 4]
+    # native corpus: the codebook fits, nprobe=3 of 8 is enough
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ann = SIM.knn_ivf_frozen(emb, FROZEN_IVF_SF0_01, qids, k=5, nprobe=3)
+    row = SIM.recall_vs_bruteforce(emb, ann, qids, k=5, nprobe=3).collect()[0]
+    assert row.avg_recall >= 0.9, row.avg_recall
+    # transfer corpus: recall dips at nprobe=3 (measured 0.68 — the
+    # honest cost of a codebook trained elsewhere) and the nprobe dial
+    # recovers it (measured 0.92 at 5, 0.96 at 6)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for nprobe, floor in ((3, 0.6), (5, 0.9)):
+        ann = SIM.knn_ivf_frozen(emb, FROZEN_IVF_SF0_01, qids, k=5, nprobe=nprobe)
+        row = SIM.recall_vs_bruteforce(emb, ann, qids, k=5, nprobe=nprobe).collect()[0]
+        assert row.avg_recall >= floor, (nprobe, row.avg_recall)
