@@ -42,6 +42,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("channels", T.IntegerType()),
     ]
 )
 
@@ -62,20 +63,28 @@ def attach_payload(
     )
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Image decode with real-codec dispatch: BMP payloads (magic
-    ``BM``) parse through the pure-Python 24-bit BMP codec —
-    (width, height, mean byte value over all RGB samples / 255). Other
-    formats fall to PIL when present, else the deterministic stub."""
+def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
+    """Image decode with real-codec dispatch → (width, height,
+    mean byte value over all samples / 255, channels). BMP payloads
+    (magic ``BM``) parse through the pure-Python 24-bit BMP codec;
+    PNG payloads (8-byte signature) through the pure-Python
+    critical-chunk PNG codec (8-bit RGB/RGBA, all five filters).
+    Remaining formats (JPEG &c.) fall to PIL when present, else the
+    deterministic stub."""
     if payload[:2] == b"BM":
         from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_bmp24
 
         w, h, rgb = decode_bmp24(payload)
-        return w, h, round(float(rgb.mean()) / 255.0, 6)
+        return w, h, round(float(rgb.mean()) / 255.0, 6), 3
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_png
+
+        w, h, c, arr = decode_png(payload)
+        return w, h, round(float(arr.mean()) / 255.0, 6), c
     return _decode_image_stub(payload)
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+def _decode_image_stub(payload: bytes) -> tuple[int, int, float, int]:
     """Deterministic fake decode for formats with no in-container codec:
     derives (width, height, mean_luma) from the payload bytes. Swap for
     a real PIL decode when the codec is available."""
@@ -91,7 +100,7 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     width = 64 + h % 1024
     height = 64 + (h >> 10) % 1024
     mean_luma = round((h % 256) / 255.0, 6)
-    return width, height, mean_luma
+    return width, height, mean_luma, 3
 
 
 def extract_image_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -116,6 +125,7 @@ def extract_image_features(assets: DataFrame, batch_size_hint: int = 256) -> Dat
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "mean_luma": [d[2] for d in decoded],
+                    "channels": [d[3] for d in decoded],
                 }
             )
 
@@ -356,6 +366,47 @@ def render_bmp_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return rendered.select(
         "asset_id",
         F.lit("image/bmp").alias("media_type"),
+        "payload",
+        F.length("payload").cast("long").alias("byte_size"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def render_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encoder kernel: a deterministic pixel pattern per document,
+    written through the REAL PNG encoder (``functions.codecs``), RGB
+    and RGBA alternating by id so both color types ship.
+
+    Pattern contract (the oracle recomputes features from this closed
+    form): ``width = 7 + id % 6``, ``height = 5 + id % 4``,
+    ``channels = 3 + id % 2``, flat byte k = ``(id*37 + k*11) % 256``.
+    The encoder cycles the scanline filter by row (``row % 5``), so
+    the independent decoder exercises None/Sub/Up/Average/Paeth on
+    every multi-row asset — a filter bug on either side breaks the
+    round-trip tests and the oracle hash."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import encode_png
+
+        for batch in batches:
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                w, h, c = int(7 + d % 6), int(5 + d % 4), int(3 + d % 2)
+                k = np.arange(w * h * c, dtype=np.int64)
+                px = ((d * 37 + k * 11) % 256).astype(np.uint8).tobytes()
+                payloads.append(encode_png(w, h, px, c))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    rendered = docs.select(id_col).mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+    return rendered.select(
+        "asset_id",
+        F.lit("image/png").alias("media_type"),
         "payload",
         F.length("payload").cast("long").alias("byte_size"),
         F.md5("payload").alias("checksum"),

@@ -1147,3 +1147,66 @@ def test_frozen_ivf_recall_native_and_transfer(spark):
         ann = SIM.knn_ivf_frozen(emb, FROZEN_IVF_SF0_01, qids, k=5, nprobe=nprobe)
         row = SIM.recall_vs_bruteforce(emb, ann, qids, k=5, nprobe=nprobe).collect()[0]
         assert row.avg_recall >= floor, (nprobe, row.avg_recall)
+
+
+# ----------------------------------------------------------------------
+# PNG codec (round 6)
+# ----------------------------------------------------------------------
+
+
+def test_png_round_trip_all_filters_and_channels():
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    # heights >= 5 force every filter type (encoder cycles row % 5)
+    for w, h, c in [(1, 1, 3), (7, 6, 3), (13, 8, 4), (4, 11, 4)]:
+        px = bytes((i * 37 + 5) % 256 for i in range(w * h * c))
+        payload = codecs.encode_png(w, h, px, c)
+        W, H, C, arr = codecs.decode_png(payload)
+        assert (W, H, C) == (w, h, c)
+        assert arr.tobytes() == px
+        assert arr.dtype == np.uint8 and arr.shape == (h, w, c)
+
+
+def test_png_decode_rejects_out_of_scope():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"GIF89a" + b"\x00" * 32)
+    good = codecs.encode_png(3, 2, bytes(18), 3)
+    # corrupt the IDAT CRC
+    bad = bytearray(good)
+    bad[-13] ^= 0xFF  # a byte inside IEND/IDAT tail region
+    with _pytest.raises(ValueError):
+        codecs.decode_png(bytes(bad))
+    # 16-bit depth is out of scope
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 16, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        codecs.decode_png(payload)
+
+
+def test_extract_image_features_decodes_real_png(spark):
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    # solid mid-gray 4x6 RGBA -> mean = 128/255, channels = 4
+    payload = codecs.encode_png(4, 6, bytes([128] * (4 * 6 * 4)), 4)
+    assets = spark.createDataFrame(
+        [(1, "image/png", payload, len(payload), "x")],
+        "asset_id long, media_type string, payload binary, byte_size long, checksum string",
+    )
+    row = MM.extract_image_features(assets).first()
+    assert (row.width, row.height, row.channels) == (4, 6, 4)
+    assert row.mean_luma == pytest.approx(128 / 255, abs=1e-6)
