@@ -93,3 +93,100 @@ def test_simhash_band_join_shape(spark):
     f = facts(spark, "dedup_simhash64")
     assert f["smj"] == 0, "band self-join must stay hash/broadcast at this scale"
     assert f["python"] == 0
+
+
+# ----------------------------------------------------------------------
+# skew proof under data (round 6): a synthesized hot key — one user
+# holding ~20-50% of all rows — not just design notes
+# ----------------------------------------------------------------------
+
+
+def _hot_key_events(spark, n, hot_every=5, hot_user=7, n_users=50_000):
+    """Synthetic events where every `hot_every`-th row belongs to one
+    user: hot_every=5 makes user 7 ~20% of the corpus."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.pmod(F.col("id"), F.lit(hot_every)) == 0, F.lit(hot_user))
+        .otherwise(F.pmod(F.col("id"), F.lit(n_users)))
+        .alias("user_id"),
+        (F.col("id") % 997).cast("double").alias("value"),
+    )
+
+
+def test_salted_top_k_exact_and_parallel_under_hot_key(spark):
+    """salted_top_k under a 20% hot key: (a) bit-identical to the naive
+    single-window top-k, and (b) the salt really splits the hot key —
+    its largest (key, salt) group is ~hot/n_salts, i.e. the stage's
+    max single-task partition shrinks n_salts-fold. Wall-clock is NOT
+    asserted: on local[32] a few-million-row single-task in-memory sort
+    costs well under a second, so the win only shows at cluster data
+    sizes (cold measurements in PLANS.md's skew section)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kingsfoil_seed_data_ingestor_spark.operators import skew as SK
+
+    df = _hot_key_events(spark, 300_000).cache()
+    try:
+        order = [F.desc("value"), F.asc("event_id")]
+        naive_w = Window.partitionBy("user_id").orderBy(*order)
+        naive = (
+            df.withColumn("rank", F.row_number().over(naive_w))
+            .filter(F.col("rank") <= 5)
+        )
+        salted = SK.salted_top_k(
+            df, ["user_id"], order, 5, salt_from=["event_id"], n_salts=32
+        )
+        assert sorted(map(tuple, naive.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+        hot_rows = df.filter(F.col("user_id") == 7).count()
+        assert hot_rows >= 0.19 * 300_000  # the fixture really is skewed
+        groups = (
+            SK.with_salt(df.filter(F.col("user_id") == 7), ["event_id"], 32)
+            .groupBy("_salt")
+            .count()
+            .collect()
+        )
+        assert len(groups) == 32  # every salt lane populated
+        assert max(r["count"] for r in groups) <= 2 * hot_rows / 32
+    finally:
+        df.unpersist()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew-join split fires on the hot-key join: the
+    executed adaptive plan carries SortMergeJoin(skew=true). Thresholds
+    are lowered to make 400k local rows look like a skewed cluster
+    partition; production defaults (256 MB) scale the same mechanism."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        ev = _hot_key_events(spark, 400_000, hot_every=2)
+        users = spark.range(50_000).select(
+            F.col("id").alias("user_id"), (F.col("id") % 17).alias("segment")
+        )
+        j = ev.join(users, "user_id").select("event_id", "segment")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
