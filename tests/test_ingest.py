@@ -623,3 +623,128 @@ def test_compact_refuses_uncompleted_and_recovers_from_crash(spark, store, tmp_p
     garbage.mkdir()
     VersionStore(spark, str(store.root))
     assert not garbage.exists() and part_dir.exists()
+
+
+def test_versioning_lock_stress_compact_commit_recovery(spark, store, tmp_path):
+    """Round-6 concurrency stress for the meta-lock protocol: threads
+    race compact_version vs stage+commit_staged vs VersionStore
+    construction (recovery) over one warehouse while TWO separate
+    processes hammer create/complete/mark_current on the same meta
+    table. Keeps the two r5 ADVICE lock races fixed: a commit can
+    never land inside the compactor's snapshot-verify/swap window (its
+    part would be trashed), and recovery can never restore trash out
+    from under a live compactor."""
+    import subprocess
+    import sys
+    import threading
+
+    from pathlib import Path
+
+    part1 = tmp_path / "s1.txt"
+    part1.write_text(PTP_TXT)
+    r1 = ingest_file(spark, store, "NCCI_PTP", str(part1), "2024-Q1", variant="practitioner")
+    assert r1["success"]
+    src = get_source("NCCI_PTP")
+    part_dir = Path(store.root) / "facts" / src.target_table / "data_version_id=1"
+
+    # template rows for committed parts: same schema as the live part
+    template = spark.read.parquet(str(part_dir)).limit(3).collect()
+    base_rows = spark.read.parquet(str(part_dir)).count()
+    schema = spark.read.parquet(str(part_dir)).schema
+
+    errors: list = []
+    n_commits, n_compacts, n_recover = 12, 10, 6
+    conflicts = 0
+
+    def committer():
+        try:
+            for i in range(n_commits):
+                rows = [r.asDict() for r in template]
+                for r in rows:
+                    r["rationale"] = f"part{i}"
+                df = spark.createDataFrame(rows, schema)
+                staged = store.stage_records(src, 1, df)
+                store.commit_staged(src, 1, staged)
+                store.add_part(1, len(rows))
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(("commit", e))
+
+    def compactor():
+        nonlocal conflicts
+        try:
+            for _ in range(n_compacts):
+                try:
+                    store.compact_version(src, 1, target_files=1)
+                except RuntimeError as e:
+                    if "changed during compaction" not in str(e):
+                        raise
+                    conflicts += 1  # legal outcome: retry-able conflict
+        except Exception as e:  # pragma: no cover
+            errors.append(("compact", e))
+
+    def recoverer():
+        try:
+            for _ in range(n_recover):
+                VersionStore(spark, str(store.root))
+        except Exception as e:  # pragma: no cover
+            errors.append(("recover", e))
+
+    meta_script = f"""
+import sys
+sys.path.insert(0, {repr("/root/repo")})
+from kingsfoil_seed_data_ingestor_spark.operators.versioning import VersionStore
+s = VersionStore(None, {repr(str(store.root))})
+tag = sys.argv[1]
+for i in range(30):
+    vid = s.create_version("STRESS_" + tag, "v%d" % i)
+    s.complete_version(vid, i)
+    s.mark_current(vid)
+print("ok")
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", meta_script, tag],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for tag in ("A", "B")
+    ]
+    threads = [
+        threading.Thread(target=committer),
+        threading.Thread(target=compactor),
+        threading.Thread(target=recoverer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    outs = [p.communicate(timeout=120) for p in procs]
+
+    assert not errors, errors
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0 and "ok" in out, (out, err)
+
+    # no committed part was lost to a compaction swap, content intact
+    final = spark.read.parquet(str(part_dir))
+    assert final.count() == base_rows + n_commits * len(template)
+    markers = {
+        r.rationale for r in final.select("rationale").distinct().collect()
+    }
+    assert {f"part{i}" for i in range(n_commits)} <= markers
+
+    # no stranded crash state: any trash implies its live dir exists
+    staging = part_dir.parent / "_staging"
+    for trash in staging.glob("compact-*.trash"):
+        assert (part_dir.parent / "data_version_id=1").exists()
+
+    # meta table consistent under cross-process contention: all 60
+    # subprocess versions present+completed, ids unique, one current
+    # per (source, variant)
+    pdf = store._read_versions()
+    assert pdf.version_id.is_unique
+    for tag in ("A", "B"):
+        grp = pdf[pdf.source_code == f"STRESS_{tag}"]
+        assert len(grp) == 30
+        assert (grp.status == "completed").all()
+        assert int(grp.is_current.sum()) == 1
+    meta = store.find_version("NCCI_PTP", "2024-Q1", "practitioner")
+    assert meta["part_count"] == 1 + n_commits
