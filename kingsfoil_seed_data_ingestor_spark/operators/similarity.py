@@ -432,6 +432,129 @@ def knn_ivf_frozen(
     return scope.attach(out) if own else out
 
 
+def knn_ivf_sq8_frozen(
+    vectors: DataFrame,
+    codebook: "list[list[float]]",
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 3,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """IVF-SQ8 two-pass search against a FROZEN literal codebook — the
+    asymmetric-distance pass 1 (float query × int8 list vectors, read
+    at 1 B/lane at scale) and the exact-rescore pass 2 of
+    ``ann_index.search_ivf_sq8_index``, with assignment and routing as
+    Column expressions over codebook literals instead of the persisted
+    index. Every arithmetic step (scale = max|v|/127, round-half-up
+    bytes, dequantized qnorm, scale-float round trip, asymmetric
+    score) has an exact SQL twin, so the full quantized search shape
+    is hash-checkable cross-engine (``embed_ann_ivf_sq8_frozen``)."""
+    from kingsfoil_seed_data_ingestor_spark.operators.ann_index import (
+        with_sq8_columns,
+    )
+
+    nc = len(codebook)
+    s_cols = [
+        F.expr(_codebook_score_sql(vec_col, c)).alias(f"_s{i}")
+        for i, c in enumerate(codebook)
+    ]
+    scope, own = scope_or_own(scope)
+    base = scope.persist(vectors.select(F.col(id_col), F.col(vec_col), *s_cols))
+
+    cluster = F.lit(nc - 1)
+    for c in range(nc - 2, -1, -1):
+        cond = F.lit(True)
+        for j in range(c + 1, nc):
+            cond = cond & (F.col(f"_s{c}") >= F.col(f"_s{j}"))
+        cluster = F.when(cond, F.lit(c)).otherwise(cluster)
+    assigned = scope.persist(
+        with_sq8_columns(
+            base.select(
+                F.col(id_col), F.col(vec_col), cluster.cast("int").alias("cluster")
+            ),
+            vec_col,
+        )
+    )
+
+    routed = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("cluster"), F.col(f"_s{i}").alias("rs")
+                        )
+                        for i in range(nc)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "q_vec", "p.cluster", "p.rs")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rs"), F.asc("cluster"))
+    probe = (
+        routed.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "cluster")
+    )
+
+    # pass 1: asymmetric distance against the byte payload
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"), F.col("qv"),
+            lambda x, q: x.cast("double") * q.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qlen = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("q_vec"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    approx = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), "cluster", "qv", "scale", "qnorm"
+        )
+        .join(F.broadcast(probe), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx_score",
+            (F.col("scale").cast("double") * qdot) / (qlen * F.col("qnorm")),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    short = (
+        approx.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") <= shortlist * k)
+        .select("query_id", "q_vec", "neighbor_id")
+    )
+    # pass 2: exact rescore of the shortlist only
+    floats = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+    scored = short.join(floats, "neighbor_id").withColumn(
+        "score", cosine(F.col("q_vec"), F.col("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("cosine"))
+    )
+    return scope.attach(out) if own else out
+
+
 def recall_vs_bruteforce(
     vectors: DataFrame,
     ann: DataFrame,

@@ -1379,6 +1379,137 @@ def embed_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frozen_sq8_oracle(shortlist_k: int = 20) -> str:
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01 as CB,
+    )
+
+    nc = len(CB)
+    s_exprs = ",\n               ".join(
+        f"{_sql_cb_score('embedding', CB[i])} AS s{i}" for i in range(nc)
+    )
+    rs_case = "CASE c.cluster " + " ".join(
+        f"WHEN {i} THEN s{i}" for i in range(nc)
+    ) + " END"
+    vals = ", ".join(f"({i})" for i in range(nc))
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    # per-element forms mirroring ann_index.with_sq8_columns exactly:
+    # scale_d from the double-cast embedding, round-half-up bytes,
+    # dequantized qnorm from scale_d, stored scale = float(scale_d)
+    abs_max = (
+        "list_max(list_transform(range(len(embedding)), "
+        "i -> abs(embedding[i+1]::DOUBLE)))"
+    )
+    qv = (
+        "CASE WHEN scale_d > 0 THEN list_transform(range(len(embedding)), "
+        "i -> CAST(floor(embedding[i+1]::DOUBLE / scale_d + 0.5) AS BIGINT)) "
+        "ELSE list_transform(range(len(embedding)), i -> CAST(0 AS BIGINT)) END"
+    )
+    qsq = (
+        "list_reduce(list_transform(range(len(qv)), "
+        "i -> qv[i+1]::DOUBLE * qv[i+1]::DOUBLE), (a, x) -> a + x)"
+    )
+    qdot = (
+        "list_reduce(list_transform(range(len(p.qv_f)), "
+        "i -> p.qv_f[i+1]::DOUBLE * a.qv[i+1]::DOUBLE), (a2, x) -> a2 + x)"
+    )
+    qlen = (
+        "sqrt(list_reduce(list_transform(range(len(p.qv_f)), "
+        "i -> p.qv_f[i+1]::DOUBLE * p.qv_f[i+1]::DOUBLE), (a2, x) -> a2 + x))"
+    )
+    return f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               {s_exprs}
+        FROM embeddings
+    ),
+    a0 AS (
+        SELECT vec_id, embedding, {_sql_cb_assign_case(nc)} AS cluster,
+               {abs_max} / 127.0 AS scale_d
+        FROM s
+    ),
+    a1 AS (
+        SELECT vec_id, embedding, cluster, scale_d, {qv} AS qv FROM a0
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cluster,
+               CAST(CAST(scale_d AS FLOAT) AS DOUBLE) AS scale,
+               scale_d * sqrt({qsq}) AS qnorm, qv
+        FROM a1
+    ),
+    routed AS (
+        SELECT query_id, qv_f, cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rs DESC, cluster
+               ) AS rn
+        FROM (
+            SELECT vec_id AS query_id, embedding AS qv_f, c.cluster,
+                   {rs_case} AS rs
+            FROM s CROSS JOIN (VALUES {vals}) AS c(cluster)
+            WHERE vec_id IN ({ids})
+        )
+    ),
+    probe AS (SELECT query_id, qv_f, cluster FROM routed WHERE rn <= {FROZEN_NPROBE}),
+    approx AS (
+        SELECT p.query_id, p.qv_f, a.vec_id AS neighbor_id,
+               a.scale * ({qdot}) / (({qlen}) * a.qnorm) AS approx_score
+        FROM probe p JOIN assigned a
+          ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+    ),
+    short AS (
+        SELECT query_id, qv_f, neighbor_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY approx_score DESC, neighbor_id
+            ) AS srn FROM approx
+        ) WHERE srn <= {shortlist_k}
+    ),
+    scored AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               {sql_cosine('sh.qv_f', 'v.embedding')} AS score
+        FROM short sh JOIN embeddings v ON v.vec_id = sh.neighbor_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(score, 6) AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "embed_ann_ivf_sq8_frozen",
+    priority=46,  # in-window beside embed_ann_ivf_frozen
+    oracle=_frozen_sq8_oracle(shortlist_k=20),
+    doc="IVF-SQ8 two-pass search with the frozen trained codebook: "
+    "pass 1 scores the float query against ROUND-HALF-UP int8 "
+    "quantized list vectors (scale = max|v|/127 per vector, "
+    "dequantized qnorm precomputed, the stored scale passes through "
+    "float32 exactly as the persisted index stores it) keeping a "
+    "shortlist of 4k; pass 2 exact-rescores the shortlist for the "
+    "final top-5 in brute-force tie order. Every step — assignment, "
+    "routing, quantization, asymmetric score, rescore — is a Column "
+    "expression with an identical left-fold SQL twin, so the ENTIRE "
+    "faiss-style quantized search shape is hash-checked cross-engine "
+    "at every SF (the persisted-index twin embed_ann_ivf_sq8 keeps "
+    "the build/search split and its pytest recall gate).",
+)
+def embed_ann_ivf_sq8_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01,
+    )
+
+    return SIM.knn_ivf_sq8_frozen(
+        load(spark, sf_dir, "embeddings"),
+        FROZEN_IVF_SF0_01,
+        KNN_QUERY_IDS,
+        k=5,
+        nprobe=FROZEN_NPROBE,
+        shortlist=4,
+    )
+
+
 @register(
     "embed_ann_recall",
     priority=90,  # overflow band: no SQL oracle; gated by pytest recall floor

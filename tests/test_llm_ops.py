@@ -1210,3 +1210,23 @@ def test_extract_image_features_decodes_real_png(spark):
     row = MM.extract_image_features(assets).first()
     assert (row.width, row.height, row.channels) == (4, 6, 4)
     assert row.mean_luma == pytest.approx(128 / 255, abs=1e-6)
+
+
+def test_frozen_sq8_matches_frozen_float_and_recall(spark):
+    """The quantized two-pass frozen search must (a) agree with the
+    float frozen search whenever the true neighbors survive the
+    shortlist — identical routing, same exact rescore — and (b) clear
+    the same recall floor vs brute force."""
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01,
+    )
+
+    qids = [0, 1, 2, 3, 4]
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sq8 = SIM.knn_ivf_sq8_frozen(
+        emb, FROZEN_IVF_SF0_01, qids, k=5, nprobe=3, shortlist=4
+    )
+    flt = SIM.knn_ivf_frozen(emb, FROZEN_IVF_SF0_01, qids, k=5, nprobe=3)
+    assert sorted(map(tuple, sq8.collect())) == sorted(map(tuple, flt.collect()))
+    row = SIM.recall_vs_bruteforce(emb, sq8, qids, k=5, nprobe=3).collect()[0]
+    assert row.avg_recall >= 0.9, row.avg_recall
