@@ -848,8 +848,10 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine pair table feeds the same min-label-propagation components "
     "operator, so only the composition is new. The oracle recomputes "
     "the closure over the brute-force cosine graph (recursive CTE, "
-    "pair table MATERIALIZED). At 100 TB the pair generation swaps to "
-    "the RHP-banded candidate path — same downstream closure.",
+    "pair table MATERIALIZED). This is the EXACT REFEREE; the "
+    "registered 100 TB path is dedup_semantic_clusters_blocked, which "
+    "swaps pair generation to RHP-banded candidates — same downstream "
+    "closure, recall pinned against this variant in pytest.",
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kingsfoil_seed_data_ingestor_spark.operators import components as CC
