@@ -1254,3 +1254,177 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# ----------------------------------------------------------------------
+# round 6: three more TPC-H-shaped warehouse queries (Q16/Q21/Q2
+# analogues over the available columns — no partsupp table in the
+# testdata, so Q2's supply-cost correlation derives from lineitem unit
+# prices)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 3000)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 20
+    """,
+    doc="TPC-H Q16 shape: supplier diversity per (brand, size) with an "
+    "excluded-supplier anti-join (NOT IN over a filtered dim — the "
+    "'customer complaints' exclusion). Spark side uses left_anti "
+    "against the broadcast excluded set (equivalent to NOT IN here: "
+    "s_suppkey is non-null) and a COUNT(DISTINCT) grouped aggregate. "
+    "Plan: part broadcasts into the fact scan, the distinct-count "
+    "shuffles once on the group key; LIMIT order is total "
+    "((brand,size) unique) so the top-20 is engine-independent. At "
+    "100 TB the anti-join stays a broadcast (excluded suppliers are "
+    "tiny) and the distinct count partial-aggregates map-side.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#13").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 3000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(20)
+    )
+
+
+@register(
+    "q21_late_sole_shipper",
+    oracle="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): late "
+    "lineitems (shipped >60 days after the order date) in "
+    "multi-supplier orders where the supplier was the ONLY late one — "
+    "the classic EXISTS + NOT EXISTS pair over a self-joined fact. "
+    "Spark side: the late table derives once (fact⋈fact join pruned "
+    "to 3 columns, the only data-sized shuffle), then a left_semi "
+    "(exists: another supplier in the order) and a left_anti (not "
+    "exists: another LATE supplier) with non-equi <>-conditions, then "
+    "a broadcast supplier join and a tiny grouped count. At 100 TB "
+    "the semi/anti joins shuffle on l_orderkey — co-partitioned with "
+    "the late table's own key, so AQE reuses the exchange.",
+)
+def q21_late_sole_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole = cand.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, unit_price,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_partkey ORDER BY unit_price, l_suppkey
+               ) AS rn
+        FROM offers
+    )
+    SELECT p_partkey, p_brand, p_type, s_name, round(unit_price, 6) AS best_unit_price
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_size <= 10
+    ORDER BY best_unit_price DESC, p_partkey
+    LIMIT 25
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part), adapted: the "
+    "testdata has no partsupp table, so the correlated 'minimum "
+    "supply cost' subquery derives from observed lineitem unit prices "
+    "(extendedprice/quantity — identical IEEE division in both "
+    "engines). The correlated-scalar-subquery pattern decorrelates to "
+    "a per-part ROW_NUMBER (ties broken by suppkey), exactly how "
+    "Catalyst rewrites such subqueries. Plan: one window shuffle on "
+    "partkey, then broadcast part+supplier joins; the size filter "
+    "prunes after rank so the rank is stable against slicing. LIMIT "
+    "order includes the unique p_partkey.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    w = W.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "p_type", "s_name",
+            F.round("unit_price", 6).alias("best_unit_price"),
+        )
+        .orderBy(F.desc("best_unit_price"), "p_partkey")
+        .limit(25)
+    )
