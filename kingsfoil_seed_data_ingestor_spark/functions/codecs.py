@@ -664,3 +664,79 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
     B = Y + 1.772 * Cb
     rgb = np.stack([R, G, B], axis=-1)
     return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------------
+# G.711 mu-law WAV (format code 7, 8 kHz telephony companding)
+# ----------------------------------------------------------------------
+#
+# Unlike JPEG, mu-law is lossy but INTEGER-EXACT: decode(encode(x)) is
+# a closed-form integer function of x, so the whole codec path —
+# including reconstructed sample values — is expressible in SQL and the
+# registered query hash-checks amplitudes, not just metadata.
+
+_MULAW_BIAS, _MULAW_CLIP = 0x84, 32635
+
+
+def mulaw_compress(samples) -> np.ndarray:
+    """int16 linear → uint8 mu-law code (G.711)."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = (x < 0).astype(np.int64)
+    a = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    e = np.clip(np.floor(np.log2(a)).astype(np.int64) - 7, 0, 7)
+    m = (a >> (e + 3)) & 0xF
+    return (~((sign << 7) | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(codes) -> np.ndarray:
+    """uint8 mu-law code → int16 linear (G.711)."""
+    u = (~np.asarray(codes, dtype=np.int64)) & 0xFF
+    sign = (u >> 7) & 1
+    e = (u >> 4) & 7
+    m = u & 0xF
+    mag = ((m * 8 + _MULAW_BIAS) << e) - _MULAW_BIAS
+    return np.where(sign == 1, -mag, mag).astype(np.int16)
+
+
+def encode_wav_mulaw(samples, sample_rate: int) -> bytes:
+    """Encode int16 mono samples as a mu-law RIFF/WAVE file (format 7,
+    1 byte/sample)."""
+    data = mulaw_compress(samples).tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 7, 1, sample_rate, sample_rate, 1, 8
+    )
+    dat = struct.pack("<4sI", b"data", len(data)) + data
+    if len(data) % 2:
+        dat += b"\x00"
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(dat), b"WAVE") + fmt + dat
+
+
+def decode_wav_any(payload: bytes) -> tuple[int, np.ndarray]:
+    """Chunk-walking RIFF parse dispatching on the fmt code: PCM-16
+    (format 1) or mu-law (format 7), both mono → (rate, int16 array).
+    Raises on anything else."""
+    if len(payload) < 12:
+        raise ValueError("truncated WAV")
+    magic, _, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if magic != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data, afmt = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, csz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            afmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos
+            )
+            if channels != 1 or (afmt, bits) not in ((1, 16), (7, 8)):
+                raise ValueError(
+                    f"unsupported WAV (fmt={afmt} ch={channels} bits={bits})"
+                )
+        elif cid == b"data":
+            data = payload[pos : pos + csz]
+        pos += csz + (csz & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if afmt == 1:
+        return rate, np.frombuffer(data, dtype="<i2")
+    return rate, mulaw_expand(np.frombuffer(data, dtype=np.uint8))

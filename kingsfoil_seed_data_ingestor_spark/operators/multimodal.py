@@ -234,9 +234,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def extract_audio_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched audio feature extraction (sample rate, duration,
     RMS level). RIFF/WAVE payloads decode through the REAL pure-Python
-    PCM-16 parser (chunk walk + numpy frombuffer, exact integer RMS
-    accumulation); other formats fall back to the deterministic stub
-    (libav/soundfile are not in this container)."""
+    parsers — PCM-16 (format 1) or G.711 mu-law (format 7), chunk walk
+    + numpy, exact integer RMS accumulation; other formats fall back to
+    the deterministic stub (libav/soundfile are not in this
+    container)."""
     try:
         import soundfile  # noqa: F401 — not present in this container
     except ImportError:
@@ -249,12 +250,12 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
         import pandas as pd
 
         from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
-            decode_wav_pcm16,
+            decode_wav_any,
         )
 
         def one(payload: bytes, size: int) -> tuple[int, float, float, int]:
-            if payload[:4] == b"RIFF":  # real decode: PCM-16 WAV
-                rate, samples = decode_wav_pcm16(bytes(payload))
+            if payload[:4] == b"RIFF":  # real decode: PCM-16 or mu-law WAV
+                rate, samples = decode_wav_any(bytes(payload))
                 sq = samples.astype(np.int64) ** 2  # exact integer sum
                 rms = float(np.sqrt(sq.sum() / len(samples))) if len(samples) else 0.0
                 neg = samples < 0
@@ -499,6 +500,46 @@ def render_wav_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return rendered.select(
         "asset_id",
         F.lit("audio/wav").alias("media_type"),
+        "payload",
+        F.length("payload").cast("long").alias("byte_size"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def render_mulaw_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encoder kernel: a deterministic full-range int16 pattern per
+    document through the REAL G.711 mu-law WAV encoder (format 7,
+    1 byte/sample). Pattern contract (oracle recomputes, including the
+    companding round trip, in closed form): ``rate = 8000``,
+    ``n = 300 + (id % 5) * 100``, sample i =
+    ``((id*131 + i*17) % 65536) - 32768``. Mu-law is lossy but
+    integer-exact, so the oracle hashes reconstructed-amplitude
+    features (RMS, zero crossings), not just metadata."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            encode_wav_mulaw,
+        )
+
+        for batch in batches:
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                n = int(300 + (d % 5) * 100)
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 131 + i * 17) % 65536) - 32768
+                payloads.append(encode_wav_mulaw(samples, 8000))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    rendered = docs.select(id_col).mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+    return rendered.select(
+        "asset_id",
+        F.lit("audio/basic").alias("media_type"),
         "payload",
         F.length("payload").cast("long").alias("byte_size"),
         F.md5("payload").alias("checksum"),

@@ -653,39 +653,55 @@ def rhp_banded(
     computes ``len(planes)`` dot products map-side and emits ``bands``
     narrow rows. Deliberately id-only: the vectors rejoin *after* the
     candidate-pair distinct, so the band shuffle moves 3 small ints per
-    row instead of the embedding payload."""
-    # each plane's dot product is ONE parsed SQL fragment (identical
-    # ops and fold order to `dot`): building the ±1 literal array as
-    # dim × F.lit py4j calls per plane put ~1000 driver round trips in
-    # the DAG-build path before any execution (see PERF_NOTES round 5)
-    def _plane_bit(plane: list[float]) -> Column:
-        arr = ", ".join(f"{s}D" for s in plane)
-        dot_sql = (  # vec_col is an identifier: backtick-quote it
-            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
-            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            f"0.0D, (acc, x) -> acc + x)"
-        )
-        return F.expr(f"CAST(({dot_sql}) > 0 AS INT)")
+    row instead of the embedding payload.
 
-    bits = [_plane_bit(plane) for plane in planes]
-    buckets = [
-        sum(
-            (bits[b * rows_per_band + r] * (1 << r) for r in range(rows_per_band)),
-            start=F.lit(0),
-        )
-        for b in range(bands)
-    ]
-    return vectors.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), buckets[b].alias("bucket"))
-                    for b in range(bands)
-                ]
+    Implementation history (round 6): the per-plane dots are an
+    Arrow-batched ``mapInPandas`` kernel. Column-expression HOF folds
+    (``aggregate(zip_with(...))``) run on Spark's INTERPRETED
+    expression path — 16-32 folds × 64 lanes per row made banding the
+    dominant cost of every RHP query (~0.8-1.7 s at sf0.1) — and a
+    flat 2048-term codegen sum blew past JIT method limits and ran 4×
+    slower still. The kernel computes each dot with an explicit
+    dim-order accumulation loop (``acc = acc + V[:, i] * p_i``,
+    vectorized across rows), which is the SAME IEEE left fold as
+    :func:`dot` and the oracle's ``list_reduce`` — sign decisions and
+    hashes are bit-identical, pinned by the unchanged cross-engine
+    oracle matches of every RHP query."""
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)
+    nb, rpb = bands, rows_per_band
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(V)
+            bits = np.zeros((n, len(P)), dtype=np.int64)
+            for p in range(len(P)):
+                acc = np.zeros(n)
+                for i in range(V.shape[1]):
+                    # exact left-fold order: ((0 + t0) + t1) + ...
+                    acc = acc + V[:, i] * P[p, i]
+                bits[:, p] = acc > 0
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_id = np.repeat(ids, nb)
+            out_band = np.tile(np.arange(nb, dtype=np.int32), n)
+            weights = (1 << np.arange(rpb, dtype=np.int64))
+            buckets = np.stack(
+                [bits[:, b * rpb : (b + 1) * rpb] @ weights for b in range(nb)],
+                axis=1,
+            ).reshape(-1)
+            yield pd.DataFrame(
+                {"_id": out_id, "band": out_band, "bucket": buckets}
             )
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bucket")
+
+    return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kern, schema="_id long, band int, bucket long"
+    )
 
 
 def near_dup_pairs_rhp(
@@ -753,27 +769,54 @@ def near_dup_pairs_rhp(
             l2_norm(F.col(vec_col)).alias("_nn"),
         )
     )
-    scored = (
-        pairs.join(
-            normed.select(
-                F.col("_nid").alias("kept_id"),
-                F.col("_nv").alias("v_i"),
-                F.col("_nn").alias("n_i"),
-            ),
-            "kept_id",
-        )
-        .join(
-            normed.select(
-                F.col("_nid").alias("dup_id"),
-                F.col("_nv").alias("v_j"),
-                F.col("_nn").alias("n_j"),
-            ),
-            "dup_id",
-        )
-        .withColumn("cosine", dot(F.col("v_i"), F.col("v_j")) / (F.col("n_i") * F.col("n_j")))
+    paired = pairs.join(
+        normed.select(
+            F.col("_nid").alias("kept_id"),
+            F.col("_nv").alias("v_i"),
+            F.col("_nn").alias("n_i"),
+        ),
+        "kept_id",
+    ).join(
+        normed.select(
+            F.col("_nid").alias("dup_id"),
+            F.col("_nv").alias("v_j"),
+            F.col("_nn").alias("n_j"),
+        ),
+        "dup_id",
     )
-    out = scored.filter(F.col("cosine") >= threshold).select(
-        "dup_id", "kept_id", "cosine"
+
+    # per-pair exact cosine as an Arrow kernel with the explicit
+    # dim-order accumulation loop — the same IEEE left fold as `dot`
+    # and the oracle's list_reduce (see rhp_banded's note; the
+    # interpreted HOF fold over 10^5-10^6 candidate pairs was the
+    # other half of the RHP queries' cost). Hashes pinned unchanged by
+    # the cross-engine oracle matches.
+    thr = float(threshold)
+
+    def rescore(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array(list(pdf["v_i"]), dtype=np.float64)
+            B = np.array(list(pdf["v_j"]), dtype=np.float64)
+            acc = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i] * B[:, i]
+            cos = acc / (pdf["n_i"].to_numpy() * pdf["n_j"].to_numpy())
+            keep = cos >= thr
+            yield pd.DataFrame(
+                {
+                    "dup_id": pdf["dup_id"].to_numpy(dtype=np.int64)[keep],
+                    "kept_id": pdf["kept_id"].to_numpy(dtype=np.int64)[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    out = paired.mapInPandas(
+        rescore, schema="dup_id long, kept_id long, cosine double"
     )
     return scope.attach(out) if own else out
 

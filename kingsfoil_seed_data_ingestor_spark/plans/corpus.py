@@ -1010,8 +1010,12 @@ def dedup_semantic_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
 
     scope = CacheScope()
+    # persist the augmented table: the banding scan and the normed
+    # rejoin scan would otherwise each recompute the per-element twin
+    # transforms (interpreted HOF lambdas — see rhp_banded's note)
+    aug = scope.persist(semantic_augmented(spark, sf_dir))
     pairs = SIM.near_dup_pairs_rhp(
-        semantic_augmented(spark, sf_dir),
+        aug,
         SEM_THRESHOLD,
         n_planes=SEM_N_PLANES,
         bands=SEM_BANDS,

@@ -1981,6 +1981,77 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: G.711 mu-law companding, SQL form (mirrors codecs.mulaw_compress →
+#: mulaw_expand exactly — integer arithmetic end to end)
+_SQL_MULAW_E = (
+    "CASE WHEN a < 256 THEN 0 WHEN a < 512 THEN 1 WHEN a < 1024 THEN 2 "
+    "WHEN a < 2048 THEN 3 WHEN a < 4096 THEN 4 WHEN a < 8192 THEN 5 "
+    "WHEN a < 16384 THEN 6 ELSE 7 END"
+)
+
+
+@register(
+    "multimodal_wav_mulaw",
+    priority=80,  # overflow band: codec round-trip tests are the hard gate
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, 300 + (doc_id % 5) * 100 AS n
+        FROM documents WHERE doc_id < 20
+    ),
+    raw AS (
+        SELECT doc_id, n, i, ((doc_id*131 + i*17) % 65536) - 32768 AS v
+        FROM p, unnest(range(n)) AS u(i)
+    ),
+    st AS (
+        SELECT doc_id, n, i,
+               CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn,
+               least(abs(v), 32635) + 132 AS a
+        FROM raw
+    ),
+    ex AS (SELECT doc_id, n, i, sgn, a, {_SQL_MULAW_E} AS e FROM st),
+    de AS (
+        SELECT doc_id, n, i,
+               sgn * (((((a >> (e + 3)) & 15) * 8 + 132) << e) - 132) AS dec
+        FROM ex
+    ),
+    zc AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i > 0 AND
+                    (dec < 0) <> (lag(dec) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+        FROM de GROUP BY doc_id
+    ),
+    feat AS (
+        SELECT doc_id, MAX(n) AS n,
+               round(sqrt(SUM(dec * dec) * 1.0 / MAX(n)), 6) AS rms_level
+        FROM de GROUP BY doc_id
+    )
+    SELECT feat.doc_id AS asset_id,
+           CAST(8000 AS INT) AS sample_rate,
+           round(n / 8000.0, 6) AS duration_sec,
+           rms_level,
+           zc.n_crossings
+    FROM feat JOIN zc ON feat.doc_id = zc.doc_id
+    """,
+    doc="REAL G.711 mu-law codec path end to end: a full-range int16 "
+    "pattern per doc is companded through the pure-Python mu-law WAV "
+    "encoder (format 7, 1 byte/sample), shipped as a binary column, "
+    "and expanded back by the independent chunk-walking decoder "
+    "inside the Arrow kernel. Mu-law is lossy but INTEGER-EXACT — "
+    "decode(encode(x)) is a closed-form integer function — so unlike "
+    "JPEG the oracle recomputes the companding round trip itself and "
+    "hash-checks reconstructed-amplitude features (integer-exact RMS, "
+    "zero crossings), not just metadata. A bias, clip, exponent-range "
+    "or mantissa bug on either side breaks the hash.",
+)
+def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_mulaw_assets(docs)
+    return MM.extract_audio_features(assets).select(
+        "asset_id", "sample_rate", "duration_sec", "rms_level", "n_crossings"
+    )
+
+
 @register(
     "multimodal_wav_zcr",
     priority=80,  # overflow band: WAV goldens + codec round-trip gate this
