@@ -2014,12 +2014,16 @@ _SQL_MULAW_E = (
                sgn * (((((a >> (e + 3)) & 15) * 8 + 132) << e) - 132) AS dec
         FROM ex
     ),
+    lagged AS (
+        SELECT doc_id, i, dec,
+               lag(dec) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM de
+    ),
     zc AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN i > 0 AND
-                    (dec < 0) <> (lag(dec) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+               CAST(SUM(CASE WHEN i > 0 AND (dec < 0) <> (prev < 0)
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
-        FROM de GROUP BY doc_id
+        FROM lagged GROUP BY doc_id
     ),
     feat AS (
         SELECT doc_id, MAX(n) AS n,

@@ -1303,3 +1303,66 @@ def test_jpeg_query_pattern_fidelity(spark):
         c = np.arange(3)[None, None, :]
         px = ((d * 11) % 96 + 2 * x + 3 * y + 40 * c).astype(np.uint8)
         assert abs(r.mean_luma - float(px.mean()) / 255.0) <= 1 / 255
+
+
+# ----------------------------------------------------------------------
+# G.711 mu-law WAV (round 6)
+# ----------------------------------------------------------------------
+
+
+def test_mulaw_codec_roundtrip_and_dispatch():
+    import numpy as np
+    import pytest as _pytest
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    x = np.concatenate(
+        [
+            np.array([-32768, -32635, -133, -132, -1, 0, 1, 131, 132, 32635, 32767]),
+            np.random.default_rng(3).integers(-32768, 32768, 400),
+        ]
+    ).astype(np.int64)
+    dec = codecs.mulaw_expand(codecs.mulaw_compress(x))
+    # companding error bounded by the G.711 step size (~3% + bias)
+    assert np.all(np.abs(dec.astype(np.int64) - x) <= np.abs(x) * 0.031 + 36)
+    # idempotent: mu-law values are fixed points of the companding
+    assert np.array_equal(codecs.mulaw_expand(codecs.mulaw_compress(dec)), dec)
+    # WAV container round trip through the format-dispatching parser
+    rate, back = codecs.decode_wav_any(codecs.encode_wav_mulaw(x, 8000))
+    assert rate == 8000 and np.array_equal(back, dec)
+    # PCM-16 still routes through the same dispatcher
+    r2, b2 = codecs.decode_wav_any(codecs.encode_wav_pcm16(x.astype(np.int16), 8000))
+    assert r2 == 8000 and np.array_equal(b2, x.astype(np.int16))
+    # unsupported layouts still rejected
+    import struct
+
+    stereo = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 2, 8000, 16000, 2, 8)
+    bad = codecs.encode_wav_mulaw(x, 8000)[:12] + stereo + struct.pack(
+        "<4sI", b"data", 4
+    ) + b"\x00" * 4
+    with _pytest.raises(ValueError, match="unsupported WAV"):
+        codecs.decode_wav_any(bad)
+
+
+def test_mulaw_query_features_match_closed_form(spark):
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    feats = {
+        r.asset_id: r
+        for r in MM.extract_audio_features(MM.render_mulaw_assets(docs)).collect()
+    }
+    for d in range(10):
+        n = 300 + (d % 5) * 100
+        i = np.arange(n, dtype=np.int64)
+        dec = codecs.mulaw_expand(
+            codecs.mulaw_compress(((d * 131 + i * 17) % 65536) - 32768)
+        ).astype(np.int64)
+        r = feats[d]
+        assert r.sample_rate == 8000
+        assert r.duration_sec == round(n / 8000, 6)
+        assert r.rms_level == round(float(np.sqrt((dec**2).sum() / n)), 6)
+        neg = dec < 0
+        assert r.n_crossings == int(np.count_nonzero(neg[1:] != neg[:-1]))
