@@ -69,7 +69,7 @@ def connected_components(
     dst: str = "j",
     max_iterations: int = 25,
     scope: CacheScope | None = None,
-    reliable_checkpoints: bool = False,
+    reliable_checkpoints: bool = True,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge, where
     ``component`` is the smallest node id in the node's connected
@@ -80,14 +80,15 @@ def connected_components(
     ``max_iterations`` (a correctness guard — returning early would
     silently split components).
 
-    ``reliable_checkpoints``: per-iteration lineage truncation defaults
-    to ``localCheckpoint`` — executor-local blocks, no filesystem
-    round-trip; measured ~0.5-1 s per iteration cheaper on local[32]
-    and the right default for interactive/bench use. On a long-lived
-    cluster job where an executor loss must not abort the whole
-    computation, pass ``True`` for durable checkpoint files (the
-    classic recoverability/latency trade — both paths truncate the
-    plan identically, results are byte-equal).
+    ``reliable_checkpoints``: per-iteration lineage truncation
+    defaults to durable checkpoint FILES — they cost a filesystem
+    round-trip per iteration but pin no executor storage, which keeps
+    the repo's cache-discipline contract (test_caching: zero persistent
+    RDDs after a query drains — ``localCheckpoint`` blocks linger until
+    the JVM context cleaner collects them). Pass ``False`` for
+    executor-local checkpoint blocks in latency-sensitive interactive
+    use; measured difference on local[32] is small (~0.2 s/round) and
+    results are byte-equal either way.
     """
     scope, own = scope_or_own(scope)
     if reliable_checkpoints:
