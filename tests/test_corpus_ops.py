@@ -261,3 +261,19 @@ def test_shard_key_balance_any_n_shards(spark):
         # sizes (>=4.9 sigma); the old single-digit key violated this
         # structurally (empty shards at n=32, 2x steps at n=3/5/10)
         assert all(abs(c - mean) <= 0.5 * mean for c in counts.values()), counts
+
+
+def test_hll_sketch_error_floor_all_sfs(spark):
+    """The deterministic HLL estimate stays within 10% of the exact
+    distinct count at every test SF (measured 6.0%/2.0%/2.6%)."""
+    from kingsfoil_seed_data_ingestor_spark.plans.events import (
+        events_distinct_users_hll,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = events_distinct_users_hll(spark, f"/root/testdata/sf{sf}").collect()
+        assert rows
+        for r in rows:
+            assert abs(r.est_users - r.exact_users) / r.exact_users <= 0.10, (
+                sf, r.event_type, r.est_users, r.exact_users,
+            )
