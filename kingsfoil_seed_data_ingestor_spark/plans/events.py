@@ -338,3 +338,125 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", F.round(corrected, 6).alias("est_users"), "exact_users"
     )
+
+
+# ----------------------------------------------------------------------
+# round 6: KMV (k-minimum-values) sketch — set-operation estimates
+# ----------------------------------------------------------------------
+
+#: KMV sketch size and the 60-bit hash normalizer 2^60
+KMV_K = 256
+KMV_NORM = float(1 << 60)
+
+
+@_register(
+    "events_audience_overlap_kmv",
+    priority=50,
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne
+        FROM events GROUP BY user_id
+    ),
+    mem AS (
+        SELECT user_id,
+               CASE WHEN np > nv THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN nc > ne THEN 1 ELSE 0 END AS in_b
+        FROM per WHERE np > nv OR nc > ne
+    ),
+    h AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv,
+               in_a, in_b
+        FROM mem
+    ),
+    u AS (SELECT *, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM h),
+    uk AS (SELECT * FROM u WHERE rn <= {KMV_K}),
+    stats AS (
+        SELECT COUNT(*) AS k_used, MAX(hv) AS kth,
+               SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+        FROM uk
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS exact_intersection
+        FROM mem
+    )
+    SELECT round((k_used - 1) / (kth / {KMV_NORM!r}), 6) AS est_union,
+           round(n_both * 1.0 / k_used, 6) AS est_jaccard,
+           round((n_both * 1.0 / k_used)
+                 * ((k_used - 1) / (kth / {KMV_NORM!r})), 6) AS est_intersection,
+           exact_union, exact_intersection
+    FROM stats, exact
+    """,
+    doc="KMV (k-minimum-values) sketch with SET-OPERATION estimates — "
+    "the sketch-algebra companion to the HLL query: union size, "
+    "Jaccard, and intersection size of two behaviorally-derived "
+    "audiences (A = users purchasing more than they view, B = users "
+    "clicking more than they error — genuinely partial overlap, "
+    "Jaccard ≈ 0.26-0.33 across SFs) from the k = 256 smallest "
+    "60-bit md5 hashes of the union. Estimator validity: the union's "
+    "k-th smallest hash is ≤ each set's k-th smallest, so full-set "
+    "membership flags inside the union sketch ARE sketch membership; "
+    "est_union = (k-1)/normalized kth minimum, est_inter = "
+    "within-sketch overlap fraction × est_union (Beyer et al., "
+    "SIGMOD'07). Everything is integer/window arithmetic until two "
+    "final double divisions, identical in both engines — the "
+    "ESTIMATES hash-match, and the exact union/intersection ride "
+    "along as error witnesses. Scale shape: the per-user aggregate is "
+    "the only data shuffle; the global k-smallest is a TakeOrdered "
+    "over a 256-row head, and sketches are mergeable by construction "
+    "(min of unions).",
+)
+def events_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    per = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("np"),
+        F.sum((F.col("event_type") == "view").cast("int")).alias("nv"),
+        F.sum((F.col("event_type") == "click").cast("int")).alias("nc"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("ne"),
+    )
+    mem = per.select(
+        "user_id",
+        (F.col("np") > F.col("nv")).cast("int").alias("in_a"),
+        (F.col("nc") > F.col("ne")).cast("int").alias("in_b"),
+    ).filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    h = mem.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+        "in_a",
+        "in_b",
+    )
+    uk = (
+        h.withColumn("rn", F.row_number().over(W.orderBy("hv")))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    stats = uk.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("hv").alias("kth"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")).alias(
+            "n_both"
+        ),
+    )
+    exact = mem.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")).alias(
+            "exact_intersection"
+        ),
+    )
+    est_union = (F.col("k_used") - 1) / (F.col("kth") / F.lit(KMV_NORM))
+    est_jac = F.col("n_both") * F.lit(1.0) / F.col("k_used")
+    return stats.crossJoin(exact).select(
+        F.round(est_union, 6).alias("est_union"),
+        F.round(est_jac, 6).alias("est_jaccard"),
+        F.round(est_jac * est_union, 6).alias("est_intersection"),
+        "exact_union",
+        "exact_intersection",
+    )

@@ -277,3 +277,22 @@ def test_hll_sketch_error_floor_all_sfs(spark):
             assert abs(r.est_users - r.exact_users) / r.exact_users <= 0.10, (
                 sf, r.event_type, r.est_users, r.exact_users,
             )
+
+
+def test_kmv_sketch_error_floor_all_sfs(spark):
+    """KMV union/intersection estimates within 15% of exact at every
+    SF (k=256; at sf<=0.01 the union is smaller than k so the sketch
+    degenerates to near-exact)."""
+    from kingsfoil_seed_data_ingestor_spark.plans.events import (
+        events_audience_overlap_kmv,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        r = events_audience_overlap_kmv(spark, f"/root/testdata/sf{sf}").first()
+        assert abs(r.est_union - r.exact_union) / r.exact_union <= 0.15, (sf, r)
+        assert (
+            abs(r.est_intersection - r.exact_intersection)
+            / max(r.exact_intersection, 1)
+            <= 0.25
+        ), (sf, r)
+        assert 0.0 <= r.est_jaccard <= 1.0
