@@ -2,8 +2,10 @@
 
 The reference is batch-only (SURVEY.md §2.11) — this package is the
 designated streaming extension: event-time windowed aggregation with
-watermarks, session windows, in-stream dedup, and a custom stateful
-operator, all over the ``events`` table shape.
+watermarks, session windows, in-stream dedup, custom stateful
+operators, and streaming sketch maintenance (HLL registers folded
+per micro-batch, provably equal to the batch sketch), all over the
+``events`` table shape.
 """
 
 from kingsfoil_seed_data_ingestor_spark.streaming.dedup import (
@@ -20,6 +22,9 @@ from kingsfoil_seed_data_ingestor_spark.streaming.events import (
     sliding_window_counts,
     tumbling_window_counts,
     user_running_totals,
+)
+from kingsfoil_seed_data_ingestor_spark.streaming.sketch import (
+    streaming_distinct_users_hll,
 )
 from kingsfoil_seed_data_ingestor_spark.streaming.spans import (
     streaming_span_dedup,

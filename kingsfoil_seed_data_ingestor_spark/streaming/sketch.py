@@ -1,0 +1,181 @@
+"""Streaming sketch maintenance: the deterministic HLL of
+``plans/events.events_distinct_users_hll`` as a custom stateful
+streaming operator.
+
+Distinct-count dashboards over an event stream cannot re-scan history
+per micro-batch; HLL registers are the canonical fix because they
+merge by ELEMENT-WISE MAX — commutative, associative, idempotent — so
+folding batches into per-key register state via
+``applyInPandasWithState`` yields, after any batch arrival order or
+boundary placement, EXACTLY the registers (and therefore exactly the
+estimate) of the batch query over the union of the batches. The parity
+test pins that equality against ``events_distinct_users_hll``.
+
+Scale posture: state is one 1024-byte-scale register array per
+event_type key, partitioned by the groupBy shuffle; per-batch work is
+one Arrow-batched md5/rank fold. Registers never need expiry for an
+all-time count; a windowed distinct count would key state by
+(event_type, window) and let the watermark GC closed windows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kingsfoil_seed_data_ingestor_spark.plans.events import (
+    HLL_ALPHA,
+    HLL_M,
+    HLL_RANK_MAX,
+    HLL_SCALE,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("est_users", T.DoubleType()),
+        T.StructField("m_used", T.LongType()),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("registers", T.ArrayType(T.IntegerType())),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+
+
+def _rank_bucket(user_id: int) -> tuple[int, int]:
+    """(bucket, rank) from the SAME 60-bit md5 construction the batch
+    query and its DuckDB oracle use — md5 of the decimal string, first
+    15 hex digits."""
+    hv = int(hashlib.md5(str(user_id).encode()).hexdigest()[:15], 16)
+    bucket = hv % HLL_M
+    w = hv // HLL_M
+    rank = HLL_RANK_MAX if w == 0 else HLL_RANK_MAX - w.bit_length()
+    return bucket, rank
+
+
+def hll_estimate(registers: "list[int]") -> tuple[float, int]:
+    """(estimate, m_used) with the exact arithmetic of the batch query:
+    integer register sum, one int→double conversion, harmonic estimate,
+    linear-counting small-range correction, round to 6."""
+    m_used = sum(1 for r in registers if r > 0)
+    zeros = HLL_M - m_used
+    int_sum = sum((1 << (HLL_RANK_MAX - r)) for r in registers if r > 0)
+    raw = HLL_ALPHA * HLL_M * HLL_M / (int_sum / HLL_SCALE + zeros * 1.0)
+    if raw < 2.5 * HLL_M and zeros > 0:
+        raw = HLL_M * math.log(HLL_M / zeros)
+    return round(raw, 6), m_used
+
+
+def _fold_hll(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    if state.exists:
+        registers, n_batches = state.get
+        registers = list(registers)
+    else:
+        registers, n_batches = [0] * HLL_M, 0
+    for batch in batches:
+        n_batches += 1
+        for uid in batch["user_id"]:
+            bucket, rank = _rank_bucket(int(uid))
+            if rank > registers[bucket]:
+                registers[bucket] = rank
+    state.update((registers, n_batches))
+    est, m_used = hll_estimate(registers)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "est_users": [est],
+            "m_used": [m_used],
+            "n_batches": [n_batches],
+        }
+    )
+
+
+def streaming_distinct_users_hll(events: DataFrame) -> DataFrame:
+    """Running per-event-type distinct-user HLL over a stream —
+    update-mode output re-emits each touched key's current estimate
+    every micro-batch. On a batch frame the same contract evaluates
+    via one pass (n_batches = 1), giving the oracle-comparable twin
+    shape for tests."""
+    keyed = events.select("event_type", F.col("user_id").cast("long").alias("user_id"))
+    if not events.isStreaming:
+        # batch twin: single-fold through the same kernel semantics
+        def one_fold(pdf_iter):
+            import pandas as pd
+
+            acc: dict = {}
+            for pdf in pdf_iter:
+                for et, uid in zip(pdf["event_type"], pdf["user_id"]):
+                    regs = acc.setdefault(et, [0] * HLL_M)
+                    bucket, rank = _rank_bucket(int(uid))
+                    if rank > regs[bucket]:
+                        regs[bucket] = rank
+            rows = []
+            for et, regs in acc.items():
+                rows.append((et, regs))
+            yield pd.DataFrame(
+                {"event_type": [r[0] for r in rows], "registers": [r[1] for r in rows]}
+            )
+
+        partial = keyed.repartition("event_type").mapInPandas(
+            one_fold, schema="event_type string, registers array<int>"
+        )
+        # merge partials by element-wise max, then estimate
+        merged = (
+            partial.select(
+                "event_type", F.posexplode("registers").alias("bucket", "rank")
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rank").alias("rank"))
+            .groupBy("event_type")
+            .agg(F.collect_list(F.struct("bucket", "rank")).alias("br"))
+        )
+
+        def finish(pdf_iter):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                ests, ms = [], []
+                for br in pdf["br"]:
+                    regs = [0] * HLL_M
+                    for r in br:
+                        regs[r["bucket"]] = max(regs[r["bucket"]], r["rank"])
+                    e, m = hll_estimate(regs)
+                    ests.append(e)
+                    ms.append(m)
+                yield pd.DataFrame(
+                    {
+                        "event_type": pdf["event_type"],
+                        "est_users": ests,
+                        "m_used": ms,
+                        "n_batches": [1] * len(pdf),
+                    }
+                )
+
+        return merged.mapInPandas(finish, schema=HLL_OUTPUT_SCHEMA)
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _fold_hll,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -402,3 +402,61 @@ def test_streaming_span_dedup_batch_twin_matches_plan(spark):
     got = {(r.doc_id, r.n_dup_spans) for r in dup_rows.collect()}
     want = {(r.doc_id, r.n_dup_spans) for r in plan.collect()}
     assert got == want
+
+
+def test_streaming_hll_matches_batch_query_exactly(spark, tmp_path):
+    """HLL registers merge by element-wise max (commutative,
+    associative, idempotent), so the stateful streaming fold over any
+    micro-batch split must land on EXACTLY the batch query's estimate
+    over the union — including the md5 construction, the integer
+    register sum, and the rounding."""
+    from kingsfoil_seed_data_ingestor_spark.plans.events import (
+        events_distinct_users_hll,
+    )
+    from kingsfoil_seed_data_ingestor_spark.streaming.sketch import (
+        streaming_distinct_users_hll,
+    )
+
+    src = tmp_path / "ev_feed"
+    src.mkdir()
+    ev = load(spark, SF_DIR, "events").select("event_type", "user_id")
+    # uneven split with overlap: both files carry some of the same users
+    ev.filter(F.col("user_id") % 3 != 0).write.parquet(str(src / "b1.parquet"))
+    ev.filter(F.col("user_id") % 3 != 1).write.parquet(str(src / "b2.parquet"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    streamed = run_to_memory(
+        streaming_distinct_users_hll(stream), "hll_stream", output_mode="update"
+    )
+    final = {
+        r.event_type: (r.est_users, r.m_used)
+        for r in streamed.filter(F.col("n_batches") == 2).collect()
+    }
+    assert final  # both batches processed
+
+    # batch-query twin over the SAME union of rows (write then reuse
+    # the registered query's loader contract: only event_type/user_id
+    # are read by the sketch)
+    union = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    bt = tmp_path / "bt"
+    bt.mkdir()
+    union.write.parquet(str(bt / "events.parquet"))
+    want = {
+        r.event_type: r.est_users
+        for r in events_distinct_users_hll(spark, str(bt)).collect()
+    }
+    assert final.keys() == want.keys()
+    for et in want:
+        assert final[et][0] == want[et], (et, final[et], want[et])
+
+    # the batch twin of the streaming operator agrees too
+    twin = {
+        r.event_type: r.est_users
+        for r in streaming_distinct_users_hll(union).collect()
+    }
+    assert twin == want
