@@ -223,8 +223,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("not a PNG payload")
     pos, width = 8, None
     idat = bytearray()
+    seen_iend = False
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG payload (chunk exceeds data)")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -243,10 +246,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
+            seen_iend = True
             break
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    if not seen_iend:
+        raise ValueError("truncated PNG payload (missing IEND)")
     raw = zlib.decompress(bytes(idat))
     bpp, stride = channels, width * channels
     if len(raw) != height * (stride + 1):
@@ -492,8 +498,14 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG payload (entropy segment ran out)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError(
+                    "truncated JPEG payload (entropy segment ran out)"
+                )
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -570,6 +582,8 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
         if marker == 0xD9:  # EOI
             break
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + ln > len(payload):
+            raise ValueError("truncated JPEG payload (segment exceeds data)")
         body = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -617,6 +631,15 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
     if frame is None or comp_spec is None:
         raise ValueError("JPEG missing SOF0 or SOS")
     width, height, comps = frame
+    # the MCU loop below walks components in SOF order; a scan that
+    # lists component ids in any other order (or ids that don't exist
+    # in the frame) would silently pair the wrong quant/Huffman tables
+    # and color planes — match ids explicitly and bound the scope
+    if [cid for cid, _ in comp_spec] != [cid for cid, _ in comps]:
+        raise ValueError(
+            "SOS component ids do not match SOF frame order (reordered "
+            "or unknown scan components out of scope)"
+        )
     bw, bh = (width + 7) // 8, (height + 7) // 8
     planes = [np.zeros((bh * 8, bw * 8)) for _ in range(3)]
     rdr = _BitReader(payload, pos)
@@ -656,6 +679,10 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
                 coef = block.reshape(8, 8) * qts[tq]
                 pix = _DCT_C.T @ coef @ _DCT_C + 128.0
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    # the entropy segment must terminate in EOI — a payload cut after
+    # the last needed bit would otherwise decode as if complete
+    if b"\xff\xd9" not in payload[rdr.pos :]:
+        raise ValueError("truncated JPEG payload (missing EOI)")
     Y = planes[0][:height, :width]
     Cb = planes[1][:height, :width] - 128.0
     Cr = planes[2][:height, :width] - 128.0

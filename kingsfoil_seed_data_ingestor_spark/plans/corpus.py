@@ -939,8 +939,17 @@ def semantic_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
     )
     def twin(offset: int, cond: str) -> DataFrame:
+        # executor-side guard: a corpus with vec_id >= SEM_TWIN_A would
+        # silently collide twin ids with real vectors — identically in
+        # both engines, so the oracle hash could never catch it; fail
+        # the query loudly instead of corrupting planted-cluster labels
+        guarded = F.expr(
+            f"CASE WHEN vec_id >= {SEM_TWIN_A} THEN CAST(raise_error("
+            f"'semantic_augmented: vec_id >= {SEM_TWIN_A} collides with "
+            f"planted twin ids') AS BIGINT) ELSE vec_id END"
+        )
         return emb.select(
-            (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+            (guarded + F.lit(offset)).alias("vec_id"),
             F.expr(
                 f"transform(embedding, (x, i) -> CASE WHEN {cond} "
                 "THEN CAST(x AS DOUBLE) * 1.25D ELSE CAST(x AS DOUBLE) END)"

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from decimal import ROUND_HALF_UP, Decimal
 from collections.abc import Iterator
 from typing import TYPE_CHECKING, Any
 
@@ -77,7 +78,14 @@ def hll_estimate(registers: "list[int]") -> tuple[float, int]:
     raw = HLL_ALPHA * HLL_M * HLL_M / (int_sum / HLL_SCALE + zeros * 1.0)
     if raw < 2.5 * HLL_M and zeros > 0:
         raw = HLL_M * math.log(HLL_M / zeros)
-    return round(raw, 6), m_used
+    # HALF_UP on the shortest decimal repr — the exact semantics of
+    # Spark's F.round on a double (BigDecimal.valueOf + HALF_UP), NOT
+    # Python round()'s banker's rounding, so a decimal-tie estimate
+    # cannot break the streaming-equals-batch exact-equality contract
+    est = float(
+        Decimal(repr(raw)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    return est, m_used
 
 
 def _fold_hll(

@@ -1366,3 +1366,61 @@ def test_mulaw_query_features_match_closed_form(spark):
         assert r.rms_level == round(float(np.sqrt((dec**2).sum() / n)), 6)
         neg = dec < 0
         assert r.n_crossings == int(np.count_nonzero(neg[1:] != neg[:-1]))
+
+
+# ----------------------------------------------------------------------
+# round 7: codec contract hardening (ADVICE r6)
+# ----------------------------------------------------------------------
+
+
+def test_codecs_truncated_payloads_raise_valueerror():
+    """Truncated streams must fail per the decoders' documented
+    ValueError contract — never raw struct.error/IndexError (which
+    surface as opaque task failures in the Arrow kernels)."""
+    import pytest as _pytest
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    png = codecs.encode_png(5, 5, bytes(75), 3)
+    jpg = codecs.encode_jpeg_baseline(8, 8, bytes((i * 31) % 256 for i in range(192)))
+    # every truncation point of both containers raises ValueError
+    for payload in (png, jpg):
+        for cut in range(9, len(payload) - 1, 7):
+            with _pytest.raises(ValueError):
+                (codecs.decode_png if payload is png else codecs.decode_jpeg_baseline)(
+                    payload[:cut]
+                )
+
+
+def test_jpeg_scan_order_must_match_frame_order():
+    """A scan listing components in a different order than the frame
+    must raise, not silently decode with swapped tables/planes."""
+    import pytest as _pytest
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    good = codecs.encode_jpeg_baseline(8, 8, bytes(range(64)) * 3)
+    # encoder's SOS component list: 1,0x00, 2,0x11, 3,0x11 — swap ids 2/3
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    swapped = bytes([3, 1, 0x00, 3, 0x11, 2, 0x11, 0, 63, 0])
+    assert sos in good
+    with _pytest.raises(ValueError, match="SOS component ids"):
+        codecs.decode_jpeg_baseline(good.replace(sos, swapped, 1))
+
+
+def test_semantic_twin_id_collision_guard(spark):
+    """vec_id >= SEM_TWIN_A would silently collide with planted twin
+    ids (identically in both engines, invisible to the oracle hash) —
+    the augmented plan must raise instead."""
+    import pytest as _pytest
+
+    from kingsfoil_seed_data_ingestor_spark.plans import corpus as CP
+
+    big = spark.createDataFrame(
+        [(CP.SEM_TWIN_A + 1, [1.0] * CP.SEM_DIM, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = "/tmp/kingsfoil-twin-guard"
+    big.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    with _pytest.raises(Exception, match="collides with planted twin ids"):
+        CP.semantic_augmented(spark, path).collect()
