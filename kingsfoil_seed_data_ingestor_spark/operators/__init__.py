@@ -4,6 +4,7 @@ from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
 from kingsfoil_seed_data_ingestor_spark.operators.components import (
     component_stats,
     connected_components,
+    connected_components_minlabel,
 )
 from kingsfoil_seed_data_ingestor_spark.operators.dedup import keep_first
 from kingsfoil_seed_data_ingestor_spark.operators.skew import salted_top_k, with_salt
@@ -24,6 +25,7 @@ from kingsfoil_seed_data_ingestor_spark.operators.pipeline import (
 __all__ = [
     "CacheScope",
     "connected_components",
+    "connected_components_minlabel",
     "component_stats",
     "salted_top_k",
     "with_salt",

@@ -8,19 +8,37 @@ every node that appears in at least one edge, the component label
 ``min(doc_id in component)`` — the deterministic keeper choice (the
 same keep-smallest-id rule the pair operators use).
 
-Algorithm: distributed min-label propagation. Each iteration every
-node's label becomes the minimum of its own and its neighbors' labels —
-one self-join + one min-aggregate per iteration, shuffling only
-``(node, label)`` longs. Convergence after at most ``diameter``
-iterations; duplicate clusters are near-cliques (LSH buckets), so the
-expected iteration count is 2–3. The loop is driver-orchestrated but
-the driver holds zero data — per-iteration state is one persisted
-(node, label) table on the executors, and the convergence check is a
-``count``. For adversarial long-chain graphs at the billion-edge scale,
-the published alternating small-star/large-star rewiring (Kiveris et
-al., "Connected Components in MapReduce and Beyond", SoCC'14) replaces
-the O(diameter) bound with O(log²) — same join/agg building blocks;
-the per-iteration shape below is unchanged.
+Two algorithms behind one output contract, composed adaptively:
+
+* **Min-label propagation** (``connected_components_minlabel``): each
+  round every node's label becomes the minimum of its own and its
+  neighbors' labels — one join + min-aggregate per round, converging
+  in at most ``diameter`` rounds. The cheapest path for real dup
+  graphs (LSH buckets are near-cliques: 1-2 rounds), unbounded on
+  adversarial chains.
+* **Alternating small-star/large-star** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): each round rewires
+  every edge toward its neighborhood minimum — large-star links each
+  node's LARGER neighbors to the neighborhood min, small-star the
+  smaller ones — contracting the graph toward a star forest rooted at
+  component minima in **O(log² n) rounds regardless of diameter** (in
+  practice ~log₂). Each round shuffles only id pairs, the same volume
+  class as one label hop, but costs ~2 aggregate+join shapes instead
+  of 1.
+
+``connected_components`` (the production default) runs a BOUNDED
+min-label prefix (``fast_rounds``, default 2 changing rounds — enough
+for every realistic duplicate graph), and on non-convergence contracts
+the graph by the partial labels and finishes with the star algorithm,
+whose round count is logarithmic no matter what the input looks like.
+Total rounds ≤ fast_rounds + O(log² n); typical cost = min-label's.
+``fast_rounds=0`` skips the prefix (pure star) — used by the
+registered blocked semantic-clustering query so the star path runs
+under the driver's oracle gate every round.
+
+All loops are driver-orchestrated but the driver holds zero data —
+per-round state is one checkpointed/cached edge-or-label table on the
+executors, and convergence checks are single aggregates.
 
 Reference parity note: the reference has no graph step (its dedup is
 exact-key only, ``app/services/ingestor.py:468-496``); this extends the
@@ -63,34 +81,37 @@ def _ensure_checkpoint_dir(spark) -> None:
         atexit.register(shutil.rmtree, ckpt_dir, True)
 
 
-def connected_components(
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both directions of every edge as (a, b) — via a 2-element
+    explode, NOT a self-union: a union references its input twice, and
+    when the input is an expensive un-materialized plan (LSH banding +
+    rescore feeding the components step) that doubles the whole
+    upstream compute in the job that first touches it."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
+
+
+def _minlabel_phase(
     edges: DataFrame,
-    src: str = "i",
-    dst: str = "j",
-    max_iterations: int = 25,
-    scope: CacheScope | None = None,
+    src: str,
+    dst: str,
+    budget: int,
+    scope: CacheScope,
     reliable_checkpoints: bool = True,
-) -> DataFrame:
-    """(node, component) for every node incident to an edge, where
-    ``component`` is the smallest node id in the node's connected
-    component.
-
-    ``edges`` is treated as undirected; direction and duplicate edges
-    are irrelevant. Raises if the propagation has not converged after
-    ``max_iterations`` (a correctness guard — returning early would
-    silently split components).
-
-    ``reliable_checkpoints``: per-iteration lineage truncation
-    defaults to durable checkpoint FILES — they cost a filesystem
-    round-trip per iteration but pin no executor storage, which keeps
-    the repo's cache-discipline contract (test_caching: zero persistent
-    RDDs after a query drains — ``localCheckpoint`` blocks linger until
-    the JVM context cleaner collects them). Pass ``False`` for
-    executor-local checkpoint blocks in latency-sensitive interactive
-    use; measured difference on local[32] is small (~0.2 s/round) and
-    results are byte-equal either way.
-    """
-    scope, own = scope_or_own(scope)
+) -> tuple[DataFrame, bool, int]:
+    """Bounded min-label propagation: returns ``(labels, converged,
+    changing_rounds)`` with ``labels = (node, label)`` for every node
+    incident to an edge. ``budget`` bounds CHANGING rounds only — the
+    final no-change round that confirms the fixpoint is always allowed.
+    Never raises on non-convergence; the caller decides (the adaptive
+    operator falls through to the star algorithm, the pure min-label
+    wrapper raises)."""
     if reliable_checkpoints:
         _ensure_checkpoint_dir(edges.sparkSession)
 
@@ -105,11 +126,7 @@ def connected_components(
         # iteration just materializing (~0.3 s of pure scheduling
         # overhead per round on local[32])
         return df.localCheckpoint(eager=False)
-    sym = scope.persist(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
-    )
+    sym = scope.persist(_symmetrize(edges, src, dst))
     # eager checkpoint per iteration: truncates BOTH the Catalyst plan
     # and the RDD lineage, so iteration cost stays flat instead of the
     # tree doubling every round; nothing stays pinned in executor
@@ -131,12 +148,9 @@ def connected_components(
         # decimal: exact far beyond int64 at billion-node × wide-id scale
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
-    # ``max_iterations`` bounds CHANGING propagation rounds only — the
-    # final no-change round that *confirms* the fixpoint is always
-    # allowed, so a graph converging exactly on the last budgeted round
-    # is not misreported as divergent
     prev_sum = label_sum(labels)
     changing_rounds = 0
+    converged = True
     while True:
         # min label among each node's neighbors, then keep min(own, that)
         neighbor_min = (
@@ -159,15 +173,345 @@ def connected_components(
         if new_sum == prev_sum:
             break
         changing_rounds += 1
-        if changing_rounds > max_iterations:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} "
-                "iterations — pathological graph diameter; switch to "
-                "small-star/large-star"
-            )
+        if changing_rounds > budget:
+            converged = False
+            break
         prev_sum = new_sum
+    return labels, converged, changing_rounds
+
+
+def connected_components_minlabel(
+    edges: DataFrame,
+    src: str = "i",
+    dst: str = "j",
+    max_iterations: int = 25,
+    scope: CacheScope | None = None,
+    reliable_checkpoints: bool = True,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge, where
+    ``component`` is the smallest node id in the node's connected
+    component — via min-label propagation (O(diameter) rounds).
+
+    ``edges`` is treated as undirected; direction and duplicate edges
+    are irrelevant. Raises if the propagation has not converged after
+    ``max_iterations`` changing rounds (a correctness guard — returning
+    early would silently split components). The adaptive default
+    ``connected_components`` never has that failure mode; this wrapper
+    is the independent referee the parity tests pin it against.
+
+    ``reliable_checkpoints``: per-iteration lineage truncation
+    defaults to durable checkpoint FILES — they cost a filesystem
+    round-trip per iteration but pin no executor storage, which keeps
+    the repo's cache-discipline contract (test_caching: zero persistent
+    RDDs after a query drains — ``localCheckpoint`` blocks linger until
+    the JVM context cleaner collects them). Pass ``False`` for
+    executor-local checkpoint blocks in latency-sensitive interactive
+    use; measured difference on local[32] is small (~0.2 s/round) and
+    results are byte-equal either way.
+    """
+    scope, own = scope_or_own(scope)
+    labels, converged, _ = _minlabel_phase(
+        edges, src, dst, max_iterations, scope, reliable_checkpoints
+    )
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_minlabel did not converge in "
+            f"{max_iterations} iterations — pathological graph diameter; "
+            "use the default adaptive connected_components"
+        )
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+    return scope.attach(out) if own else out
+
+
+# ----------------------------------------------------------------------
+# alternating small-star / large-star (round 7 — the production path)
+# ----------------------------------------------------------------------
+
+
+def _canonical_edges(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Orient every edge larger→smaller, drop self loops, distinct."""
+    return (
+        df.select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Link every node's strictly-LARGER neighbors to its neighborhood
+    minimum. With m = min(N(x) ∪ {x}) ≤ x < y the output is already
+    oriented u > v with no self loops. NOT deduplicated: output volume
+    is ≤ |e| either way (each input edge contributes exactly one (y, m)
+    from its smaller endpoint's grouping), so the composed round defers
+    the dedup shuffle to small-star's single canonical distinct."""
+    sym = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    mins = (
+        sym.groupBy("x")
+        .agg(F.min("y").alias("mn"))
+        .select("x", F.least("mn", F.col("x")).alias("m"))
+    )
+    return (
+        sym.join(mins, "x")
+        .where(F.col("y") > F.col("x"))
+        .select(F.col("y").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Link every node's smaller-or-equal neighbors (all of them, given
+    the larger→smaller orientation) plus the node itself to its
+    neighborhood minimum."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    )
+    return _canonical_edges(relinked)
+
+
+def _star_round(e: DataFrame) -> DataFrame:
+    """One fused small∘large round in three exchanges.
+
+    Expanding the composition: with m1(x) = min(N(x) ∪ {x}) the
+    large-star edge set is L = {(y, m1(x)) : (x,y) ∈ sym, y > x}, and
+    small-star over L needs only m2(y) = min of y's L-neighborhood =
+    min{m1(x) : x ∈ N(y), x < y}, emitting {(m1(x), m2(y))} per edge
+    plus {(y, m2(y))} per grouped node. Both aggregates and their
+    consuming joins share one exchange each (ReuseExchange: sym by x,
+    half by y), so the whole round is sym-by-x, half-by-y, and the
+    canonical distinct — versus ~6 exchanges for the literal
+    ``_small_star(_large_star(e))`` composition, which tests pin this
+    against on random graphs."""
+    sym = _symmetrize(e, "u", "v").select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    m1 = (
+        sym.groupBy("x")
+        .agg(F.min("y").alias("mn"))
+        .select("x", F.least("mn", F.col("x")).alias("m1"))
+    )
+    half = (
+        sym.join(m1, "x")
+        .where(F.col("y") > F.col("x"))
+        .select("y", "m1")
+    )
+    m2 = half.groupBy("y").agg(F.min("m1").alias("m2"))
+    out = (
+        half.join(m2, "y")
+        .select(F.col("m1").alias("a"), F.col("m2").alias("b"))
+        .union(m2.select(F.col("y").alias("a"), F.col("m2").alias("b")))
+    )
+    return _canonical_edges(out)
+
+
+def _star_forest(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int,
+    scope: CacheScope,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Run the alternating algorithm to its star-forest fixpoint and
+    return the converged canonical edge set ``(u=child, v=root)`` —
+    cached under ``scope`` so downstream consumers read it back instead
+    of recomputing.
+
+    Convergence: the loop stops as soon as the edge set IS a star
+    forest — no node appears as both child and root, and every child
+    has exactly one edge. That state is the algorithm's unique fixed
+    point (small-star and large-star both map a star to itself), and
+    since every intermediate graph partitions nodes into the original
+    components (Kiveris et al., Thm 1), each star's root — smaller than
+    all its children by edge orientation — is the component minimum.
+    Checking the PROPERTY instead of comparing consecutive edge sets
+    saves one full rewiring round plus an EXCEPT every call: the check
+    is a single union + groupBy aggregate (one job, one shuffle of
+    id/flag pairs).
+
+    Round lifecycle — each round's plan executes exactly ONCE: persist
+    the round output → convergence check (a SINGLE-SCAN explode/agg, so
+    the cache-filling execution runs the round plan once, not twice) →
+    if not converged, durable checkpoint WRITTEN FROM THE CACHE (a bare
+    eager checkpoint re-executes the plan for the file write — measured
+    ~2× the round cost) → unpersist, so nothing stays pinned. The
+    per-round truncation bounds the Catalyst tree (e appears 4× in a
+    round; un-truncated analysis goes exponential — measured on a
+    9-round chain: no materialization 93 s vs ~10 s truncated)."""
+    _ensure_checkpoint_dir(edges.sparkSession)
+    # persisted: each round references e twice (sym) — the convergence
+    # check fills the cache first, so those are cache reads
+    e = scope.persist(
+        _canonical_edges(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    )
+
+    def is_star_forest(df: DataFrame) -> bool:
+        # single reference to df (explode, not union): this check is
+        # the action that materializes df's cache, and a union would
+        # execute the un-filled plan once per branch
+        deg = (
+            df.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("n"),
+                            F.lit(1).alias("c"),
+                            F.lit(0).alias("r"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("n"),
+                            F.lit(0).alias("c"),
+                            F.lit(1).alias("r"),
+                        ),
+                    )
+                ).alias("_d")
+            )
+            .groupBy(F.col("_d.n").alias("n"))
+            .agg(F.sum("_d.c").alias("as_child"), F.sum("_d.r").alias("as_root"))
+        )
+        bad = deg.where(
+            ((F.col("as_child") > 0) & (F.col("as_root") > 0))
+            | (F.col("as_child") > 1)
+        )
+        return bad.isEmpty()
+
+    rounds = 0
+    while not is_star_forest(e):
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} "
+                "star rounds — exceeds the O(log² n) bound; likely a bug"
+            )
+        # truncate lineage from the just-filled cache, then release it:
+        # the next round builds on the checkpoint leaf, keeping the
+        # Catalyst tree flat (it would otherwise 4× per round) and
+        # pinning no storage past the loop
+        truncated = e.checkpoint(eager=True)
+        e.unpersist()
+        e = scope.persist(_star_round(truncated))
+        rounds += 1
+    if stats is not None:
+        stats["rounds"] = rounds
+    return e
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "i",
+    dst: str = "j",
+    max_rounds: int = 40,
+    scope: CacheScope | None = None,
+    stats: dict | None = None,
+    fast_rounds: int = 2,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge, where
+    ``component`` is the smallest node id in the node's connected
+    component.
+
+    Adaptive two-phase execution (see module docstring): a min-label
+    prefix bounded to ``fast_rounds`` changing rounds — which finishes
+    every realistic duplicate graph at the cheap per-round shape — then,
+    only if unconverged, the graph is CONTRACTED by the partial labels
+    (label endpoints, drop intra-cluster edges) and the alternating
+    small-star/large-star algorithm finishes it in O(log² n) rounds
+    regardless of diameter. ``fast_rounds=0`` runs pure star. Total
+    rounds ≤ fast_rounds + O(log² n); there is no input that makes this
+    operator's round count unbounded, unlike pure min-label.
+
+    The contraction is sound because min-label labels are always ids of
+    nodes in the same component (so contracted components biject with
+    original ones), and the component's global minimum node keeps
+    itself as its own label (nothing smaller exists to displace it), so
+    the star phase's per-supernode minimum IS the original component
+    minimum.
+
+    ``edges`` is treated as undirected; duplicate edges, direction and
+    self loops are all irrelevant (self-loop-only nodes still appear in
+    the output, labeled by themselves). Raises if the star phase is not
+    converged within ``max_rounds`` — with the logarithmic bound that
+    indicates a bug, not a pathological input.
+
+    ``stats``: optional dict; on return ``stats["rounds"]`` holds the
+    star rounds executed (0 when the prefix converged) and
+    ``stats["fast_rounds"]`` the changing min-label rounds — tests
+    assert the logarithmic bound directly.
+    """
+    scope, own = scope_or_own(scope)
+
+    if fast_rounds > 0:
+        labels, converged, used = _minlabel_phase(
+            edges, src, dst, fast_rounds, scope
+        )
+        if stats is not None:
+            stats["fast_rounds"] = used
+        if converged:
+            if stats is not None:
+                stats["rounds"] = 0
+            out = labels.select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("component_id"),
+            )
+            return scope.attach(out) if own else out
+        # contract: relabel both endpoints with the partial labels and
+        # drop already-merged (intra-cluster) edges; the star phase then
+        # runs on the strictly smaller supernode graph
+        labels = scope.persist(labels)
+        l1 = labels.select(F.col("node").alias("_n1"), F.col("label").alias("_l1"))
+        l2 = labels.select(F.col("node").alias("_n2"), F.col("label").alias("_l2"))
+        contracted = (
+            edges.select(F.col(src).alias("_n1"), F.col(dst).alias("_n2"))
+            .join(l1, "_n1")
+            .join(l2, "_n2")
+            .where(F.col("_l1") != F.col("_l2"))
+            .select(F.col("_l1").alias("i"), F.col("_l2").alias("j"))
+        )
+        star = _star_forest(contracted, "i", "j", max_rounds, scope, stats)
+        # compose: a node's label is either a star child (→ its root),
+        # or a root / untouched supernode (→ itself)
+        roots = star.select(
+            F.col("u").alias("label"), F.col("v").alias("root")
+        )
+        out = (
+            labels.join(roots, "label", "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.coalesce(F.col("root"), F.col("label")).alias("component_id"),
+            )
+        )
+        return scope.attach(out) if own else out
+
+    # pure star: persist the raw edge projection FIRST — the node
+    # universe scans it twice and the canonical edges once, and the
+    # upstream pair-generation plan (LSH banding + rescore) is far too
+    # expensive to recompute per reference
+    base = scope.persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    # node universe from the ORIGINAL edges (before the canonical
+    # self-loop drop) so the output contract matches
+    nodes = scope.persist(
+        base.select(F.col("a").alias("node"))
+        .union(base.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    star = _star_forest(base, "a", "b", max_rounds, scope, stats)
+    if stats is not None:
+        stats["fast_rounds"] = 0
+    comp = star.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    out = (
+        nodes.join(comp, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("node")).alias("component_id"),
+        )
     )
     return scope.attach(out) if own else out
 

@@ -1031,6 +1031,11 @@ def dedup_semantic_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFra
         dim=SEM_DIM,
         scope=scope,
     ).select(F.col("kept_id").alias("i"), F.col("dup_id").alias("j"))
+    # adaptive components (min-label prefix → star fallback): the
+    # planted twin graph is near-clique, so the prefix converges in its
+    # init hop; the star fallback guarantees bounded rounds if a real
+    # corpus ever produces chained clusters (see dedup_components_chain
+    # for the pure-star path under the driver's oracle gate)
     out = CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
         F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
     )

@@ -27,7 +27,7 @@ CACHING_QUERIES = [
     "dedup_embed_cosine",
     "dedup_embed_cosine_tiled",
     "dedup_embed_cosine_rhp",
-    "embed_ann_recall",
+    "embed_ann_recall_frozen",
 ]
 
 
