@@ -40,11 +40,28 @@ def register(name: str, oracle: Optional[str], doc: str = "", priority: int = 50
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry.
 
     ``priority`` orders the registry exposed to the verification driver,
-    which caps its oracle check at the FIRST 50 queries: reference-parity
-    queries use 10, streaming 20, extensions the default 50, and queries
-    whose hard gate lives in pytest instead (golden/property tests, or
-    ``oracle=None``) use 80+ so a cap overflow only ever drops queries
-    that retain an independent gate.
+    which caps its oracle check at the FIRST 50 queries. Allocation
+    principle (round 7, VERDICT r6 #6): the window carries each
+    FAMILY's strongest representative; same-family variants overflow
+    and keep their own in-suite oracle gate (tests/test_oracle_parity
+    hash-checks EVERY registered query at sf0.001 regardless of band).
+
+    Bands:
+    * 10 — reference-parity queries (always in-window, registered first)
+    * 20 — streaming batch-twins (one per distinct window/join semantic)
+    * 45-48 — extension family flagships: hash-checked trained-ANN
+      search + its recall metric, blocked semantic clustering, RHP
+      embedding near-dup, HLL sketch, JPEG multimodal decode, TPC-H
+      complex-join shape, corpus assembly, quantile sketch
+    * 50 — remaining distinct extension families in insertion order
+      (text analysis, sampling, decontamination, core dedup family
+      reps); the tail of this band overflows the cap
+    * 55 — same-family variants deliberately pushed past the cap
+      (simhash64 vs simhash, rolling-hash vs fingerprint, funnel vs
+      quality-scores, unigram-logprob vs tfidf, apply/incremental vs
+      exact dedup, SQ8-frozen vs float-frozen ANN)
+    * 60-80 — compositions/referees whose hard gate is a pytest
+      property (fidelity bounds, golden tables) on top of the oracle
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):

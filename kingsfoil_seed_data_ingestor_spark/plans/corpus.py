@@ -319,6 +319,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_build_pipeline",
+    priority=48,  # in-window: the corpus-assembly family rep (end-to-end composition)
     oracle=f"""
     WITH t AS (
         SELECT doc_id, source, text, {SQL_TOKENS} AS toks,
@@ -1326,6 +1327,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_late_sole_shipper",
+    priority=48,  # in-window: the TPC-H complex-join family rep (multi-semi/anti-join shape)
     oracle="""
     WITH late AS (
         SELECT l_orderkey, l_suppkey

@@ -236,7 +236,7 @@ HLL_SCALE = float(1 << HLL_RANK_MAX)
 
 @_register(
     "events_distinct_users_hll",
-    priority=50,
+    priority=48,  # in-window: the mergeable-sketch family rep
     oracle=f"""
     WITH h AS (
         SELECT event_type,

@@ -296,6 +296,7 @@ _SQL_ROLLING = f"""
 
 @register(
     "text_rolling_hash",
+    priority=55,  # overflow: fingerprint-family variant (text_fingerprint is the in-window rep)
     oracle=f"""
     SELECT doc_id, {_SQL_ROLLING} AS rh
     FROM documents WHERE doc_id < 50
@@ -327,6 +328,7 @@ _FUNNEL_FINAL = "predicted = 'en' AND score >= 0.5 AND n_tok BETWEEN 10 AND 1000
 
 @register(
     "text_quality_funnel",
+    priority=55,  # overflow: composition over text_quality_scores (the in-window rep)
     oracle=f"""
     WITH t AS (SELECT source, text, {SQL_TOKENS} AS toks FROM documents),
     m AS (
@@ -415,6 +417,146 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_tok", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("n_tok", F.lit(0.99)), 6).alias("p99"),
         F.max("n_tok").alias("max_tok"),
+    )
+
+
+#: bottom-k sample size for the quantile sketch: rank error is
+#: O(sqrt(p(1-p)/k)) ≈ 0.044 at the median for k=128
+QSK_K = 128
+QSK_PROBS = (0.10, 0.50, 0.90, 0.99)
+
+
+@register(
+    "text_length_quantile_sketch",
+    priority=48,  # in-window: the mergeable-quantile-sketch family rep
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    hv AS (
+        SELECT n_chars, doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM d
+    ),
+    samp AS (SELECT n_chars FROM hv ORDER BY h, doc_id LIMIT {QSK_K}),
+    sr AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS r FROM samp),
+    ks AS (SELECT CAST(MAX(r) AS BIGINT) AS k_sample FROM sr),
+    probs AS (
+        SELECT CAST(p AS DOUBLE) AS p
+        FROM (VALUES {', '.join(f'({p})' for p in QSK_PROBS)}) t(p)
+    ),
+    est AS (
+        SELECT p, k_sample, sr.n_chars AS est_len
+        FROM probs CROSS JOIN ks
+        JOIN sr ON sr.r = CAST(CEIL(p * k_sample) AS BIGINT)
+    ),
+    hist AS (
+        SELECT n_chars,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+        FROM d GROUP BY n_chars
+    ),
+    exact AS (
+        SELECT p, MIN(hist.n_chars) AS exact_len
+        FROM probs CROSS JOIN tot
+        JOIN hist ON hist.cum >= CEIL(p * n)
+        GROUP BY p
+    ),
+    cle AS (
+        SELECT e.p, COALESCE(MAX(h2.cum), 0) AS c
+        FROM est e LEFT JOIN hist h2 ON h2.n_chars <= e.est_len
+        GROUP BY e.p
+    )
+    SELECT e.p, e.est_len, x.exact_len,
+           round(abs(cle.c / n - e.p), 6) AS rank_err,
+           e.k_sample, tot.n AS n_docs
+    FROM est e
+    JOIN exact x ON x.p = e.p
+    JOIN cle ON cle.p = e.p
+    CROSS JOIN tot
+    """,
+    doc="Mergeable QUANTILE sketch, hash-checked cross-engine "
+    "including the estimates — the order-statistics companion to the "
+    "HLL/KMV cardinality sketches (VERDICT r6 #8). Construction: a "
+    "bottom-k coordinated sample — keep the k=128 documents with the "
+    "SMALLEST 60-bit md5(doc_id) hashes (the md5-threshold sampler "
+    "idiom) and estimate quantile p as the sample's nearest-rank "
+    "value at ceil(p·k). The sketch is a true mergeable summary: "
+    "union of two sketches = re-take the k smallest of the "
+    "concatenation (commutative, associative, idempotent — the same "
+    "merge law as KMV), so partial sketches combine across 100 TB "
+    "partitions in one map-side-combinable top-k "
+    "(TakeOrderedAndProject), no global sort. Unlike KLL/GK its "
+    "decisions are hash-determined, not stream-order-dependent, "
+    "which is what makes the estimate itself cross-engine "
+    "hash-checkable. Error witnesses ride along per row: the EXACT "
+    "nearest-rank quantile (distinct-value histogram + cumulative "
+    "count — the referee cost the sketch replaces at scale) and "
+    "rank_err = |F(est) - p| (measured ≤ 0.06 at sf0.1; pytest "
+    "floor 0.12 ≈ 1.4/sqrt(k)).",
+)
+def text_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    hv = docs.select(
+        "n_chars",
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # distributed top-k by hash (TakeOrderedAndProject): the sketch
+    samp = hv.orderBy("h", "doc_id").limit(QSK_K).select("n_chars")
+    # rank inside the sample: ≤ k rows, the single-partition window is
+    # bounded by construction
+    sr = samp.select(
+        "n_chars", F.row_number().over(W.orderBy("n_chars")).alias("r")
+    )
+    ks = sr.agg(F.max("r").cast("long").alias("k_sample"))
+    probs = spark.createDataFrame([(p,) for p in QSK_PROBS], "p double")
+    est = (
+        probs.crossJoin(F.broadcast(ks))
+        .join(
+            sr,
+            F.col("r") == F.ceil(F.col("p") * F.col("k_sample")),
+        )
+        .select("p", "k_sample", F.col("n_chars").alias("est_len"))
+    )
+    # exact referee: distinct-value histogram + running count — the
+    # window is over DISTINCT lengths (bounded), never the raw rows
+    hist = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "n_chars",
+            F.sum("cnt").over(W.orderBy("n_chars")).cast("long").alias("cum"),
+        )
+    )
+    exact = (
+        probs.crossJoin(F.broadcast(tot))
+        .join(hist, F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(F.min("n_chars").alias("exact_len"))
+    )
+    cle = (
+        est.alias("e")
+        .join(hist.alias("h2"), F.col("h2.n_chars") <= F.col("e.est_len"), "left")
+        .groupBy("e.p")
+        .agg(F.coalesce(F.max("h2.cum"), F.lit(0)).alias("c"))
+    )
+    return (
+        est.join(exact, "p")
+        .join(cle, "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            "est_len",
+            "exact_len",
+            F.round(F.abs(F.col("c") / F.col("n") - F.col("p")), 6).alias(
+                "rank_err"
+            ),
+            "k_sample",
+            F.col("n").alias("n_docs"),
+        )
     )
 
 
@@ -576,6 +718,7 @@ INCR_REUPLOAD_IDS = (3, 7)
 
 @register(
     "dedup_incremental",
+    priority=55,  # overflow: incremental variant of exact-hash dedup (dedup_exact is the rep)
     oracle=f"""
     WITH base AS (
         SELECT doc_id, source, text FROM documents
@@ -774,6 +917,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_unigram_logprob",
+    priority=55,  # overflow: corpus-statistics variant (text_tfidf is the in-window rep)
     oracle=f"""
     WITH t AS (
         SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
@@ -888,6 +1032,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_apply",
+    priority=55,  # overflow: apply-step variant of exact-hash dedup (dedup_exact is the rep)
     oracle=f"""
     WITH fp AS (
         SELECT doc_id, source, md5({SQL_NORMALIZED}) AS fp FROM documents
@@ -1173,6 +1318,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash64",
+    priority=55,  # overflow: 64-bit variant (dedup_simhash is the in-window rep)
     oracle=f"""
     WITH sh AS ({SQL_SIMHASH64_TABLE})
     SELECT a.doc_id AS i, b.doc_id AS j,
@@ -1588,7 +1734,7 @@ def _frozen_sq8_oracle(shortlist_k: int = 20) -> str:
 
 @register(
     "embed_ann_ivf_sq8_frozen",
-    priority=46,  # in-window beside embed_ann_ivf_frozen
+    priority=55,  # overflow: quantized variant (embed_ann_ivf_frozen + recall_frozen are the in-window reps)
     oracle=_frozen_sq8_oracle(shortlist_k=20),
     doc="IVF-SQ8 two-pass search with the frozen trained codebook: "
     "pass 1 scores the float query against ROUND-HALF-UP int8 "
@@ -1777,6 +1923,7 @@ _SQL_EMBED_RHP = f"""
 
 @register(
     "dedup_embed_cosine_rhp",
+    priority=48,  # in-window: the sub-quadratic embedding near-dup family rep
     oracle=_SQL_EMBED_RHP,
     doc="Random-hyperplane LSH pre-blocked embedding near-dup: 16 "
     "deterministic ±1 hyperplanes → 4 bands × 4 sign bits; only pairs "
@@ -2056,7 +2203,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_jpeg_decode",
-    priority=80,  # overflow band: JPEG fidelity bound is the pytest gate
+    priority=48,  # in-window: the multimodal family rep (strongest codec; fidelity bound stays in pytest)
     oracle="""
     SELECT doc_id AS asset_id,
            CAST(9 + doc_id % 8 AS INT) AS width,

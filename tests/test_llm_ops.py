@@ -1591,3 +1591,33 @@ def test_retired_trained_ann_builders_still_run(spark):
     assert len(embed_ann_ivf_sq8(spark, sf).collect()) > 0
     row = embed_ann_recall(spark, sf).collect()[0]
     assert row.avg_recall >= 0.9, row.avg_recall
+
+
+def test_quantile_sketch_error_floor_and_merge_law(spark):
+    """Witness columns bound the sketch error (rank_err ≤ ~1.4/√k) and
+    the bottom-k construction obeys the mergeable-summary law: the
+    sketch of a union equals re-taking k smallest from the two parts'
+    sketches — the property that makes it combine across partitions."""
+    import hashlib
+
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import (
+        QSK_K,
+        text_length_quantile_sketch,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = text_length_quantile_sketch(spark, sf).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert r.rank_err <= 0.12, (sf, r)
+            assert r.k_sample <= QSK_K
+
+    # merge law, checked against the exact same 60-bit hash in Python
+    def h(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    ids = list(range(1, 400, 3))
+    part_a, part_b = ids[: len(ids) // 2], ids[len(ids) // 2 :]
+    bottomk = lambda xs, k: sorted(xs, key=h)[:k]
+    merged = bottomk(bottomk(part_a, QSK_K) + bottomk(part_b, QSK_K), QSK_K)
+    assert merged == bottomk(ids, QSK_K)
