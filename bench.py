@@ -130,11 +130,26 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
             SD.streaming_corpus_dedup(doc_stream), "bench_stream_dedup", "update"
         )
         out["stream_corpus_dedup"] = round(time.perf_counter() - t0, 4)
+
+        # third micro-bench (round 7): stateful KMV sketch maintenance
+        from kingsfoil_seed_data_ingestor_spark.streaming import sketch as SK
+
+        t0 = time.perf_counter()
+        ev_schema = spark.read.parquet(ev_dir).schema
+        kmv_stream = spark.readStream.schema(ev_schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(ev_dir)
+        SE.run_to_memory(
+            SK.streaming_distinct_users_kmv(kmv_stream),
+            "bench_stream_kmv",
+            "update",
+        )
+        out["stream_events_kmv"] = round(time.perf_counter() - t0, 4)
     except Exception as exc:
         print(f"[bench] streaming micro-bench FAILED: {exc}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        for nm in ("bench_stream_tumbling", "bench_stream_dedup"):
+        for nm in ("bench_stream_tumbling", "bench_stream_dedup", "bench_stream_kmv"):
             try:
                 spark.catalog.dropTempView(nm)
             except Exception:

@@ -187,3 +187,138 @@ def streaming_distinct_users_hll(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------------------------
+# KMV (k-minimum-values) streaming twin — round 7 (VERDICT r6 #7)
+# ----------------------------------------------------------------------
+#
+# The second sketch surface gets the same streaming treatment as the
+# HLL above: per-event-type distinct-user KMV state. A KMV sketch is
+# the k smallest distinct hash values seen — merging two sketches is
+# "union then re-take the k smallest", which is commutative,
+# associative and idempotent, so the stateful fold over ANY micro-batch
+# split equals the batch computation over the union EXACTLY (hash
+# construction, integer kth-minimum, and the two final double ops all
+# replicated bit-for-bit).
+
+#: sketch size — same k as the batch audience-overlap query
+KMV_SK_K = 256
+#: hash-domain normalizer: hashes are 60-bit, so hv / 2^60 ∈ [0, 1)
+KMV_SK_NORM = float(1 << 60)
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("est_users", T.DoubleType()),
+        T.StructField("k_used", T.LongType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+
+
+def _kmv_hash(user_id: int) -> int:
+    """The 60-bit md5 hash shared with the batch queries and oracles."""
+    return int(hashlib.md5(str(user_id).encode()).hexdigest()[:15], 16)
+
+
+def kmv_estimate(hashes: "list[int]") -> tuple[float, int, int]:
+    """(estimate, k_used, kth_hash) with the batch query's exact
+    arithmetic: an unsaturated sketch holds every distinct hash, so the
+    count is exact; a saturated one uses (k-1)/(kth/2^60) (Beyer et
+    al., SIGMOD'07), rounded HALF_UP like Spark's F.round."""
+    k_used = len(hashes)
+    if k_used == 0:
+        return 0.0, 0, 0
+    kth = hashes[-1]
+    if k_used < KMV_SK_K:
+        return float(k_used), k_used, kth
+    raw = (k_used - 1) / (kth / KMV_SK_NORM)
+    est = float(
+        Decimal(repr(raw)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    return est, k_used, kth
+
+
+def _fold_kmv(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    if state.exists:
+        hashes, n_batches = state.get
+        held = set(hashes)
+    else:
+        held, n_batches = set(), 0
+    for batch in batches:
+        n_batches += 1
+        for uid in batch["user_id"]:
+            held.add(_kmv_hash(int(uid)))
+    merged = sorted(held)[:KMV_SK_K]
+    state.update((merged, n_batches))
+    est, k_used, kth = kmv_estimate(merged)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "est_users": [est],
+            "k_used": [k_used],
+            "kth_hash": [kth],
+            "n_batches": [n_batches],
+        }
+    )
+
+
+def streaming_distinct_users_kmv(events: DataFrame) -> DataFrame:
+    """Running per-event-type distinct-user KMV over a stream (update
+    mode), or the identical computation on a batch frame (n_batches=1)
+    — the twin the parity test compares against. Batch shape: one
+    distinct + per-key window head of k rows; no data beyond
+    (event_type, k hashes) ever leaves the aggregation."""
+    keyed = events.select("event_type", F.col("user_id").cast("long").alias("user_id"))
+    if not events.isStreaming:
+        from pyspark.sql import Window as W
+
+        h = keyed.select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("hv"),
+        ).distinct()
+        uk = h.withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("hv"))
+        ).filter(F.col("rn") <= KMV_SK_K)
+        agg = uk.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("kth_hash")
+        )
+        est = F.when(
+            F.col("k_used") < KMV_SK_K, F.col("k_used").cast("double")
+        ).otherwise(
+            F.round(
+                (F.col("k_used") - 1) / (F.col("kth_hash") / F.lit(KMV_SK_NORM)), 6
+            )
+        )
+        return agg.select(
+            "event_type",
+            est.alias("est_users"),
+            "k_used",
+            "kth_hash",
+            F.lit(1).cast("long").alias("n_batches"),
+        )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _fold_kmv,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -460,3 +460,81 @@ def test_streaming_hll_matches_batch_query_exactly(spark, tmp_path):
         for r in streaming_distinct_users_hll(union).collect()
     }
     assert twin == want
+
+
+def test_streaming_kmv_matches_batch_and_oracle(spark, tmp_path):
+    """KMV state (k smallest distinct hashes) merges by
+    union-then-retake-k — commutative, associative, idempotent — so
+    the stateful streaming fold over any micro-batch split must equal
+    the batch twin over the union EXACTLY; the batch twin itself is
+    recomputed in DuckDB so the estimate is cross-engine pinned too."""
+    import duckdb
+
+    from kingsfoil_seed_data_ingestor_spark.streaming.sketch import (
+        KMV_SK_K,
+        KMV_SK_NORM,
+        streaming_distinct_users_kmv,
+    )
+
+    src = tmp_path / "ev_feed_kmv"
+    src.mkdir()
+    ev = load(spark, SF_DIR, "events").select("event_type", "user_id")
+    ev.filter(F.col("user_id") % 3 != 0).write.parquet(str(src / "b1.parquet"))
+    ev.filter(F.col("user_id") % 3 != 1).write.parquet(str(src / "b2.parquet"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    streamed = run_to_memory(
+        streaming_distinct_users_kmv(stream), "kmv_stream", output_mode="update"
+    )
+    final = {
+        r.event_type: (r.est_users, r.k_used, r.kth_hash)
+        for r in streamed.filter(F.col("n_batches") == 2).collect()
+    }
+    assert final
+
+    union = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    twin = {
+        r.event_type: (r.est_users, r.k_used, r.kth_hash)
+        for r in streaming_distinct_users_kmv(union).collect()
+    }
+    assert final == twin
+
+    # cross-engine: recompute the batch twin in DuckDB
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ev AS SELECT * FROM parquet_scan('{src}/*/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       CAST(concat('0x', substr(md5(CAST(CAST(user_id AS BIGINT) AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS hv
+                FROM ev
+            ),
+            u AS (
+                SELECT event_type, hv,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                FROM h
+            ),
+            agg AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_used,
+                       MAX(hv) AS kth
+                FROM u WHERE rn <= {KMV_SK_K} GROUP BY event_type
+            )
+            SELECT event_type,
+                   CASE WHEN k_used < {KMV_SK_K} THEN k_used * 1.0
+                        ELSE round((k_used - 1) / (kth / {KMV_SK_NORM!r}), 6)
+                   END AS est_users,
+                   k_used, kth
+            FROM agg
+        """).fetchall()
+    }
+    con.close()
+    assert twin == want
