@@ -72,9 +72,10 @@ def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
     (magic ``BM``) parse through the pure-Python 24-bit BMP codec;
     PNG payloads (8-byte signature) through the pure-Python
     critical-chunk PNG codec (8-bit RGB/RGBA, all five filters); JPEG
-    payloads (SOI marker) through the pure-Python baseline decoder.
-    Remaining formats (GIF/TIFF/WebP &c.) fall to PIL when present,
-    else the deterministic stub."""
+    payloads (SOI marker) through the pure-Python baseline decoder;
+    GIF payloads (87a/89a magic) through the pure-Python LZW decoder.
+    Remaining formats (TIFF/WebP &c.) fall to PIL when present, else
+    the deterministic stub."""
     if payload[:2] == b"BM":
         from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_bmp24
 
@@ -92,6 +93,11 @@ def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
 
         w, h, arr = decode_jpeg_baseline(payload)
         return w, h, round(float(arr.mean()) / 255.0, 6), 3
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_gif
+
+        w, h, c, arr = decode_gif(payload)
+        return w, h, round(float(arr.mean()) / 255.0, 6), c
     return _decode_image_stub(payload)
 
 
@@ -114,19 +120,28 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float, int]:
     return width, height, mean_luma, 3
 
 
-def extract_image_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+def extract_image_features(
+    assets: DataFrame, batch_size_hint: int = 256, batch_counter=None
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps the operator streaming: each Python worker
     sees bounded pandas batches (payload bytes already Arrow-transferred
     in bulk), emits one metadata row per asset, and the output is a
     normal DataFrame ready for joins/aggregations.
+
+    ``batch_counter``: optional Spark accumulator, incremented once per
+    ARROW BATCH the kernel receives — the test hook proving invocation
+    count scales with batches, not rows (the whole point of the Arrow
+    path vs a row-wise UDF).
     """
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for batch in batches:
+            if batch_counter is not None:
+                batch_counter.add(1)
             decoded = [_decode_image(p) for p in batch["payload"]]
             yield pd.DataFrame(
                 {
@@ -231,13 +246,14 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_audio_features(assets: DataFrame) -> DataFrame:
+def extract_audio_features(assets: DataFrame, batch_counter=None) -> DataFrame:
     """Arrow-batched audio feature extraction (sample rate, duration,
     RMS level). RIFF/WAVE payloads decode through the REAL pure-Python
     parsers — PCM-16 (format 1) or G.711 mu-law (format 7), chunk walk
     + numpy, exact integer RMS accumulation; other formats fall back to
     the deterministic stub (libav/soundfile are not in this
-    container)."""
+    container). ``batch_counter``: optional Spark accumulator bumped
+    once per Arrow batch (see ``extract_image_features``)."""
     try:
         import soundfile  # noqa: F401 — not present in this container
     except ImportError:
@@ -267,6 +283,8 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             return rate, round(size / (2.0 * rate), 6), round(head / 255.0, 6), 0
 
         for batch in batches:
+            if batch_counter is not None:
+                batch_counter.add(1)
             sizes = batch["byte_size"].to_numpy(dtype=np.int64)
             decoded = [
                 one(p, s) for p, s in zip(batch["payload"], sizes)
@@ -464,6 +482,46 @@ def render_jpeg_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return rendered.select(
         "asset_id",
         F.lit("image/jpeg").alias("media_type"),
+        "payload",
+        F.length("payload").cast("long").alias("byte_size"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def render_gif_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encoder kernel: a deterministic palette-indexed pattern per
+    document through the REAL GIF encoder (``functions.codecs``) —
+    global color table, variable-width LZW, sub-block framing.
+
+    Pattern contract (the oracle recomputes features from this closed
+    form): ``width = 6 + id % 7``, ``height = 4 + id % 5``, palette
+    size ``ncol = 2 + id % 15``, palette entry i =
+    ``(i*53 % 256, i*97 % 256, i*31 % 256)``, pixel index k =
+    ``(id*13 + k*5) % ncol``. GIF is lossless, so the decoded mean is
+    exactly the pattern's closed-form mean."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import encode_gif
+
+        for batch in batches:
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                w, h, ncol = int(6 + d % 7), int(4 + d % 5), int(2 + d % 15)
+                pal = [(i * 53 % 256, i * 97 % 256, i * 31 % 256) for i in range(ncol)]
+                idx = bytes((int(d) * 13 + k * 5) % ncol for k in range(w * h))
+                payloads.append(encode_gif(w, h, idx, pal))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    rendered = docs.select(id_col).mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+    return rendered.select(
+        "asset_id",
+        F.lit("image/gif").alias("media_type"),
         "payload",
         F.length("payload").cast("long").alias("byte_size"),
         F.md5("payload").alias("checksum"),

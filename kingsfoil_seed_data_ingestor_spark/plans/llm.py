@@ -2443,3 +2443,171 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return feats.select("asset_id", "width", "height", "mean_luma")
+
+
+@register(
+    "multimodal_gif_decode",
+    priority=80,  # overflow band: GIF round-trip golden test is the hard gate
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 5 AS h,
+               2 + doc_id % 15 AS ncol
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           round(list_avg(list_transform(range(w*h),
+                 k -> ((((doc_id*13 + k*5) % ncol) * 53 % 256)
+                     + (((doc_id*13 + k*5) % ncol) * 97 % 256)
+                     + (((doc_id*13 + k*5) % ncol) * 31 % 256)) / 3.0))
+                 / 255.0, 6) AS mean_luma
+    FROM p
+    """,
+    doc="REAL GIF codec path end to end (retires the image half of the "
+    "r6 verdict's last media gate): a deterministic palette-indexed "
+    "pattern per doc — palette sizes 2..16 so code widths vary — is "
+    "written through the pure-Python GIF89a encoder (global color "
+    "table, variable-width LZW with clear/EOI and dictionary reset, "
+    "sub-block framing), shipped as a binary column, then parsed back "
+    "by the independent decoder (block walk, extension skip, LZW with "
+    "the KwKwK case) inside the Arrow kernel. GIF is lossless, so the "
+    "oracle recomputes width/height/mean from the pattern's closed "
+    "form — a palette, code-width, or framing bug on either side "
+    "breaks the hash.",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_gif_assets(docs)
+    return MM.extract_image_features(assets).select(
+        "asset_id", "width", "height", "channels", "mean_luma"
+    )
+
+
+# ----------------------------------------------------------------------
+# multimodal BULK workloads (round 7, VERDICT r6 #4): sf-proportional
+# ----------------------------------------------------------------------
+#
+# The per-codec queries above decode 20 assets each — capability
+# proofs. These two run the full encode→ship→decode→feature→aggregate
+# pipeline over ONE ASSET PER DOCUMENT (so the workload scales with
+# sf: 500 → 5 000 → … assets), giving the multimodal family a real
+# THROUGHPUT signal in bench.py. Both use integer-exact codecs (PNG,
+# G.711 mu-law) so the aggregates — not just metadata — hash-check
+# cross-engine; per-asset doubles are squeezed through DECIMAL before
+# summing so the reduction is order-independent.
+
+
+@register(
+    "multimodal_image_bulk",
+    priority=70,  # overflow: throughput twin of the in-window jpeg rep
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 7 + doc_id % 6 AS w, 5 + doc_id % 4 AS h,
+               3 + doc_id % 2 AS c
+        FROM documents
+    ),
+    per AS (
+        SELECT doc_id, w, h, c,
+               CAST(round(list_avg(list_transform(range(w*h*c),
+                    k -> (doc_id*37 + k*11) % 256)) / 255.0, 6)
+                    AS DECIMAL(18,6)) AS ml
+        FROM p
+    )
+    SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           round(CAST(SUM(ml) AS DOUBLE), 6) AS sum_mean_luma
+    FROM per GROUP BY w, h, c
+    """,
+    doc="BULK image codec throughput: one PNG per document (encode → "
+    "binary column → independent decode → features → aggregate), "
+    "sf-proportional. PNG is lossless, so the oracle recomputes every "
+    "asset's mean luma from the pattern's closed form and the "
+    "AGGREGATED sums hash-check — per-asset doubles go through "
+    "DECIMAL(18,6) so the sum is shuffle-order-independent. The "
+    "render stage repartitions to the session parallelism: the pure-"
+    "Python codec work is the bottleneck and must fan out across "
+    "executors, not sit on the source file's split count.",
+)
+def multimodal_image_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    feats = MM.extract_image_features(MM.render_png_assets(docs))
+    return feats.groupBy("width", "height", "channels").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.round(
+            F.sum(F.col("mean_luma").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_mean_luma"),
+    )
+
+
+@register(
+    "multimodal_audio_bulk",
+    priority=70,  # overflow: throughput twin of the in-window codec rep
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, 300 + (doc_id % 5) * 100 AS n
+        FROM documents
+    ),
+    raw AS (
+        SELECT doc_id, n, i, ((doc_id*131 + i*17) % 65536) - 32768 AS v
+        FROM p, unnest(range(n)) AS u(i)
+    ),
+    st AS (
+        SELECT doc_id, n, i,
+               CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn,
+               least(abs(v), 32635) + 132 AS a
+        FROM raw
+    ),
+    ex AS (SELECT doc_id, n, i, sgn, a, {{MULAW_E}} AS e FROM st),
+    de AS (
+        SELECT doc_id, n, i,
+               sgn * (((((a >> (e + 3)) & 15) * 8 + 132) << e) - 132) AS dec
+        FROM ex
+    ),
+    lagged AS (
+        SELECT doc_id, n, i, dec,
+               lag(dec) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM de
+    ),
+    feat AS (
+        SELECT doc_id, MAX(n) AS n,
+               CAST(round(sqrt(SUM(dec * dec) * 1.0 / MAX(n)), 6)
+                    AS DECIMAL(18,6)) AS rms,
+               CAST(SUM(CASE WHEN i > 0 AND (dec < 0) <> (prev < 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        FROM lagged GROUP BY doc_id
+    )
+    SELECT round(n / 8000.0, 6) AS duration_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(zc) AS BIGINT) AS total_crossings,
+           round(CAST(SUM(rms) AS DOUBLE), 6) AS sum_rms
+    FROM feat GROUP BY n
+    """.replace("{MULAW_E}", _SQL_MULAW_E),
+    doc="BULK audio codec throughput: one G.711 mu-law clip per "
+    "document (compand → RIFF container → independent chunk-walk "
+    "decode → integer-exact RMS/zero-crossing features → aggregate), "
+    "sf-proportional. Mu-law reconstruction is integer-exact, so the "
+    "oracle recomputes the companding round trip for EVERY sample of "
+    "EVERY asset and the aggregated crossing counts and "
+    "decimal-squeezed RMS sums hash-check cross-engine.",
+)
+def multimodal_audio_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    feats = MM.extract_audio_features(MM.render_mulaw_assets(docs))
+    return feats.groupBy("duration_sec").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_crossings").alias("total_crossings"),
+        F.round(
+            F.sum(F.col("rms_level").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_rms"),
+    )

@@ -1621,3 +1621,105 @@ def test_quantile_sketch_error_floor_and_merge_law(spark):
     bottomk = lambda xs, k: sorted(xs, key=h)[:k]
     merged = bottomk(bottomk(part_a, QSK_K) + bottomk(part_b, QSK_K), QSK_K)
     assert merged == bottomk(ids, QSK_K)
+
+
+def test_multimodal_kernels_invoke_per_batch_not_per_row(spark):
+    """The bulk pipeline's decode kernels must be called once per
+    ARROW BATCH, not per row — the accumulator hook counts actual
+    kernel invocations over a 600-asset table and they must be bounded
+    by the partition/batch count, orders of magnitude below the row
+    count (a row-wise UDF would count 600 per kernel)."""
+    docs = spark.range(600).select(F.col("id").alias("doc_id")).repartition(4)
+    img_ctr = spark.sparkContext.accumulator(0)
+    aud_ctr = spark.sparkContext.accumulator(0)
+    img = MM.extract_image_features(
+        MM.render_png_assets(docs), batch_counter=img_ctr
+    )
+    assert img.count() == 600
+    aud = MM.extract_audio_features(
+        MM.render_mulaw_assets(docs), batch_counter=aud_ctr
+    )
+    assert aud.count() == 600
+    # 4 partitions × (600/4 rows ≪ arrow batch size 10k) ⇒ ~1 batch
+    # per partition; allow slack for arrow chunking but pin the order
+    # of magnitude
+    assert 1 <= img_ctr.value <= 24, img_ctr.value
+    assert 1 <= aud_ctr.value <= 24, aud_ctr.value
+
+
+# ----------------------------------------------------------------------
+# GIF codec (round 7)
+# ----------------------------------------------------------------------
+
+
+def test_gif_round_trip_and_dict_reset():
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    for w, h, ncol in [(1, 1, 2), (8, 5, 4), (13, 11, 16), (30, 22, 256)]:
+        pal = [((i * 53) % 256, (i * 97) % 256, (i * 31) % 256) for i in range(ncol)]
+        idx = bytes((i * 7 + i // w) % ncol for i in range(w * h))
+        W, H, C, arr = codecs.decode_gif(codecs.encode_gif(w, h, idx, pal))
+        assert (W, H, C) == (w, h, 3)
+        want = np.array(pal, np.uint8)[np.frombuffer(idx, np.uint8)].reshape(h, w, 3)
+        assert np.array_equal(arr, want), (w, h, ncol)
+    # high-entropy 100x80/256-color image forces LZW code growth to 12
+    # bits AND a dictionary reset mid-stream
+    w, h, ncol = 100, 80, 256
+    pal = [((i * 3) % 256, (i * 5) % 256, (i * 7) % 256) for i in range(ncol)]
+    idx = bytes((i * i + 3 * i) % ncol for i in range(w * h))
+    W, H, C, arr = codecs.decode_gif(codecs.encode_gif(w, h, idx, pal))
+    want = np.array(pal, np.uint8)[np.frombuffer(idx, np.uint8)].reshape(h, w, 3)
+    assert np.array_equal(arr, want)
+
+
+def test_gif_scope_rejections_and_truncation():
+    import pytest as _pytest
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    good = codecs.encode_gif(6, 4, bytes(k % 4 for k in range(24)), pal)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        codecs.decode_gif(b"BM" + good)
+    # flip the interlace flag in the image descriptor
+    desc_at = good.index(b"\x2c")
+    bad = bytearray(good)
+    bad[desc_at + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        codecs.decode_gif(bytes(bad))
+    # local color table flag
+    bad = bytearray(good)
+    bad[desc_at + 9] |= 0x80
+    with _pytest.raises(ValueError, match="local color tables"):
+        codecs.decode_gif(bytes(bad))
+    # extensions are skipped, not fatal: inject a comment extension
+    ext = b"\x21\xfe\x05hello\x00"
+    with_ext = good[:desc_at] + ext + good[desc_at:]
+    W, H, C, _ = codecs.decode_gif(with_ext)
+    assert (W, H, C) == (6, 4, 3)
+    # every truncation point raises ValueError (never raw IndexError)
+    for cut in range(6, len(good) - 1):
+        with _pytest.raises(ValueError):
+            codecs.decode_gif(good[:cut])
+
+
+def test_gif_query_features_match_closed_form(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    feats = {
+        r.asset_id: r
+        for r in MM.extract_image_features(MM.render_gif_assets(docs)).collect()
+    }
+    for d in range(12):
+        w, h, ncol = 6 + d % 7, 4 + d % 5, 2 + d % 15
+        pal = np.array(
+            [(i * 53 % 256, i * 97 % 256, i * 31 % 256) for i in range(ncol)],
+            np.uint8,
+        )
+        idx = np.array([(d * 13 + k * 5) % ncol for k in range(w * h)])
+        r = feats[d]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.mean_luma == round(float(pal[idx].mean()) / 255.0, 6)
