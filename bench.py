@@ -74,10 +74,53 @@ def _reset(spark) -> None:
     spark._jvm.System.gc()
 
 
-def bench_batch(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+def jvm_diagnostics(spark) -> dict:
+    """JVM-resource snapshot for the bench log (PERF_NOTES §r7): the
+    suite-level drift investigation needs hard occupancy numbers for
+    the shared compile-side resources that grow with registry size —
+    JIT code-cache pools (ReservedCodeCacheSize=512m, session.py),
+    metaspace (class count grows with generated classes), cumulative
+    HotSpot JIT time, Spark codegen (Janino) compile count/time, and
+    GC totals. All read via JMX beans on the local JVM; cheap."""
+    out: dict = {}
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        pools = mf.getMemoryPoolMXBeans()
+        for i in range(pools.size()):
+            p = pools.get(i)
+            name = p.getName()
+            if "CodeHeap" in name or "Metaspace" in name or "Code Cache" in name:
+                u = p.getUsage()
+                out[name] = {
+                    "used_mb": round(u.getUsed() / 2**20, 1),
+                    "max_mb": round(u.getMax() / 2**20, 1),
+                }
+        out["jit_compile_ms"] = mf.getCompilationMXBean().getTotalCompilationTime()
+        gcs = mf.getGarbageCollectorMXBeans()
+        gc_ms = gc_n = 0
+        for i in range(gcs.size()):
+            g = gcs.get(i)
+            gc_ms += g.getCollectionTime()
+            gc_n += g.getCollectionCount()
+        out["gc_ms"] = gc_ms
+        out["gc_count"] = gc_n
+        cg = spark._jvm.org.apache.spark.metrics.source.CodegenMetrics
+        out["codegen_compiles"] = cg.METRIC_COMPILATION_TIME().getCount()
+        out["codegen_classes_bytes"] = (
+            cg.METRIC_GENERATED_CLASS_BYTE_CODE_SIZE().getCount()
+        )
+        out["loaded_classes"] = mf.getClassLoadingMXBean().getLoadedClassCount()
+    except Exception as exc:  # diagnostics never fail the bench
+        out["error"] = str(exc)
+    return out
+
+
+def bench_batch(
+    spark, sf_dir: str, queries=None
+) -> tuple[dict[str, float], dict[str, float]]:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name, q in QUERIES.items():
+    for name, q in (queries or QUERIES).items():
         _reset(spark)
         t0 = time.perf_counter()
         try:
@@ -201,6 +244,7 @@ def main() -> int:
         spark = get_spark(app_name="kingsfoil-bench")
         pin_comparable_conf(spark)
         cold, warm = bench_batch(spark, sf_dir)
+        jvm = jvm_diagnostics(spark)
         streaming = bench_streaming(spark, sf_dir)
     finally:
         sys.stdout = real_stdout
@@ -213,6 +257,7 @@ def main() -> int:
             name: {"cold": cold.get(name, -1.0), "warm": warm[name]} for name in warm
         },
         "streaming": streaming,
+        "jvm": jvm,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:

@@ -996,3 +996,165 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("GIF index out of color-table range")
     rgb = gct[idx].reshape(height, width, 3)
     return width, height, 3, rgb
+
+
+# ----------------------------------------------------------------------
+# TIFF (baseline 6.0: uncompressed 8-bit RGB, strip-organized) — round 7
+# ----------------------------------------------------------------------
+# Public spec: TIFF 6.0 (Adobe, 1992). Scope, honestly bounded like the
+# other codecs: byte order II or MM, one IFD, PhotometricInterpretation
+# RGB (2), Compression none (1), BitsPerSample (8,8,8), SamplesPerPixel
+# 3, pixel data in one or more strips. Anything else raises ValueError.
+# Encoder (little-endian, multi-strip) and decoder (both byte orders,
+# IFD walk with inline-vs-offset value handling) are independent code
+# paths, so a tag, offset, or strip bug on either side breaks the
+# round-trip tests and the oracle queries.
+
+_TIFF_TAGS = {
+    256: "width",          # ImageWidth
+    257: "height",         # ImageLength
+    258: "bits",           # BitsPerSample
+    259: "compression",    # Compression
+    262: "photometric",    # PhotometricInterpretation
+    273: "strip_offsets",  # StripOffsets
+    277: "spp",            # SamplesPerPixel
+    278: "rows_per_strip",  # RowsPerStrip
+    279: "strip_counts",   # StripByteCounts
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def encode_tiff_rgb8(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB triples as a little-endian ("II")
+    uncompressed 8-bit-RGB TIFF. Pixel data is split into (up to) two
+    strips so decoders must actually walk StripOffsets/StripByteCounts
+    rather than assume one contiguous block."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    rows_per_strip = max(1, (height + 1) // 2)
+    row_bytes = width * 3
+    strips = [
+        rgb[r * row_bytes : min(r + rows_per_strip, height) * row_bytes]
+        for r in range(0, height, rows_per_strip)
+    ]
+    # layout: 8-byte header | strip data | BitsPerSample array |
+    # strip offset/count arrays (if >1 strip) | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bits_off = pos
+    pos += 6  # three SHORTs
+    n_strips = len(strips)
+    if n_strips > 1:
+        so_off = pos
+        pos += 4 * n_strips
+        sc_off = pos
+        pos += 4 * n_strips
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # inline values sit left-justified in the 4-byte field
+        if typ == 3 and count == 1:
+            return struct.pack("<HHIHH", tag, typ, count, value, 0)
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 4, 1, width),
+        entry(257, 4, 1, height),
+        entry(258, 3, 3, bits_off),
+        entry(259, 3, 1, 1),
+        entry(262, 3, 1, 2),
+        entry(
+            273, 4, n_strips, strip_offsets[0] if n_strips == 1 else so_off
+        ),
+        entry(277, 3, 1, 3),
+        entry(278, 4, 1, rows_per_strip),
+        entry(
+            279, 4, n_strips, len(strips[0]) if n_strips == 1 else sc_off
+        ),
+    ]
+    out = [struct.pack("<2sHI", b"II", 42, ifd_off)]
+    out.extend(strips)
+    out.append(struct.pack("<3H", 8, 8, 8))
+    if n_strips > 1:
+        out.append(struct.pack(f"<{n_strips}I", *strip_offsets))
+        out.append(struct.pack(f"<{n_strips}I", *(len(s) for s in strips)))
+    out.append(struct.pack("<H", len(entries)))
+    out.extend(entries)
+    out.append(struct.pack("<I", 0))  # no next IFD
+    return b"".join(out)
+
+
+def decode_tiff_rgb8(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an uncompressed 8-bit-RGB TIFF (either byte order) →
+    (width, height, HxWx3 RGB array, top-down). Raises ``ValueError``
+    on any other TIFF flavor or on truncation."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF payload")
+    order = payload[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF payload (bad magic)")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF payload")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(payload):
+        raise ValueError("truncated TIFF payload")
+
+    def read_values(typ: int, count: int, field: bytes) -> list[int]:
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            raise ValueError(f"unsupported TIFF tag type {typ}")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        total = size * count
+        if total <= 4:
+            return list(struct.unpack(bo + fmt * count, field[:total]))
+        (off,) = struct.unpack(bo + "I", field)
+        if off + total > len(payload):
+            raise ValueError("truncated TIFF payload")
+        return list(struct.unpack_from(bo + fmt * count, payload, off))
+
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue  # per spec: readers skip private/unneeded tags
+        tags[name] = read_values(typ, count, payload[base + 8 : base + 12])
+
+    for need in ("width", "height", "strip_offsets", "strip_counts"):
+        if need not in tags:
+            raise ValueError(f"TIFF missing required tag {need}")
+    if tags.get("compression", [1]) != [1]:
+        raise ValueError("only uncompressed TIFF supported")
+    if tags.get("photometric", [2]) != [2]:
+        raise ValueError("only RGB TIFF supported")
+    if tags.get("spp", [3]) != [3] or tags.get("bits", [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("only 8-bit RGB TIFF supported")
+    width, height = tags["width"][0], tags["height"][0]
+    offsets, counts = tags["strip_offsets"], tags["strip_counts"]
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count mismatch")
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("truncated TIFF payload")
+        data += payload[off : off + cnt]
+    if len(data) != width * height * 3:
+        raise ValueError(
+            f"TIFF strip data {len(data)} != {width * height * 3} expected"
+        )
+    return (
+        width,
+        height,
+        np.frombuffer(bytes(data), dtype=np.uint8).reshape(height, width, 3),
+    )

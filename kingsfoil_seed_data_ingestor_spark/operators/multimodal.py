@@ -73,9 +73,10 @@ def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
     PNG payloads (8-byte signature) through the pure-Python
     critical-chunk PNG codec (8-bit RGB/RGBA, all five filters); JPEG
     payloads (SOI marker) through the pure-Python baseline decoder;
-    GIF payloads (87a/89a magic) through the pure-Python LZW decoder.
-    Remaining formats (TIFF/WebP &c.) fall to PIL when present, else
-    the deterministic stub."""
+    GIF payloads (87a/89a magic) through the pure-Python LZW decoder;
+    TIFF payloads (II/MM magic) through the pure-Python baseline-TIFF
+    strip reader. Remaining formats (WebP &c.) fall to PIL when
+    present, else the deterministic stub."""
     if payload[:2] == b"BM":
         from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_bmp24
 
@@ -98,6 +99,13 @@ def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
 
         w, h, c, arr = decode_gif(payload)
         return w, h, round(float(arr.mean()) / 255.0, 6), c
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            decode_tiff_rgb8,
+        )
+
+        w, h, arr = decode_tiff_rgb8(payload)
+        return w, h, round(float(arr.mean()) / 255.0, 6), 3
     return _decode_image_stub(payload)
 
 
@@ -522,6 +530,46 @@ def render_gif_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return rendered.select(
         "asset_id",
         F.lit("image/gif").alias("media_type"),
+        "payload",
+        F.length("payload").cast("long").alias("byte_size"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def render_tiff_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encoder kernel: a deterministic RGB pattern per document through
+    the REAL baseline-TIFF encoder (``functions.codecs``) — IFD, tag
+    table, multi-strip pixel layout.
+
+    Pattern contract (the oracle recomputes features from this closed
+    form): ``width = 5 + id % 9``, ``height = 3 + id % 6``, flat byte
+    k = ``(id*29 + k*13) % 256``. TIFF is lossless, so the decoded
+    mean is exactly the pattern's closed-form mean."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            encode_tiff_rgb8,
+        )
+
+        for batch in batches:
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                w, h = int(5 + d % 9), int(3 + d % 6)
+                k = np.arange(w * h * 3, dtype=np.int64)
+                rgb = ((d * 29 + k * 13) % 256).astype(np.uint8).tobytes()
+                payloads.append(encode_tiff_rgb8(w, h, rgb))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    rendered = docs.select(id_col).mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+    return rendered.select(
+        "asset_id",
+        F.lit("image/tiff").alias("media_type"),
         "payload",
         F.length("payload").cast("long").alias("byte_size"),
         F.md5("payload").alias("checksum"),

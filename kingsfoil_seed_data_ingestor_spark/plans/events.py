@@ -460,3 +460,128 @@ def events_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_intersection",
     )
+
+
+# ----------------------------------------------------------------------
+# round 7: Count-Min sketch — frequency estimates / heavy hitters
+# ----------------------------------------------------------------------
+
+#: Count-Min depth (independent hash rows) and width (counters per row).
+#: Error bound: overestimate ≤ e/W · N with prob ≥ 1 - e^-D.
+CMS_D = 4
+CMS_W = 2048
+#: heavy-hitter report size; selection is BY THE ESTIMATE (the sketch's
+#: real decision), exact counts ride along as witnesses
+CMS_TOP = 15
+
+
+@_register(
+    "events_heavy_hitters_cms",
+    priority=55,  # sketch-family variant: HLL is the in-window rep
+    oracle=f"""
+    WITH j AS (SELECT d FROM (VALUES (0), (1), (2), (3)) t(d)),
+    hashed AS (
+        SELECT e.user_id, j.d,
+               CAST(concat('0x', substr(md5(concat(CAST(j.d AS VARCHAR), ':',
+                    CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % {CMS_W} AS bucket
+        FROM events e CROSS JOIN j
+    ),
+    counters AS (
+        SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hashed GROUP BY d, bucket
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+        SELECT k.user_id, j.d,
+               CAST(concat('0x', substr(md5(concat(CAST(j.d AS VARCHAR), ':',
+                    CAST(k.user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % {CMS_W} AS bucket
+        FROM keys k CROSS JOIN j
+    ),
+    est AS (
+        SELECT p.user_id, MIN(c.c) AS est_count
+        FROM probes p JOIN counters c ON p.d = c.d AND p.bucket = c.bucket
+        GROUP BY p.user_id
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.est_count, x.exact_count,
+           e.est_count - x.exact_count AS overestimate
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.est_count DESC, e.user_id
+    LIMIT {CMS_TOP}
+    """,
+    doc="Count-Min sketch frequency estimates + heavy-hitter report, "
+    "hash-checked cross-engine including the ESTIMATES — the "
+    f"frequency companion to the HLL/KMV/quantile sketches. D={CMS_D} "
+    f"independent hash rows (hash j of key k = 60-bit md5('j:k') mod "
+    f"W={CMS_W}); the sketch is the (d, bucket) → count table, built "
+    "with ONE map-side-combinable shuffle whose reduced size is ≤ D·W "
+    "counters per partition regardless of input volume — counters are "
+    "SUMS, so partial sketches merge by addition across 100 TB "
+    "partitions (and across days: CMS is the standard mergeable "
+    "frequency summary). A key's estimate = min over its D counters; "
+    "CMS never underestimates, so the per-row ``overestimate`` "
+    "witness is provably ≥ 0 — an invariant the oracle hash check "
+    "enforces on every run. The heavy-hitter report SELECTS BY THE "
+    "ESTIMATE (the decision a sketch consumer actually makes) and "
+    "carries the exact count beside it; tie-break on user_id makes "
+    "the top-k engine-deterministic. Scale shape: the probe side "
+    "joins distinct keys against the ≤ D·W-row counter table — a "
+    "broadcast hash join with no data shuffle beyond the distinct.",
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id")
+    dvals = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d")
+
+    def bucket_expr():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("d").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        ).alias("bucket")
+
+    counters = (
+        ev.select("user_id", dvals)
+        .select("d", bucket_expr())
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        ev.distinct()
+        .select("user_id", dvals)
+        .select("user_id", "d", bucket_expr())
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(CMS_TOP)
+    )

@@ -2485,6 +2485,41 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_tiff_decode",
+    priority=80,  # overflow band: TIFF round-trip golden test is the hard gate
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 5 + doc_id % 9 AS w, 3 + doc_id % 6 AS h
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           round(list_avg(list_transform(range(w*h*3),
+                 k -> (doc_id*29 + k*13) % 256)) / 255.0, 6) AS mean_luma
+    FROM p
+    """,
+    doc="REAL baseline-TIFF codec path end to end (retires the TIFF "
+    "half of the remaining image gate): a deterministic RGB pattern "
+    "per doc is written through the pure-Python TIFF 6.0 encoder "
+    "(II header, tag table, MULTI-strip pixel layout so offset/count "
+    "arrays are exercised), shipped as a binary column, then parsed "
+    "back by the independent decoder (both byte orders, IFD walk, "
+    "inline-vs-offset tag values, strip reassembly) inside the Arrow "
+    "kernel. TIFF is lossless, so the oracle recomputes "
+    "width/height/mean from the pattern's closed form — a tag, "
+    "byte-order, or strip bug on either side breaks the hash.",
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_tiff_assets(docs)
+    return MM.extract_image_features(assets).select(
+        "asset_id", "width", "height", "channels", "mean_luma"
+    )
+
+
 # ----------------------------------------------------------------------
 # multimodal BULK workloads (round 7, VERDICT r6 #4): sf-proportional
 # ----------------------------------------------------------------------

@@ -26,6 +26,7 @@ from kingsfoil_seed_data_ingestor_spark.streaming.events import (
 from kingsfoil_seed_data_ingestor_spark.streaming.sketch import (
     streaming_distinct_users_hll,
     streaming_distinct_users_kmv,
+    streaming_length_quantiles,
 )
 from kingsfoil_seed_data_ingestor_spark.streaming.spans import (
     streaming_span_dedup,
@@ -45,7 +46,9 @@ __all__ = [
     "enrich_events",
     "user_running_totals",
     "streaming_corpus_dedup",
+    "streaming_distinct_users_hll",
     "streaming_distinct_users_kmv",
+    "streaming_length_quantiles",
     "streaming_span_dedup",
     "first_seen_filter",
     "run_to_memory",

@@ -322,3 +322,145 @@ def streaming_distinct_users_kmv(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------------------------
+# round 7: bottom-k quantile sketch twin (plans/llm.text_length_quantile_sketch)
+# ----------------------------------------------------------------------
+# The batch quantile sketch is a bottom-k coordinated sample: keep the
+# QSK_K documents with the smallest 60-bit md5(doc_id) hashes and read
+# quantile p as the sample's nearest-rank value. The sample merges by
+# union-then-retake-k — the SAME merge law as KMV (commutative,
+# associative, idempotent) — so per-batch folding reproduces the batch
+# sample EXACTLY regardless of micro-batch boundaries, and the
+# estimates (integer nearest-rank values of a deterministic sample)
+# are bit-equal to the oracle-hash-checked batch query.
+
+from kingsfoil_seed_data_ingestor_spark.plans.llm import QSK_K, QSK_PROBS
+
+QSK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("p", T.DoubleType()),
+        T.StructField("est_len", T.LongType()),
+        T.StructField("k_sample", T.LongType()),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+QSK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("lens", T.ArrayType(T.LongType())),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+
+
+def _qsk_hash(doc_id: int) -> int:
+    """The 60-bit md5 hash shared with the batch query and its oracle."""
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+
+def quantile_estimates(sample_lens: "list[int]") -> "list[tuple[float, int, int]]":
+    """(p, est_len, k_sample) rows with the batch query's exact
+    nearest-rank arithmetic: est at rank ceil(p·k) of the sample sorted
+    by length. The value at a rank of a sorted multiset is
+    deterministic even under length ties."""
+    ordered = sorted(sample_lens)
+    k = len(ordered)
+    out = []
+    for p in QSK_PROBS:
+        r = math.ceil(p * k)
+        out.append((float(p), int(ordered[max(r, 1) - 1]), k))
+    return out
+
+
+def _fold_qsk(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    if state.exists:
+        hs, ids, lens, n_batches = state.get
+        held = {int(i): (int(h), int(ln)) for h, i, ln in zip(hs, ids, lens)}
+    else:
+        held, n_batches = {}, 0
+    for batch in batches:
+        n_batches += 1
+        for did, ln in zip(batch["doc_id"], batch["n_chars"]):
+            held[int(did)] = (_qsk_hash(int(did)), int(ln))
+    # retake the k smallest by (hash, doc_id) — the batch sample's order
+    merged = sorted(held.items(), key=lambda kv: (kv[1][0], kv[0]))[:QSK_K]
+    state.update(
+        (
+            [h for _, (h, _) in merged],
+            [i for i, _ in merged],
+            [ln for _, (_, ln) in merged],
+            n_batches,
+        )
+    )
+    rows = quantile_estimates([ln for _, (_, ln) in merged])
+    yield pd.DataFrame(
+        {
+            "p": [p for p, _, _ in rows],
+            "est_len": [e for _, e, _ in rows],
+            "k_sample": [k for _, _, k in rows],
+            "n_batches": [n_batches] * len(rows),
+        }
+    )
+
+
+def streaming_length_quantiles(docs: DataFrame) -> DataFrame:
+    """Running corpus length-quantile sketch over a document stream
+    (update mode), or the identical computation on a batch frame
+    (n_batches=1). State is ONE bottom-k sample (k=128 triples) — the
+    single-group key is deliberate: the sketch is a global summary, and
+    its state is O(k), not O(rows); a per-source variant would key the
+    groupBy by source and hold one sample each."""
+    keyed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    if not docs.isStreaming:
+        from pyspark.sql import Window as W
+
+        hv = keyed.select(
+            "n_chars",
+            "doc_id",
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        samp = hv.orderBy("h", "doc_id").limit(QSK_K).select("n_chars")
+        sr = samp.select(
+            "n_chars", F.row_number().over(W.orderBy("n_chars")).alias("r")
+        )
+        ks = sr.agg(F.max("r").cast("long").alias("k_sample"))
+        probs = keyed.sparkSession.createDataFrame(
+            [(float(p),) for p in QSK_PROBS], "p double"
+        )
+        return (
+            probs.crossJoin(F.broadcast(ks))
+            .join(sr, F.col("r") == F.ceil(F.col("p") * F.col("k_sample")))
+            .select(
+                "p",
+                F.col("n_chars").cast("long").alias("est_len"),
+                "k_sample",
+                F.lit(1).cast("long").alias("n_batches"),
+            )
+        )
+    return (
+        keyed.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandasWithState(
+            _fold_qsk,
+            outputStructType=QSK_OUTPUT_SCHEMA,
+            stateStructType=QSK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

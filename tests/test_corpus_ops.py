@@ -296,3 +296,31 @@ def test_kmv_sketch_error_floor_all_sfs(spark):
             <= 0.25
         ), (sf, r)
         assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_cms_sketch_invariants_all_sfs(spark):
+    """Count-Min never underestimates (overestimate ≥ 0 on every
+    reported row) and the classic bound overestimate ≤ e/W·N holds on
+    the fixture at every SF (deterministic hashes ⇒ reproducible)."""
+    import math
+
+    from kingsfoil_seed_data_ingestor_spark.plans.events import (
+        CMS_TOP,
+        CMS_W,
+        events_heavy_hitters_cms,
+    )
+    from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+    for sf in ("0.001", "0.01", "0.1"):
+        sf_dir = f"/root/testdata/sf{sf}"
+        n_events = load(spark, sf_dir, "events").count()
+        bound = math.e / CMS_W * n_events
+        rows = events_heavy_hitters_cms(spark, sf_dir).collect()
+        assert 0 < len(rows) <= CMS_TOP
+        for r in rows:
+            assert r.overestimate >= 0, (sf, r)
+            assert r.est_count == r.exact_count + r.overestimate
+            assert r.overestimate <= bound, (sf, r, bound)
+        # report is sorted by estimate (the sketch's decision order)
+        ests = [r.est_count for r in rows]
+        assert ests == sorted(ests, reverse=True)

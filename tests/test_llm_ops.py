@@ -1723,3 +1723,123 @@ def test_gif_query_features_match_closed_form(spark):
         r = feats[d]
         assert (r.width, r.height, r.channels) == (w, h, 3)
         assert r.mean_luma == round(float(pal[idx].mean()) / 255.0, 6)
+
+
+# ----------------------------------------------------------------------
+# TIFF codec (round 7)
+# ----------------------------------------------------------------------
+
+
+def test_tiff_round_trip_and_big_endian():
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    for w, h in [(1, 1), (5, 3), (16, 9), (33, 21)]:
+        rgb = bytes((i * 13 + 7) % 256 for i in range(w * h * 3))
+        W, H, arr = codecs.decode_tiff_rgb8(codecs.encode_tiff_rgb8(w, h, rgb))
+        assert (W, H) == (w, h)
+        assert arr.tobytes() == rgb
+        assert arr.shape == (h, w, 3)
+    # hand-assembled BIG-ENDIAN single-strip fixture: the encoder only
+    # writes II, so this pins the decoder's independent MM path
+    import struct
+
+    w, h = 3, 2
+    rgb = bytes(range(w * h * 3))
+    ifd_off = 8 + len(rgb) + 6
+
+    def entry(tag, typ, count, value):
+        if typ == 3 and count == 1:
+            return struct.pack(">HHIHH", tag, typ, count, value, 0)
+        return struct.pack(">HHII", tag, typ, count, value)
+
+    payload = (
+        struct.pack(">2sHI", b"MM", 42, ifd_off)
+        + rgb
+        + struct.pack(">3H", 8, 8, 8)
+        + struct.pack(">H", 9)
+        + entry(256, 4, 1, w)
+        + entry(257, 4, 1, h)
+        + entry(258, 3, 3, 8 + len(rgb))
+        + entry(259, 3, 1, 1)
+        + entry(262, 3, 1, 2)
+        + entry(273, 4, 1, 8)
+        + entry(277, 3, 1, 3)
+        + entry(278, 4, 1, h)
+        + entry(279, 4, 1, len(rgb))
+        + struct.pack(">I", 0)
+    )
+    W, H, arr = codecs.decode_tiff_rgb8(payload)
+    assert (W, H) == (w, h) and arr.tobytes() == rgb
+    # unknown private tags are skipped per spec, not fatal
+    extra = (
+        payload[: 8 + len(rgb) + 6]
+        + struct.pack(">H", 10)
+        + entry(256, 4, 1, w)
+        + entry(257, 4, 1, h)
+        + entry(258, 3, 3, 8 + len(rgb))
+        + entry(259, 3, 1, 1)
+        + entry(262, 3, 1, 2)
+        + entry(273, 4, 1, 8)
+        + entry(277, 3, 1, 3)
+        + entry(278, 4, 1, h)
+        + entry(279, 4, 1, len(rgb))
+        + entry(34665, 4, 1, 0)  # ExifIFD pointer — unknown to us
+        + struct.pack(">I", 0)
+    )
+    W, H, arr = codecs.decode_tiff_rgb8(extra)
+    assert (W, H) == (w, h) and arr.tobytes() == rgb
+    assert np.array_equal(arr, np.frombuffer(rgb, np.uint8).reshape(h, w, 3))
+
+
+def test_tiff_scope_rejections_and_truncation():
+    import pytest as _pytest
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    good = codecs.encode_tiff_rgb8(6, 4, bytes(k % 251 for k in range(72)))
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        codecs.decode_tiff_rgb8(b"BM" + good)
+    # wrong magic number
+    bad = bytearray(good)
+    bad[2] = 43
+    with _pytest.raises(ValueError, match="bad magic"):
+        codecs.decode_tiff_rgb8(bytes(bad))
+    # compression other than none is out of scope: entry value lives in
+    # the IFD — find tag 259 and flip its inline SHORT value to 5 (LZW)
+    import struct
+
+    ifd_off = struct.unpack_from("<I", good, 4)[0]
+    (n,) = struct.unpack_from("<H", good, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", good, base)[0]
+        if tag == 259:
+            bad = bytearray(good)
+            struct.pack_into("<H", bad, base + 8, 5)
+            with _pytest.raises(ValueError, match="uncompressed"):
+                codecs.decode_tiff_rgb8(bytes(bad))
+    # every truncation point raises ValueError (never raw struct.error)
+    for cut in range(0, len(good) - 1):
+        with _pytest.raises(ValueError):
+            codecs.decode_tiff_rgb8(good[:cut])
+
+
+def test_tiff_query_features_match_closed_form(spark):
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    feats = {
+        r.asset_id: r
+        for r in MM.extract_image_features(MM.render_tiff_assets(docs)).collect()
+    }
+    for d in range(12):
+        w, h = 5 + d % 9, 3 + d % 6
+        k = np.arange(w * h * 3, dtype=np.int64)
+        px = ((d * 29 + k * 13) % 256).astype(np.uint8)
+        r = feats[d]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.mean_luma == round(float(px.mean()) / 255.0, 6)

@@ -538,3 +538,55 @@ def test_streaming_kmv_matches_batch_and_oracle(spark, tmp_path):
     }
     con.close()
     assert twin == want
+
+
+def test_streaming_quantile_sketch_matches_batch_query(spark, tmp_path):
+    """The bottom-k quantile sample merges by union-then-retake-k (the
+    KMV merge law), so the stateful streaming fold over any micro-batch
+    split must reproduce the oracle-hash-checked batch query's
+    (p, est_len, k_sample) EXACTLY — pinned against both the twin's
+    batch branch and the registered query itself."""
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import (
+        text_length_quantile_sketch,
+    )
+    from kingsfoil_seed_data_ingestor_spark.streaming.sketch import (
+        streaming_length_quantiles,
+    )
+
+    src = tmp_path / "doc_feed_qsk"
+    src.mkdir()
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(str(src / "b1.parquet"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(str(src / "b2.parquet"))
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    streamed = run_to_memory(
+        streaming_length_quantiles(stream), "qsk_stream", output_mode="update"
+    )
+    final = {
+        r.p: (r.est_len, r.k_sample)
+        for r in streamed.filter(F.col("n_batches") == 2).collect()
+    }
+    assert final
+
+    # twin's batch branch over the union of the two files
+    union = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    twin = {
+        r.p: (r.est_len, r.k_sample)
+        for r in streaming_length_quantiles(union).collect()
+    }
+    assert final == twin
+
+    # and the registered (oracle-hash-checked) query over the same table
+    reg = {
+        r.p: (r.est_len, r.k_sample)
+        for r in text_length_quantile_sketch(spark, SF_DIR).collect()
+    }
+    assert final == reg
