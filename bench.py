@@ -27,6 +27,13 @@ Timing methodology (two columns, round-6 change per VERDICT r5 #3):
   swung ±35 % with GC/page-cache state; per-query min across passes is
   the steady-state throughput a long-lived cluster runs at).
 
+Round-7 layout change (PERF_NOTES §r7): the two columns now run in TWO
+PHASES — every query's cold pass first, then every query's warm
+passes. The interleaved layout taxed each warm pass with the previous
+queries' background C2 compilation bursts (~+1 % per 10 registry
+queries, the r6 driver's uniform "inflation"); phase separation makes
+the warm total registry-size-independent.
+
 ``value`` (the headline) stays the WARM total so it is comparable to
 BENCH_r05; ``cold_total`` is reported beside it so round-over-round
 deltas can be read like-for-like (see PERF_NOTES.md §r6).
@@ -104,23 +111,60 @@ def jvm_diagnostics(spark) -> dict:
             gc_n += g.getCollectionCount()
         out["gc_ms"] = gc_ms
         out["gc_count"] = gc_n
-        cg = spark._jvm.org.apache.spark.metrics.source.CodegenMetrics
-        out["codegen_compiles"] = cg.METRIC_COMPILATION_TIME().getCount()
-        out["codegen_classes_bytes"] = (
-            cg.METRIC_GENERATED_CLASS_BYTE_CODE_SIZE().getCount()
-        )
         out["loaded_classes"] = mf.getClassLoadingMXBean().getLoadedClassCount()
     except Exception as exc:  # diagnostics never fail the bench
         out["error"] = str(exc)
+    try:
+        cg = spark._jvm.org.apache.spark.metrics.source.CodegenMetrics
+        out["codegen_compiles"] = cg.METRIC_COMPILATION_TIME().getCount()
+    except Exception:
+        pass
+    try:
+        # Janino generated-class cache occupancy (private Guava cache on
+        # the CodeGenerator companion object, read reflectively): the
+        # suite-drift investigation needs to see eviction pressure vs
+        # spark.sql.codegen.cache.maxEntries
+        jvm = spark._jvm
+        clazz = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator$"
+        )
+        mod = clazz.getField("MODULE$").get(None)
+        m = clazz.getDeclaredMethod("cache")
+        m.setAccessible(True)
+        cache = m.invoke(mod)
+        out["codegen_cache_entries"] = cache.size()
+    except Exception:
+        pass
     return out
 
 
 def bench_batch(
-    spark, sf_dir: str, queries=None
+    spark, sf_dir: str, queries=None, two_phase: bool = True
 ) -> tuple[dict[str, float], dict[str, float]]:
+    """Cold pass + best-of-2 warm per query.
+
+    ``two_phase`` (round-7 default, PERF_NOTES §r7): ALL cold passes run
+    first, then all warm passes. The r6 driver bench showed a uniform
+    ~1.1-1.3× warm inflation on r5-common queries that grew with the
+    registry; A/B isolation (tools/bench_ab.py) reproduced it locally —
+    the same 32 queries cost 31.5-33.0 s alone but 35.5 s inside the
+    96-query run, while a session PRE-AGED by the other 64 queries
+    timed them at 32.1 s. So the cost is not accumulated session state
+    but INTERLEAVING: each query's first-ever execution leaves a burst
+    of background HotSpot C2 compilation of its freshly generated
+    classes, and in the interleaved layout the NEXT queries' timed warm
+    passes absorb that CPU competition — a per-query tax that scales
+    with registry size. Phase-separating cold from warm moves every
+    fresh-code burst out of the warm window: warm totals then measure
+    the steady-state throughput of a fully-compiled session and stay
+    comparable round-over-round regardless of how many queries the
+    registry gains. Cold numbers keep the old semantics exactly
+    (first execution, compile included)."""
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name, q in (queries or QUERIES).items():
+    items = list((queries or QUERIES).items())
+
+    def cold_pass(name, q) -> bool:
         _reset(spark)
         t0 = time.perf_counter()
         try:
@@ -128,8 +172,11 @@ def bench_batch(
         except Exception as exc:  # surface, don't abort the whole bench
             print(f"[bench] {name} FAILED cold: {exc}", file=sys.stderr)
             cold[name] = warm[name] = -1.0
-            continue
+            return False
         cold[name] = round(time.perf_counter() - t0, 4)
+        return True
+
+    def warm_passes(name, q) -> None:
         for _ in range(2):
             _reset(spark)
             t0 = time.perf_counter()
@@ -137,6 +184,15 @@ def bench_batch(
             t = round(time.perf_counter() - t0, 4)
             if name not in warm or t < warm[name]:
                 warm[name] = t
+
+    if two_phase:
+        ok = [(name, q) for name, q in items if cold_pass(name, q)]
+        for name, q in ok:
+            warm_passes(name, q)
+    else:
+        for name, q in items:
+            if cold_pass(name, q):
+                warm_passes(name, q)
     return cold, warm
 
 

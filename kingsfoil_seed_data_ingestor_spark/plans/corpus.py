@@ -1448,3 +1448,315 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("best_unit_price"), "p_partkey")
         .limit(25)
     )
+
+
+# ----------------------------------------------------------------------
+# round 7: four more TPC-H-shaped queries (Q4/Q12/Q14/Q19/Q22 analogues
+# over the available columns — no l_commitdate/l_receiptdate/
+# l_shipmode/p_container/c_phone in the testdata, so "late" derives
+# from shipdate vs orderdate, Q12's modes from l_returnflag, and Q22's
+# country codes from c_mktsegment)
+# ----------------------------------------------------------------------
+
+Q4_START = "1997-01-01 00:00:00"
+Q4_END = "1997-04-01 00:00:00"
+
+
+@register(
+    "q4_order_priority",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+      AND o_orderdate < TIMESTAMP '{Q4_END}'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): orders in one "
+    "quarter having AT LEAST ONE late lineitem (shipped >30 days "
+    "after the order date — the commit/receipt-date lateness adapted "
+    "to available columns), counted per priority. The correlated "
+    "EXISTS is a left-semi join whose condition mixes an equi key "
+    "with a cross-table date comparison — Catalyst keeps l_orderkey "
+    "as the shuffle key and evaluates the date predicate as the "
+    "join residual. Plan: the quarter filter pushes to the orders "
+    "scan (partition-prunable on a date-partitioned warehouse), the "
+    "semi join dedups lineitem matches without materializing them, "
+    "and the 5-group count is map-side partial.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_exists = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late_exists.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate < TIMESTAMP '2000-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 15 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipping modes and order priority): lines "
+    "shipped in one year, more than 15 days after ordering, pivoted "
+    "into high-/low-priority counts per return flag (the testdata's "
+    "stand-in for ship mode) via conditional aggregation — the "
+    "classic CASE-inside-SUM pivot. Plan: the year range pushes to "
+    "the lineitem scan as two comparisons, the fact⋈fact join "
+    "shuffles on the shared orderkey with the date residual applied "
+    "at the join, and both conditional sums fold into ONE map-side "
+    "partial aggregate over 3 groups — a pivot costs no more than a "
+    "plain count at 100 TB.",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT
+            CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                               * CAST(1 - l_discount AS DECIMAL(7,4)) END)
+                 AS DECIMAL(24,6)) AS DOUBLE) AS promo_revenue,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(7,4)))
+                 AS DECIMAL(24,6)) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1999-06-01'
+          AND l_shipdate < TIMESTAMP '1999-07-01'
+    )
+    SELECT round(100.0 * promo_revenue / total_revenue, 6) AS promo_revenue_pct,
+           promo_revenue, total_revenue
+    FROM rev
+    """,
+    doc="TPC-H Q14 shape (promotion effect): the share of one month's "
+    "revenue from promo-typed parts — a conditional sum against an "
+    "unconditional one in the SAME aggregate (SUM over a CASE with no "
+    "ELSE: nulls drop out, so the types match the plain sum exactly). "
+    "Both sums run decimal-exact and convert to double once; the only "
+    "float ops are one multiply+divide+round, identical in both "
+    "engines, so even the PERCENTAGE hash-checks. Plan: the month "
+    "pushes to the lineitem scan, part broadcasts (2 columns), and "
+    "the whole query is one map-side-combinable scalar aggregate — "
+    "no shuffle beyond the 1-row combine.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-06-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-07-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(7,4)")
+    rev = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            exact_double(
+                F.sum(F.when(F.col("p_type").like("PROMO%"), price * disc_f))
+            ).alias("promo_revenue"),
+            exact_double(F.sum(price * disc_f)).alias("total_revenue"),
+        )
+    )
+    return rev.select(
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_revenue_pct"),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l_discount AS DECIMAL(7,4)))
+                AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicates): "
+    "an OR of three brand/size/quantity conjunctions spanning both "
+    "join sides — the canonical test of DISJUNCTIVE predicate "
+    "handling. Catalyst cannot split the cross-table OR itself, but "
+    "constraint derivation extracts the per-table implications — "
+    "p_brand IN (...) AND p_size ≤ 15 for the part scan, l_quantity "
+    "BETWEEN 1 AND 30 for the lineitem scan — and pushes THOSE to "
+    "parquet, so each side is pre-pruned before the broadcast join "
+    "evaluates the full disjunction as its residual. One scalar "
+    "aggregate, decimal-exact revenue.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & size.between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & size.between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & size.between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(7,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_double(F.sum(price * disc_f)).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH thr AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(24,6))
+                AS DOUBLE) AS total_acctbal
+    FROM customer c CROSS JOIN thr
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): customers whose "
+    "balance exceeds the average POSITIVE balance and who placed no "
+    "recent order (none since 2000 — the testdata has no order-less "
+    "customers, so 'never ordered' adapts to 'dormant'), grouped by "
+    "segment (the country-code stand-in). The scalar 'average' "
+    "subquery is kept DIVISION-FREE: balance > avg ⟺ balance·n > sum "
+    "in exact decimal, so the threshold compare can never diverge "
+    "between engines by a quotient ulp. Plan: the 1-row threshold "
+    "broadcasts into the customer scan, the anti join against "
+    "date-filtered orders shuffles on custkey (broadcast at bench "
+    "scale), and the 5-group sum is map-side partial.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast(DEC)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal").cast(DEC) * F.col("n") > F.col("s")
+    )
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            exact_double(F.sum(F.col("c_acctbal").cast(DEC))).alias(
+                "total_acctbal"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

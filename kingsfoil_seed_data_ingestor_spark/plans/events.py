@@ -585,3 +585,175 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "user_id")
         .limit(CMS_TOP)
     )
+
+
+# ----------------------------------------------------------------------
+# round 7: Bloom-filter join prefilter — explicit runtime-filter shape
+# ----------------------------------------------------------------------
+
+#: Bloom geometry: BF_WORDS 62-bit words (sign bit never touched, so
+#: masks stay positive BIGINTs in both engines) × BF_K hash functions.
+#: Deliberately tight (3 968 bits) so the false-positive witness is
+#: non-degenerate at sf0.1 (~7 % expected); production sizing is
+#: m ≈ 10-15 bits/element for ~1 % fp.
+BF_WORDS = 64
+BF_BPW = 62
+BF_K = 3
+
+
+@_register(
+    "events_bloom_prefilter",
+    priority=55,  # sketch-family variant: HLL is the in-window rep
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+        FROM events GROUP BY user_id
+    ),
+    members AS (SELECT user_id FROM per WHERE np > nv),
+    j AS (SELECT d FROM (VALUES (0), (1), (2)) t(d)),
+    mpos AS (
+        SELECT CAST(concat('0x', substr(md5(concat(CAST(j.d AS VARCHAR), ':',
+               CAST(m.user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % {BF_WORDS * BF_BPW} AS pos
+        FROM members m CROSS JOIN j
+    ),
+    words AS (
+        SELECT pos // {BF_BPW} AS w,
+               bit_or(CAST(power(2, pos % {BF_BPW}) AS BIGINT)) AS bits
+        FROM mpos GROUP BY 1
+    ),
+    keys AS (SELECT user_id FROM per),
+    probes AS (
+        SELECT k.user_id, CAST(concat('0x', substr(md5(concat(CAST(j.d AS VARCHAR), ':',
+               CAST(k.user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % {BF_WORDS * BF_BPW} AS pos
+        FROM keys k CROSS JOIN j
+    ),
+    hits AS (
+        SELECT p.user_id,
+               SUM(CASE WHEN (w.bits & CAST(power(2, p.pos % {BF_BPW}) AS BIGINT))
+                        <> 0 THEN 1 ELSE 0 END) AS nbits
+        FROM probes p LEFT JOIN words w ON p.pos // {BF_BPW} = w.w
+        GROUP BY p.user_id
+    ),
+    stats AS (
+        SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+               CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+               CAST((SELECT COUNT(*) FROM hits WHERE nbits = {BF_K}) AS BIGINT)
+                   AS n_pass,
+               CAST((SELECT SUM(bit_count(bits)) FROM words) AS BIGINT)
+                   AS n_set_bits
+    )
+    SELECT n_keys, n_members, n_pass,
+           n_pass - n_members AS n_false_pos,
+           round((n_pass - n_members) * 1.0 / (n_keys - n_members), 6) AS fp_rate,
+           n_set_bits
+    FROM stats
+    """,
+    doc="Bloom-filter JOIN PREFILTER, hash-checked cross-engine down "
+    "to the exact bit array — the explicit form of the runtime-filter "
+    "/ semi-join-reduction pattern a 100 TB engine uses to prune a "
+    "big probe side before it reaches the shuffle. Build: members "
+    f"(users purchasing more than they view) each set BF_K={BF_K} "
+    f"bits (60-bit md5('j:k') positions) in a {BF_WORDS}×{BF_BPW}-bit "
+    "array packed as positive BIGINT words via exact power-of-two "
+    "masks (2^0..2^61 are exactly representable doubles, so "
+    "CAST(power(2,·)) is engine-identical; the sign bit is never "
+    "touched) and merged with ONE map-side-combinable bit_or over "
+    "≤ 64 rows — Bloom arrays are mergeable by OR, the property that "
+    "lets every partition build its own and combine. Probe: every "
+    "distinct key joins the broadcast word table and passes iff all "
+    "K bits are set. Bloom filters never yield false NEGATIVES, so "
+    "n_pass ≥ n_members is an invariant the oracle hash enforces; "
+    "the measured false-positive rate rides along (geometry is "
+    "deliberately tight — 3 968 bits — so fp is non-degenerate at "
+    "sf0.1; production sizing is 10-15 bits/element).",
+)
+def events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    per = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("np"),
+        F.sum((F.col("event_type") == "view").cast("int")).alias("nv"),
+    )
+    members = per.filter(F.col("np") > F.col("nv")).select("user_id")
+    keys = per.select("user_id")
+    dvals = F.explode(F.array(*[F.lit(i) for i in range(BF_K)])).alias("d")
+    m_total = BF_WORDS * BF_BPW
+
+    def pos_expr():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("d").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_total
+        ).alias("pos")
+
+    mask = F.pow(F.lit(2.0), (F.col("pos") % BF_BPW).cast("double")).cast("long")
+    words = (
+        members.select("user_id", dvals)
+        .select(pos_expr())
+        .select((F.col("pos") / BF_BPW).cast("long").alias("w"), mask.alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probes = (
+        keys.select("user_id", dvals)
+        .select("user_id", pos_expr())
+        .select(
+            "user_id",
+            (F.col("pos") / BF_BPW).cast("long").alias("w"),
+            mask.alias("m"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(words), "w", "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").bitwiseAND(F.col("m")) != 0, 1
+                ).otherwise(0)
+            ).alias("nbits")
+        )
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    n_members = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    n_pass = (
+        hits.filter(F.col("nbits") == BF_K)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
+    )
+    n_bits = words.agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_set_bits")
+    )
+    return (
+        n_keys.crossJoin(n_members)
+        .crossJoin(n_pass)
+        .crossJoin(n_bits)
+        .select(
+            "n_keys",
+            "n_members",
+            "n_pass",
+            (F.col("n_pass") - F.col("n_members")).alias("n_false_pos"),
+            F.round(
+                (F.col("n_pass") - F.col("n_members"))
+                * F.lit(1.0)
+                / (F.col("n_keys") - F.col("n_members")),
+                6,
+            ).alias("fp_rate"),
+            "n_set_bits",
+        )
+    )

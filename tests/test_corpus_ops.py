@@ -324,3 +324,22 @@ def test_cms_sketch_invariants_all_sfs(spark):
         # report is sorted by estimate (the sketch's decision order)
         ests = [r.est_count for r in rows]
         assert ests == sorted(ests, reverse=True)
+
+
+def test_bloom_prefilter_invariants_all_sfs(spark):
+    """Bloom filters never yield false negatives (n_pass ≥ n_members)
+    and the deliberately-tight geometry keeps the measured fp rate
+    under 20% at every SF (expected ~7% at sf0.1, ~0 below)."""
+    from kingsfoil_seed_data_ingestor_spark.plans.events import (
+        BF_BPW,
+        BF_WORDS,
+        events_bloom_prefilter,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        r = events_bloom_prefilter(spark, f"/root/testdata/sf{sf}").first()
+        assert r.n_pass >= r.n_members, (sf, r)
+        assert r.n_false_pos == r.n_pass - r.n_members
+        assert 0 < r.n_set_bits <= BF_WORDS * BF_BPW
+        if r.n_keys > r.n_members:
+            assert r.fp_rate <= 0.20, (sf, r)

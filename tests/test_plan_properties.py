@@ -190,3 +190,28 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q19_disjunction_derives_per_table_pushdown(spark):
+    """Catalyst can't split the cross-table OR, but constraint
+    derivation must push the per-table implications (brand/size to
+    part, the quantity range union to lineitem) into BOTH scans."""
+    f = facts(spark, "q19_disjunctive_revenue")
+    assert f["pushed_filters"] == 2, "both sides of the disjunction pruned"
+    assert f["smj"] == 0 and f["bhj"] == 1, "part broadcasts"
+
+
+def test_cms_probe_join_broadcasts(spark):
+    """The Count-Min counter table is ≤ D·W rows — probing it must be
+    a broadcast join, never a shuffle of the probe side."""
+    f = facts(spark, "events_heavy_hitters_cms")
+    assert f["smj"] == 0
+    assert f["bhj"] >= 1, "counter table must broadcast into the probe"
+
+
+def test_bloom_word_join_broadcasts(spark):
+    """The Bloom word table is ≤ 64 rows — the probe join must
+    broadcast it; a sort-merge here would shuffle every probe key."""
+    f = facts(spark, "events_bloom_prefilter")
+    assert f["smj"] == 0
+    assert f["bhj"] >= 1

@@ -39,6 +39,14 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--names-file", default=None, help="JSON list of query names")
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--prime",
+        action="store_true",
+        help="before timing the subset, execute every NON-subset registry "
+        "query once (drained, untimed) — ages the session the way the "
+        "full bench does, isolating accumulated-session-state effects "
+        "from the subset's own cost",
+    )
     args = ap.parse_args()
 
     if args.names_file:
@@ -53,6 +61,15 @@ def main() -> int:
 
     spark = get_spark(app_name="kingsfoil-bench-ab")
     pin_comparable_conf(spark)
+    if args.prime:
+        for n, q in QUERIES.items():
+            if n in subset:
+                continue
+            try:
+                bench.drain(q.spark(spark, args.sf))
+            except Exception as exc:
+                print(f"prime {n}: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
     cold, warm = bench.bench_batch(spark, args.sf, queries=subset)
     diag = bench.jvm_diagnostics(spark)
     out = {
