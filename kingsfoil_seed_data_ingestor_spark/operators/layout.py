@@ -1,0 +1,96 @@
+"""Data-layout operators: partition-pruned and range-clustered writes.
+
+At 100 TB the fastest scan is the one that never reads the file. Two
+complementary layout disciplines make that happen, both plain Spark
+writers here so every downstream query inherits the pruning for free:
+
+* **Hive partitioning** (`write_partitioned`): low-cardinality
+  predicate columns (event_type, ingest date) become directory keys;
+  a filter on them is resolved by the FILE INDEX — pruned partitions
+  are never listed into the scan (`PartitionFilters` in the plan, zero
+  I/O). This is the coarse knife: directory count = partition-value
+  product, so it is for columns with tens-to-thousands of values, not
+  keys.
+* **Range clustering** (`write_range_clustered`): within (or instead
+  of) directory partitions, `repartitionByRange + sortWithinPartitions`
+  lays rows out so each file covers a narrow slice of the cluster
+  column. Parquet stores per-row-group min/max; a range predicate then
+  skips whole files/row groups whose stats cannot match. This is the
+  fine knife for high-cardinality columns (timestamps, ids) where
+  directories are impossible — the single-column special case of
+  Z-ordering.
+
+``files_touched`` measures the effect from the OUTSIDE — the distinct
+files that actually produced rows for a filtered read — which is what
+the layout tests pin: a narrow range filter over a range-clustered
+table touches ~1 of N files; the same filter over a round-robin layout
+touches all N.
+
+Reference parity note: the reference stores row batches per version
+partition (``app/services/ingestor.py`` write path) with no intra-file
+ordering contract; this module is part of the beyond-reference scale
+surface (SURVEY.md §7.2), and `VersionStore.write_records` already
+uses the directory-partition half of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hive-partitioned parquet write. ``partition_cols`` become
+    directory keys (pruned by the file index before any I/O);
+    ``sort_cols`` additionally orders rows inside each output file so
+    range predicates on them skip row groups via parquet min/max
+    stats. One output file per (shuffle partition × directory) — the
+    repartition on the partition keys keeps that to one file per
+    directory here; production would size it by target file size."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+) -> None:
+    """Range-clustered parquet write: global range partitioning on
+    ``cluster_col`` (contiguous, non-overlapping slices per file via a
+    sampled range boundary exchange) + an in-file sort, so parquet
+    min/max stats make range predicates skip non-matching files
+    entirely."""
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_touched(spark: SparkSession, path: str, predicate) -> tuple[int, int]:
+    """(files that produced rows under ``predicate``, total data files)
+    — the outside-view measurement of layout quality. For a pruned
+    directory or a skipped file, no row carries its
+    ``input_file_name``, so the first count is exactly the files the
+    filtered scan drew data from."""
+    df = spark.read.parquet(path)
+    touched = (
+        df.filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    total = (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    return touched, total

@@ -27,6 +27,7 @@ from kingsfoil_seed_data_ingestor_spark.streaming.sketch import (
     streaming_distinct_users_hll,
     streaming_distinct_users_kmv,
     streaming_length_quantiles,
+    streaming_user_freq_cms,
 )
 from kingsfoil_seed_data_ingestor_spark.streaming.spans import (
     streaming_span_dedup,
@@ -49,6 +50,7 @@ __all__ = [
     "streaming_distinct_users_hll",
     "streaming_distinct_users_kmv",
     "streaming_length_quantiles",
+    "streaming_user_freq_cms",
     "streaming_span_dedup",
     "first_seen_filter",
     "run_to_memory",

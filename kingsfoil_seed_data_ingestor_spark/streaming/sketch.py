@@ -464,3 +464,115 @@ def streaming_length_quantiles(docs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ----------------------------------------------------------------------
+# round 7: Count-Min counter maintenance (plans/events.events_heavy_hitters_cms)
+# ----------------------------------------------------------------------
+# CMS counters are SUMS, so per-batch folding (add each event's D
+# bucket increments into held counters) is the sketch's own merge law:
+# state after any micro-batch split equals the batch build over the
+# union exactly. The twin emits the SPARSE counter table (d, bucket,
+# cnt) — the same rows the batch query's groupBy produces and the
+# oracle hash-checks — so the parity test is set equality, no
+# estimator arithmetic involved.
+
+from kingsfoil_seed_data_ingestor_spark.plans.events import CMS_D, CMS_W
+
+CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("d", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+CMS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counters", T.ArrayType(T.LongType())),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+
+
+def _cms_pos(d: int, user_id: int) -> int:
+    """Bucket for hash row d — the 60-bit md5('d:key') idiom shared
+    with the batch query and its oracle."""
+    return int(hashlib.md5(f"{d}:{user_id}".encode()).hexdigest()[:15], 16) % CMS_W
+
+
+def _fold_cms(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    if state.exists:
+        counters, n_batches = state.get
+        counters = list(counters)
+    else:
+        counters, n_batches = [0] * (CMS_D * CMS_W), 0
+    for batch in batches:
+        n_batches += 1
+        for uid in batch["user_id"]:
+            for d in range(CMS_D):
+                counters[d * CMS_W + _cms_pos(d, int(uid))] += 1
+    state.update((counters, n_batches))
+    rows = [
+        (d, b, counters[d * CMS_W + b], n_batches)
+        for d in range(CMS_D)
+        for b in range(CMS_W)
+        if counters[d * CMS_W + b]
+    ]
+    yield pd.DataFrame(rows, columns=["d", "bucket", "cnt", "n_batches"])
+
+
+def streaming_user_freq_cms(events: DataFrame) -> DataFrame:
+    """Running Count-Min counter table over an event stream (update
+    mode), or the identical batch build (n_batches=1). State is ONE
+    D×W counter array (8 192 longs) — constant regardless of stream
+    volume; output is the sparse nonzero counter table, the exact rows
+    the batch query's map-side-combinable groupBy produces."""
+    keyed = events.select(F.col("user_id").cast("long").alias("user_id"))
+    if not events.isStreaming:
+        h = keyed.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d"),
+        ).select(
+            F.col("d").cast("int").alias("d"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("d").cast("string"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_W
+            ).alias("bucket"),
+        )
+        return h.groupBy("d", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt"),
+        ).select(
+            "d", "bucket", "cnt", F.lit(1).cast("long").alias("n_batches")
+        )
+    return (
+        keyed.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandasWithState(
+            _fold_cms,
+            outputStructType=CMS_OUTPUT_SCHEMA,
+            stateStructType=CMS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -11,6 +11,7 @@ cluster incident at 100 TB).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kingsfoil_seed_data_ingestor_spark import plans  # noqa: F401
 from kingsfoil_seed_data_ingestor_spark.plans.audit import explain_str, plan_facts
@@ -215,3 +216,70 @@ def test_bloom_word_join_broadcasts(spark):
     f = facts(spark, "events_bloom_prefilter")
     assert f["smj"] == 0
     assert f["bhj"] >= 1
+
+
+# ----------------------------------------------------------------------
+# data layout (round 7): partition pruning + range clustering
+# ----------------------------------------------------------------------
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on a hive-partition column must resolve at the FILE
+    INDEX (PartitionFilters in the scan, pruned dirs never listed) —
+    the filtered read touches only the matching directory's files."""
+    from kingsfoil_seed_data_ingestor_spark.operators.layout import (
+        files_touched,
+        write_partitioned,
+    )
+    from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+    out = str(tmp_path / "events_by_type")
+    ev = load(spark, SF_DIR, "events")
+    n_types = ev.select("event_type").distinct().count()
+    write_partitioned(ev, out, ["event_type"], sort_cols=["ts"])
+
+    plan = explain_str(
+        spark.read.parquet(out).filter(F.col("event_type") == "purchase"),
+        "formatted",
+    )
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "partition filter must reach the file index"
+
+    touched, total = files_touched(
+        spark, out, F.col("event_type") == "purchase"
+    )
+    assert total >= n_types, (touched, total)
+    assert touched <= total // n_types + 1, (
+        "pruned scan must touch only the purchase directory",
+        touched,
+        total,
+    )
+
+
+def test_range_clustered_write_skips_files(spark, tmp_path):
+    """A narrow range predicate over a range-clustered table draws
+    rows from ~1 of N files; the same predicate over a round-robin
+    layout draws from every file — the measured difference IS the
+    layout's value."""
+    from kingsfoil_seed_data_ingestor_spark.operators.layout import (
+        files_touched,
+        write_range_clustered,
+    )
+    from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    lo, hi = 100, 199  # 100 of the 500 sf0.001 doc ids
+    pred = F.col("doc_id").between(lo, hi)
+
+    clustered = str(tmp_path / "docs_clustered")
+    write_range_clustered(docs, clustered, "doc_id", n_files=8)
+    c_touched, c_total = files_touched(spark, clustered, pred)
+
+    scattered = str(tmp_path / "docs_scattered")
+    docs.repartition(8).write.parquet(scattered)
+    s_touched, s_total = files_touched(spark, scattered, pred)
+
+    assert c_total == 8 and s_total == 8, (c_total, s_total)
+    assert c_touched <= 3, ("range layout must localize the range", c_touched)
+    assert s_touched >= 6, ("round-robin control should scatter", s_touched)

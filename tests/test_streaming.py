@@ -590,3 +590,44 @@ def test_streaming_quantile_sketch_matches_batch_query(spark, tmp_path):
         for r in text_length_quantile_sketch(spark, SF_DIR).collect()
     }
     assert final == reg
+
+
+def test_streaming_cms_counters_match_batch_build(spark, tmp_path):
+    """CMS counters are sums — per-batch folding is the sketch's own
+    merge law, so the streaming state after any micro-batch split must
+    equal the batch build over the union EXACTLY (set equality on the
+    sparse counter table, the same rows the oracle-hash-checked batch
+    query aggregates)."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.sketch import (
+        streaming_user_freq_cms,
+    )
+
+    src = tmp_path / "ev_feed_cms"
+    src.mkdir()
+    ev = load(spark, SF_DIR, "events").select("user_id")
+    ev.filter(F.col("user_id") % 2 == 0).write.parquet(str(src / "b1.parquet"))
+    ev.filter(F.col("user_id") % 2 == 1).write.parquet(str(src / "b2.parquet"))
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    streamed = run_to_memory(
+        streaming_user_freq_cms(stream), "cms_stream", output_mode="update"
+    )
+    final = {
+        (r.d, r.bucket): r.cnt
+        for r in streamed.filter(F.col("n_batches") == 2).collect()
+    }
+    assert final
+
+    union = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    batch = {
+        (r.d, r.bucket): r.cnt for r in streaming_user_freq_cms(union).collect()
+    }
+    assert final == batch
+    assert sum(final.values()) == 4 * union.count()
