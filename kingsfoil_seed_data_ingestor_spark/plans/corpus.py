@@ -1760,3 +1760,147 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+#: sessionization inactivity gap: 12 h in epoch-microseconds (the
+#: testdata's per-user inter-event spacing averages ~11 h, so this
+#: yields multi-event sessions rather than one session per event)
+SESSION_GAP_US = 12 * 3600 * 1_000_000
+
+
+@register(
+    "events_sessionize_gap",
+    priority=55,  # window-family variant: user_gaps/lateral_top1 rep the family
+    oracle=f"""
+    WITH l AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_us
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, ts, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM l
+    ),
+    s AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc="Gap-based SESSIONIZATION — the classic lag + running-sum "
+    "sessionizer (a new session starts after >12 h of inactivity), "
+    "complementing the native session_window batch twin with the "
+    "formulation that works in ANY engine and admits per-session ids. "
+    "Determinism under ties: the lag/cumsum order is (ts, event_id) — "
+    "unique — and tied timestamps can never start a session (gap 0), "
+    "so session boundaries are engine-identical; everything is exact "
+    "epoch-microsecond integer arithmetic. Plan: ONE shuffle on "
+    "user_id serves the lag window, the session-id running sum, AND "
+    "the (user_id, sid) session aggregate — three window/agg steps, "
+    "one exchange, because every step keys on a prefix of the same "
+    "partitioning. At 100 TB sessionization is the canonical "
+    "pre-aggregation for behavioral features; per-user history "
+    "bounds the window state.",
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = m.select(
+        "user_id",
+        "us",
+        F.sum("new_s")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    return s.groupBy("user_id", "sid").agg(
+        F.min("us").cast("long").alias("session_start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+    ).drop("sid")
+
+
+@register(
+    "events_user_value_deciles",
+    priority=55,  # window-family variant (distribution functions)
+    oracle="""
+    WITH per AS (
+        SELECT user_id,
+               SUM(CAST(value AS DECIMAL(18,4))) AS total
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, total,
+               NTILE(10) OVER (ORDER BY total DESC, user_id) AS decile,
+               PERCENT_RANK() OVER (ORDER BY total DESC, user_id) AS pr
+        FROM per
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(CAST(SUM(total) AS DECIMAL(24,6)) AS DOUBLE) AS decile_value,
+           round(MIN(pr), 6) AS min_pct_rank,
+           round(MAX(pr), 6) AS max_pct_rank
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    doc="User-value DECILE table via NTILE + PERCENT_RANK — the §2.5 "
+    "distribution-function surface beyond ranking/offset/frames. "
+    "Determinism: the window order (total DESC, user_id) is total, so "
+    "tile boundaries and percent ranks are engine-identical; totals "
+    "aggregate in exact decimal, and percent_rank's (r-1)/(n-1) is "
+    "one IEEE division on identical integers in both engines. Plan: "
+    "per-user totals shuffle once on user_id; the single-partition "
+    "global window is over USERS (already reduced ~67×), the standard "
+    "shape for a scored-entity ranking — at true 100 TB entity counts "
+    "the decile boundaries would come from the quantile sketch "
+    "instead (text_length_quantile_sketch is that path).",
+)
+def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(DEC)).alias("total")
+    )
+    w = W.orderBy(F.desc("total"), "user_id")
+    ranked = per.select(
+        "user_id",
+        "total",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            exact_double(F.sum("total")).alias("decile_value"),
+            F.round(F.min("pr"), 6).alias("min_pct_rank"),
+            F.round(F.max("pr"), 6).alias("max_pct_rank"),
+        )
+        .orderBy("decile")
+    )
