@@ -18,6 +18,7 @@ from kingsfoil_seed_data_ingestor_spark.streaming.events import (
     enrich_events,
     read_event_stream,
     run_to_memory,
+    sessionize_gap,
     session_window_stats,
     sliding_window_counts,
     tumbling_window_counts,
@@ -46,6 +47,7 @@ __all__ = [
     "correlate_events",
     "enrich_events",
     "user_running_totals",
+    "sessionize_gap",
     "streaming_corpus_dedup",
     "streaming_distinct_users_hll",
     "streaming_distinct_users_kmv",

@@ -323,3 +323,128 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream.sparkSession.table(name)
+
+
+# ----------------------------------------------------------------------
+# round 7: gap-based sessionization as a custom stateful operator
+# ----------------------------------------------------------------------
+# The stateful twin of plans/corpus.events_sessionize_gap: per-user
+# open-session state folded across micro-batches; a session CLOSES
+# (one output row, identical columns to the batch query) when the next
+# event arrives more than SESSION_GAP_US after the last one. The open
+# session stays in state — production would add a processing-time
+# timeout to flush idle users; the parity test accounts for it by
+# comparing closed sessions against the batch result minus each
+# user's chronologically-last session. Assumes per-user event-time
+# order across batches (a watermarked sort upstream provides it in
+# production; the parity test feeds time-split files).
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _fold_sessions(
+    key: tuple,
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    from kingsfoil_seed_data_ingestor_spark.plans.corpus import SESSION_GAP_US
+
+    user_id = key[0]
+    if state.exists:
+        start_us, last_us, n_events = state.get
+    else:
+        start_us = None
+        last_us = n_events = 0
+    closed: list[tuple[int, int, int, int]] = []
+    rows: list[tuple[int, int]] = []
+    for batch in batches:
+        rows.extend(
+            zip(
+                (int(v) for v in batch["us"]),
+                (int(v) for v in batch["event_id"]),
+            )
+        )
+    for us, _eid in sorted(rows):
+        if start_us is None:
+            start_us, last_us, n_events = us, us, 1
+        elif us - last_us > SESSION_GAP_US:
+            closed.append((user_id, start_us, n_events, last_us - start_us))
+            start_us, last_us, n_events = us, us, 1
+        else:
+            last_us = us
+            n_events += 1
+    if start_us is not None:
+        state.update((start_us, last_us, n_events))
+    yield pd.DataFrame(
+        closed,
+        columns=["user_id", "session_start_us", "n_events", "duration_us"],
+    )
+
+
+def sessionize_gap(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization over a stream (update mode: one row per
+    CLOSED session), or the identical computation on a batch frame
+    (every session closes at end-of-input, so the batch branch equals
+    the registered ``events_sessionize_gap`` query exactly). State per
+    user is one open (start, last, count) triple — O(users), not
+    O(events)."""
+    keyed = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    if not events.isStreaming:
+        from kingsfoil_seed_data_ingestor_spark.plans.corpus import SESSION_GAP_US
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("us", "event_id")
+        m = keyed.withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        s = m.select(
+            "user_id",
+            "us",
+            F.sum("new_s")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("sid"),
+        )
+        return (
+            s.groupBy("user_id", "sid")
+            .agg(
+                F.min("us").cast("long").alias("session_start_us"),
+                F.count(F.lit(1)).alias("n_events"),
+                (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+            )
+            .drop("sid")
+        )
+    return (
+        keyed.groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_sessions,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

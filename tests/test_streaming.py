@@ -631,3 +631,57 @@ def test_streaming_cms_counters_match_batch_build(spark, tmp_path):
     }
     assert final == batch
     assert sum(final.values()) == 4 * union.count()
+
+
+def test_streaming_sessionize_gap_matches_batch(spark, tmp_path):
+    """Closed sessions from the stateful fold over a TIME-split stream
+    must equal the oracle-hash-checked batch sessionization minus each
+    user's chronologically-last (still-open) session; the twin's batch
+    branch must equal the registered query exactly."""
+    from kingsfoil_seed_data_ingestor_spark.plans.corpus import (
+        events_sessionize_gap,
+    )
+    from kingsfoil_seed_data_ingestor_spark.streaming.events import sessionize_gap
+
+    src = tmp_path / "ev_feed_sess"
+    src.mkdir()
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts", "event_id")
+    cut = "2024-01-16 00:00:00"
+    ev.filter(F.col("ts") < cut).write.parquet(str(src / "b1.parquet"))
+    ev.filter(F.col("ts") >= cut).write.parquet(str(src / "b2.parquet"))
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    streamed = run_to_memory(
+        sessionize_gap(stream), "sess_stream", output_mode="update"
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.n_events, r.duration_us)
+        for r in streamed.collect()
+    }
+
+    batch = [
+        (r.user_id, r.session_start_us, r.n_events, r.duration_us)
+        for r in events_sessionize_gap(spark, SF_DIR).collect()
+    ]
+    last_start = {}
+    for u, s, n, d in batch:
+        if u not in last_start or s > last_start[u]:
+            last_start[u] = s
+    want = {(u, s, n, d) for u, s, n, d in batch if s != last_start[u]}
+    assert got == want
+    assert len(batch) - len(want) == len(last_start)  # one open session/user
+
+    # the twin's batch branch IS the registered query
+    union = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    twin = {
+        (r.user_id, r.session_start_us, r.n_events, r.duration_us)
+        for r in sessionize_gap(union).collect()
+    }
+    assert twin == set(batch)
