@@ -129,10 +129,11 @@ def jvm_diagnostics(spark) -> dict:
             "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator$"
         )
         mod = clazz.getField("MODULE$").get(None)
-        m = clazz.getDeclaredMethod("cache")
-        m.setAccessible(True)
-        cache = m.invoke(mod)
-        out["codegen_cache_entries"] = cache.size()
+        fld = clazz.getDeclaredField("cache")
+        fld.setAccessible(True)
+        # the field is Spark's NonFateSharingLoadingCache wrapper; its
+        # loadingCache() accessor exposes the shaded Guava cache with size()
+        out["codegen_cache_entries"] = fld.get(mod).loadingCache().size()
     except Exception:
         pass
     return out
