@@ -68,6 +68,24 @@ from kingsfoil_seed_data_ingestor_spark.session import get_spark, pin_comparable
 LINE_BUDGET = 1800
 
 
+def cpu_probe() -> float:
+    """Single-core host-speed witness: a fixed pure-Python integer
+    loop, timed. The absolute wall-times in this bench are only
+    comparable across rounds when the underlying host is — and the VM
+    the driver runs each round on can differ (observed in round 7: a
+    mid-round VM restart shifted EVERY query, and the isolated
+    ``tools/timeq.py`` numbers, uniformly ~1.4×, with zero steal time
+    and an idle machine — i.e. a slower host, not a slower engine).
+    Recording this probe beside the totals lets a cross-round reader
+    divide out host speed before concluding anything about the code."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i & 7
+    assert x > 0
+    return round(time.perf_counter() - t0, 4)
+
+
 def drain(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -262,6 +280,7 @@ def compact_line(
     cold: dict[str, float],
     streaming: dict[str, float],
     sf,
+    probe: float,
 ) -> str:
     """Build the stdout line under LINE_BUDGET chars: headline totals +
     as many of the slowest per-query warm timings as fit."""
@@ -272,6 +291,7 @@ def compact_line(
         "sf": sf,
         "cold_total": round(sum(t for t in cold.values() if t >= 0), 4),
         "n_queries": len(warm),
+        "cpu_probe": probe,
         "streaming": streaming,
         "detail": "BENCH_FULL.json",
         "queries": {},
@@ -298,11 +318,13 @@ def main() -> int:
     real_stdout = sys.stdout
     sys.stdout = sys.stderr
     try:
+        probe_pre = cpu_probe()
         spark = get_spark(app_name="kingsfoil-bench")
         pin_comparable_conf(spark)
         cold, warm = bench_batch(spark, sf_dir)
         jvm = jvm_diagnostics(spark)
         streaming = bench_streaming(spark, sf_dir)
+        probe = round(min(probe_pre, cpu_probe()), 4)
     finally:
         sys.stdout = real_stdout
 
@@ -314,6 +336,7 @@ def main() -> int:
             name: {"cold": cold.get(name, -1.0), "warm": warm[name]} for name in warm
         },
         "streaming": streaming,
+        "cpu_probe_sec": probe,
         "jvm": jvm,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -321,7 +344,7 @@ def main() -> int:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    print(compact_line(warm, cold, streaming, sf))
+    print(compact_line(warm, cold, streaming, sf, probe))
     return 0
 
 

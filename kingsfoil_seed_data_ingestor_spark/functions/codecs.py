@@ -738,10 +738,58 @@ def encode_wav_mulaw(samples, sample_rate: int) -> bytes:
     return struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(dat), b"WAVE") + fmt + dat
 
 
+# ----------------------------------------------------------------------
+# G.711 A-law WAV (format code 6, the E1-telephony companding twin)
+# ----------------------------------------------------------------------
+#
+# Same integer-exact property as mu-law: decode(encode(x)) is a
+# closed-form integer function (13-bit magnitude, 8 segments, 4-bit
+# mantissa, 0x55 toggle mask), so the registered query's oracle
+# recomputes the companding round trip and hash-checks amplitudes.
+# Segment/mantissa arithmetic follows the published G.711 A-law
+# tables (the classic public-domain g711.c formulation).
+
+
+def alaw_compress(samples) -> np.ndarray:
+    """int16 linear → uint8 A-law code (G.711)."""
+    x = np.asarray(samples, dtype=np.int64)
+    pos = x >= 0
+    mask = np.where(pos, 0xD5, 0x55)
+    a = np.where(pos, x, -x - 1) >> 3  # 13-bit magnitude, 0..4095
+    seg = np.zeros_like(a)
+    big = a >= 32
+    seg[big] = np.floor(np.log2(a[big])).astype(np.int64) - 4
+    m = np.where(seg < 2, a >> 1, a >> seg) & 0xF
+    return (((seg << 4) | m) ^ mask).astype(np.uint8)
+
+
+def alaw_expand(codes) -> np.ndarray:
+    """uint8 A-law code → int16 linear (G.711)."""
+    c = np.asarray(codes, dtype=np.int64) ^ 0x55
+    pos = (c & 0x80) != 0
+    seg = (c >> 4) & 7
+    t = (c & 0xF) << 4
+    val = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(pos, val, -val).astype(np.int16)
+
+
+def encode_wav_alaw(samples, sample_rate: int) -> bytes:
+    """Encode int16 mono samples as an A-law RIFF/WAVE file (format 6,
+    1 byte/sample)."""
+    data = alaw_compress(samples).tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 6, 1, sample_rate, sample_rate, 1, 8
+    )
+    dat = struct.pack("<4sI", b"data", len(data)) + data
+    if len(data) % 2:
+        dat += b"\x00"
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(dat), b"WAVE") + fmt + dat
+
+
 def decode_wav_any(payload: bytes) -> tuple[int, np.ndarray]:
     """Chunk-walking RIFF parse dispatching on the fmt code: PCM-16
-    (format 1) or mu-law (format 7), both mono → (rate, int16 array).
-    Raises on anything else."""
+    (format 1), A-law (format 6), or mu-law (format 7), all mono →
+    (rate, int16 array). Raises on anything else."""
     if len(payload) < 12:
         raise ValueError("truncated WAV")
     magic, _, wave = struct.unpack_from("<4sI4s", payload, 0)
@@ -755,7 +803,7 @@ def decode_wav_any(payload: bytes) -> tuple[int, np.ndarray]:
             afmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos
             )
-            if channels != 1 or (afmt, bits) not in ((1, 16), (7, 8)):
+            if channels != 1 or (afmt, bits) not in ((1, 16), (6, 8), (7, 8)):
                 raise ValueError(
                     f"unsupported WAV (fmt={afmt} ch={channels} bits={bits})"
                 )
@@ -766,6 +814,8 @@ def decode_wav_any(payload: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("WAV missing fmt or data chunk")
     if afmt == 1:
         return rate, np.frombuffer(data, dtype="<i2")
+    if afmt == 6:
+        return rate, alaw_expand(np.frombuffer(data, dtype=np.uint8))
     return rate, mulaw_expand(np.frombuffer(data, dtype=np.uint8))
 
 

@@ -652,6 +652,46 @@ def render_mulaw_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def render_alaw_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encoder kernel: a deterministic full-range int16 pattern per
+    document through the REAL G.711 A-law WAV encoder (format 6,
+    1 byte/sample). Pattern contract (oracle recomputes, including the
+    A-law companding round trip, in closed form): ``rate = 8000``,
+    ``n = 320 + (id % 6) * 80``, sample i =
+    ``((id*197 + i*23) % 65536) - 32768``. A-law is lossy but
+    integer-exact, so the oracle hashes reconstructed-amplitude
+    features (RMS, zero crossings), not just metadata."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kingsfoil_seed_data_ingestor_spark.functions.codecs import (
+            encode_wav_alaw,
+        )
+
+        for batch in batches:
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                n = int(320 + (d % 6) * 80)
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 197 + i * 23) % 65536) - 32768
+                payloads.append(encode_wav_alaw(samples, 8000))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    rendered = docs.select(id_col).mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+    return rendered.select(
+        "asset_id",
+        F.lit("audio/x-alaw-basic").alias("media_type"),
+        "payload",
+        F.length("payload").cast("long").alias("byte_size"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
 def frame_sample_plan(
     assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:

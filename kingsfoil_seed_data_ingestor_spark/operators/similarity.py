@@ -927,3 +927,91 @@ def near_dup_pairs_exact(
 
     out = grid.mapInPandas(gemm_cells, schema=out_schema)
     return scope.attach(out) if own else out
+
+
+def frozen_cluster_profile(
+    vectors: DataFrame,
+    codebook: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Corpus clustering with a FROZEN k-means codebook: hard-assign
+    every vector to its nearest centroid and profile each cluster —
+    size, majority ``label_col`` with its count and purity, and mean
+    cosine-to-centroid (cluster tightness). The topic-bucketing /
+    cluster-balance pass of a training-data pipeline, as the
+    assignment half of k-means with the iterative training factored
+    out into the shipped codebook (``operators/codebook.py``).
+
+    Everything is closed-form Column arithmetic with an exact SQL
+    twin: assignment is the same weak-dominance argmax as
+    ``knn_ivf_frozen`` (ties → lowest cluster); the cosine to the
+    ASSIGNED centroid is ``greatest(s_0..s_{nc-1}) / ||v||`` (the
+    argmax's score IS the greatest score, tie-insensitive because
+    tied scores are equal by definition); and the mean is a
+    per-row-rounded exact-decimal sum divided once — no
+    order-dependent float accumulation anywhere.
+
+    Scale shape: one scan computes all ``nc`` scores per row, the
+    per-(cluster,label) and per-cluster aggregates are map-side
+    partial on ≤ nc·|labels| groups, and the majority-label window
+    runs on aggregate-scale rows. Nothing shuffles at vector scale.
+    """
+    nc = len(codebook)
+    s_cols = [
+        F.expr(_codebook_score_sql(vec_col, c)).alias(f"_s{i}")
+        for i, c in enumerate(codebook)
+    ]
+    base = vectors.select(F.col(id_col), F.col(label_col), F.col(vec_col), *s_cols)
+
+    cluster = F.lit(nc - 1)
+    for c in range(nc - 2, -1, -1):
+        cond = F.lit(True)
+        for j in range(c + 1, nc):
+            cond = cond & (F.col(f"_s{c}") >= F.col(f"_s{j}"))
+        cluster = F.when(cond, F.lit(c)).otherwise(cluster)
+    cos = F.greatest(*[F.col(f"_s{i}") for i in range(nc)]) / l2_norm(
+        F.col(vec_col)
+    )
+    assigned = base.select(
+        cluster.cast("int").alias("cluster"),
+        F.col(label_col).alias("_lab"),
+        F.round(cos, 9).cast("decimal(18,12)").alias("_cos"),
+    )
+
+    per = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("_cos").alias("_sc"),
+    )
+    lab = assigned.groupBy("cluster", "_lab").agg(
+        F.count(F.lit(1)).alias("_ln")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("_ln"), F.asc("_lab"))
+    top = (
+        lab.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "cluster",
+            F.col("_lab").alias("top_label"),
+            F.col("_ln").alias("top_label_n"),
+        )
+    )
+    return (
+        per.join(top, "cluster")
+        .select(
+            "cluster",
+            "n_vectors",
+            "top_label",
+            "top_label_n",
+            F.round(
+                F.col("top_label_n").cast("double") / F.col("n_vectors"), 6
+            ).alias("purity"),
+            F.round(
+                F.col("_sc").cast("decimal(24,12)").cast("double")
+                / F.col("n_vectors"),
+                6,
+            ).alias("avg_cosine"),
+        )
+        .orderBy("cluster")
+    )

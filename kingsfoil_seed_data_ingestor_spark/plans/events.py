@@ -757,3 +757,240 @@ def events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_set_bits",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# round 7 (cont.): binned non-equi range join, GROUPING SETS, pivot →
+# unpivot round trip — the remaining relational surface
+# ----------------------------------------------------------------------
+
+#: deterministic incident-window table: 3 maintenance slots per day of
+#: Jan 2024, start = day d at hour (k*8 + d%3), 45 minutes each —
+#: integer epoch arithmetic both engines reproduce exactly
+_JAN1_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_INC_DUR_US = 45 * 60 * 1_000_000
+_HOUR_US = 3_600 * 1_000_000
+
+
+@_register(
+    "events_incident_range_join",
+    priority=70,  # overflow: interval_join (equi+range) reps the family in-window
+    oracle=f"""
+    WITH inc AS (
+        SELECT (1 + id // 3) * 10 + (id % 3) AS incident_id,
+               {_JAN1_US} + ((id // 3) * 86400
+                   + ((id % 3) * 8 + (1 + id // 3) % 3) * 3600) * 1000000
+                   AS start_us
+        FROM range(90) AS t(id)
+    ),
+    w AS (SELECT incident_id, start_us, start_us + {_INC_DUR_US} AS end_us FROM inc),
+    bins AS (
+        SELECT incident_id, start_us, end_us, UNNEST(list_distinct(
+            [start_us // {_HOUR_US}, (end_us - 1) // {_HOUR_US}])) AS bin
+        FROM w
+    ),
+    ev AS (
+        SELECT event_type, value, epoch_us(ts) AS us,
+               epoch_us(ts) // {_HOUR_US} AS bin
+        FROM events
+    )
+    SELECT incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(24,6))
+                AS DOUBLE) AS total_value
+    FROM ev JOIN bins ON ev.bin = bins.bin
+    WHERE us >= start_us AND us < end_us
+    GROUP BY incident_id
+    ORDER BY incident_id
+    """,
+    doc="Non-equi RANGE JOIN via interval binning — the manual form of "
+    "the range-join-hint technique: events fall inside deterministic "
+    "45-minute maintenance windows that share NO equi key with the "
+    "fact stream. A naive theta join is a broadcast-nested-loop over "
+    "every (event, window) pair; binning makes it an EQUI join: each "
+    "window explodes to the 1-2 hour buckets it overlaps (duration < "
+    "bin width bounds the fanout), each event maps to exactly one "
+    "bucket, the join runs hash-partitioned on the bucket, and the "
+    "true containment predicate applies as a cheap residual. At "
+    "100 TB both sides stay distributed — no broadcast requirement, "
+    "shuffle keyed on time buckets (naturally balanced for "
+    "time-uniform data; a hot bucket would take the same salting as "
+    "events_topk_salted). Epoch arithmetic is integer-exact in both "
+    "engines; value sums are decimal-exact.",
+)
+def events_incident_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = F.col("id")
+    day = (idx / 3).cast("long")  # 0-based day index
+    slot = idx % 3
+    start_us = (
+        F.lit(_JAN1_US)
+        + (day * 86400 + (slot * 8 + (day + 1) % 3) * 3600) * 1_000_000
+    )
+    windows = (
+        spark.range(90)
+        .select(
+            ((day + 1) * 10 + slot).alias("incident_id"),
+            start_us.alias("start_us"),
+            (start_us + _INC_DUR_US).alias("end_us"),
+        )
+        .select(
+            "incident_id", "start_us", "end_us",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        (F.col("start_us") / _HOUR_US).cast("long"),
+                        ((F.col("end_us") - 1) / _HOUR_US).cast("long"),
+                    )
+                )
+            ).alias("bin"),
+        )
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ev = ev.withColumn("bin", (F.col("us") / _HOUR_US).cast("long"))
+    joined = ev.join(windows, "bin").filter(
+        (F.col("us") >= F.col("start_us")) & (F.col("us") < F.col("end_us"))
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(24,6)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@_register(
+    "events_grouping_sets",
+    priority=70,  # overflow: rollup/cube rep the grouping-sets family in-window
+    oracle=f"""
+    SELECT event_type,
+           (epoch_us(ts) // {_DAY_US}) % 7 AS day_idx,
+           CAST(GROUPING(event_type, (epoch_us(ts) // {_DAY_US}) % 7) AS INT)
+               AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(24,6))
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (event_type, (epoch_us(ts) // {_DAY_US}) % 7),
+        (event_type),
+        ((epoch_us(ts) // {_DAY_US}) % 7),
+        ()
+    )
+    """,
+    doc="Arbitrary GROUPING SETS — the general grouping-lattice form "
+    "beyond ROLLUP (rollup_doc_counts) and CUBE (events_cube_hourly): "
+    "(type, weekday-index), (type), (weekday), and the grand total in "
+    "ONE pass, with GROUPING() bit-vectors disambiguating real NULLs "
+    "from subtotal rows. The weekday is an integer epoch-day mod 7 "
+    "(engine-independent; named day-of-week functions differ on "
+    "locale). Plan: Spark expands the four sets into one Expand node "
+    "feeding a single map-side-partial hash aggregate — 4 sets cost "
+    "one shuffle, not four scans; exactly the 100 TB shape for "
+    "dashboard subtotal fan-out. Value sums decimal-exact.",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) / _DAY_US).cast("long")
+            % 7
+        ).alias("day_idx"),
+    )
+    return ev.groupingSets(
+        [
+            [F.col("event_type"), F.col("day_idx")],
+            [F.col("event_type")],
+            [F.col("day_idx")],
+            [],
+        ],
+        F.col("event_type"),
+        F.col("day_idx"),
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(24,6)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "events_pivot_unpivot",
+    priority=70,  # overflow: q12's CASE-pivot reps the pivot family in-window
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day_idx FROM events
+    ),
+    types AS (
+        SELECT UNNEST(['{"', '".join(_PIVOT_TYPES)}']) AS event_type
+    ),
+    counts AS (
+        SELECT epoch_us(ts) // {_DAY_US} AS day_idx, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.day_idx, t.event_type,
+           COALESCE(c.n_events, 0) AS n_events
+    FROM days d CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.day_idx = d.day_idx AND c.event_type = t.event_type
+    ORDER BY d.day_idx, t.event_type
+    """,
+    doc="PIVOT → UNPIVOT round trip: daily event counts pivot to one "
+    "column per event type (EXPLICIT value list — pivot without one "
+    "costs an extra distinct-collection job and unbounded-width risk "
+    "at scale), then melt back to long form. The round trip is NOT a "
+    "no-op: pivot materializes absent (day, type) combinations as "
+    "NULL, so the unpivoted output carries explicit zeros for them — "
+    "which is what the oracle pins via its day×type cross join. "
+    "Plan: one shuffle for the (day, type) count, pivot and unpivot "
+    "are both projection-only on the aggregated (entity-scale) frame.",
+)
+def events_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / _DAY_US)
+        .cast("long")
+        .alias("day_idx"),
+        "event_type",
+    )
+    wide = (
+        ev.groupBy("day_idx")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot(
+            ids=["day_idx"],
+            values=list(_PIVOT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="_n",
+        )
+        .select(
+            "day_idx",
+            "event_type",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("day_idx", "event_type")
+    )

@@ -2646,3 +2646,227 @@ def multimodal_audio_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rms_level").cast("decimal(18,6)")).cast("double"), 6
         ).alias("sum_rms"),
     )
+
+
+def _kmeans_profile_oracle() -> str:
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01 as CB,
+    )
+
+    nc = len(CB)
+    s_exprs = ",\n               ".join(
+        f"{_sql_cb_score('embedding', CB[i])} AS s{i}" for i in range(nc)
+    )
+    greatest = "greatest(" + ", ".join(f"s{i}" for i in range(nc)) + ")"
+    return f"""
+    WITH s AS (
+        SELECT vec_id, label, embedding,
+               {s_exprs}
+        FROM embeddings
+    ),
+    a AS (
+        SELECT label AS _lab,
+               {_sql_cb_assign_case(nc)} AS cluster,
+               CAST(round({greatest} / sqrt({sql_dot('embedding', 'embedding')}), 9)
+                    AS DECIMAL(18,12)) AS _cos
+        FROM s
+    ),
+    per AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               SUM(_cos) AS sc
+        FROM a GROUP BY cluster
+    ),
+    lab AS (
+        SELECT cluster, _lab, CAST(COUNT(*) AS BIGINT) AS ln
+        FROM a GROUP BY cluster, _lab
+    ),
+    top AS (
+        SELECT cluster, _lab AS top_label, ln AS top_label_n
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY cluster ORDER BY ln DESC, _lab
+            ) AS r FROM lab
+        ) WHERE r = 1
+    )
+    SELECT p.cluster, p.n_vectors, t.top_label, t.top_label_n,
+           round(CAST(t.top_label_n AS DOUBLE) / p.n_vectors, 6) AS purity,
+           round(CAST(CAST(sc AS DECIMAL(24,12)) AS DOUBLE) / p.n_vectors, 6)
+               AS avg_cosine
+    FROM per p JOIN top t ON p.cluster = t.cluster
+    ORDER BY p.cluster
+    """
+
+
+@register(
+    "corpus_kmeans_clusters",
+    priority=70,  # overflow: the frozen-codebook family's in-window reps cover the shape
+    oracle=_kmeans_profile_oracle(),
+    doc="Corpus topic clustering with the frozen k-means codebook "
+    "(operators/similarity.py frozen_cluster_profile): hard-assign "
+    "every embedding to its nearest trained centroid and profile "
+    "each cluster — size, majority source label + purity, and mean "
+    "cosine tightness. This is the cluster-based curation pass of a "
+    "training-data pipeline (topic bucketing, cluster balancing, "
+    "semantic filtering) expressed as the assignment half of k-means "
+    "with training factored into the shipped codebook, so the WHOLE "
+    "pass is closed-form and hash-checks cross-engine (assignment "
+    "argmax, greatest-score cosine, per-row-rounded decimal mean). "
+    "Plan: one embeddings scan computes all 8 centroid scores "
+    "in-line; both aggregates are map-side partial on ≤ 8·|labels| "
+    "groups; the majority-label window runs at aggregate scale. "
+    "Nothing shuffles at vector scale — at 100 TB this is a single "
+    "pass over the embedding column.",
+)
+def corpus_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01,
+    )
+
+    return SIM.frozen_cluster_profile(
+        load(spark, sf_dir, "embeddings"), FROZEN_IVF_SF0_01
+    )
+
+
+_SQL_ALAW_SEG = (
+    "CASE WHEN x13 < 32 THEN 0 WHEN x13 < 64 THEN 1 WHEN x13 < 128 THEN 2 "
+    "WHEN x13 < 256 THEN 3 WHEN x13 < 512 THEN 4 WHEN x13 < 1024 THEN 5 "
+    "WHEN x13 < 2048 THEN 6 ELSE 7 END"
+)
+
+
+@register(
+    "multimodal_wav_alaw",
+    priority=80,  # overflow band: full-range scalar-reference parity is the hard gate
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, 320 + (doc_id % 6) * 80 AS n
+        FROM documents WHERE doc_id < 20
+    ),
+    raw AS (
+        SELECT doc_id, n, i, ((doc_id*197 + i*23) % 65536) - 32768 AS v
+        FROM p, unnest(range(n)) AS u(i)
+    ),
+    st AS (
+        SELECT doc_id, n, i, v,
+               (CASE WHEN v >= 0 THEN v ELSE -v - 1 END) >> 3 AS x13
+        FROM raw
+    ),
+    sg AS (SELECT doc_id, n, i, v, x13, {_SQL_ALAW_SEG} AS seg FROM st),
+    mv AS (
+        SELECT doc_id, n, i, v, seg,
+               (CASE WHEN seg < 2 THEN x13 >> 1 ELSE x13 >> seg END) & 15 AS m
+        FROM sg
+    ),
+    de AS (
+        SELECT doc_id, n, i,
+               (CASE WHEN v >= 0 THEN 1 ELSE -1 END)
+               * (CASE WHEN seg = 0 THEN m*16 + 8
+                       ELSE (m*16 + 264) << (seg - 1) END) AS dec
+        FROM mv
+    ),
+    lagged AS (
+        SELECT doc_id, i, dec,
+               lag(dec) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM de
+    ),
+    zc AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i > 0 AND (dec < 0) <> (prev < 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+        FROM lagged GROUP BY doc_id
+    ),
+    feat AS (
+        SELECT doc_id, MAX(n) AS n,
+               round(sqrt(SUM(dec * dec) * 1.0 / MAX(n)), 6) AS rms_level
+        FROM de GROUP BY doc_id
+    )
+    SELECT feat.doc_id AS asset_id,
+           CAST(8000 AS INT) AS sample_rate,
+           round(n / 8000.0, 6) AS duration_sec,
+           rms_level,
+           zc.n_crossings
+    FROM feat JOIN zc ON feat.doc_id = zc.doc_id
+    """,
+    doc="REAL G.711 A-law codec path end to end — the E1-telephony "
+    "twin of the mu-law query: a full-range int16 pattern per doc is "
+    "companded through the pure-Python A-law WAV encoder (format 6, "
+    "1 byte/sample), shipped as a binary column, and expanded back by "
+    "the independent chunk-walking decoder inside the Arrow kernel. "
+    "A-law is lossy but INTEGER-EXACT (13-bit magnitude, 8 segments, "
+    "4-bit mantissa, 0x55 toggle mask), so the oracle recomputes the "
+    "companding round trip in closed form and hash-checks "
+    "reconstructed-amplitude features (integer-exact RMS, zero "
+    "crossings). A segment-boundary, mantissa-shift, or mask bug on "
+    "either side breaks the hash; full-range parity with the classic "
+    "g711.c scalar reference is pinned in pytest.",
+)
+def multimodal_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = MM.render_alaw_assets(docs)
+    return MM.extract_audio_features(assets).select(
+        "asset_id", "sample_rate", "duration_sec", "rms_level", "n_crossings"
+    )
+
+
+#: per-source document cap — the "per-domain quota" of web-corpus
+#: curation. Selection order inside a stratum is the md5 of the text
+#: (deterministic, content-uniform, engine-identical), doc_id breaking
+#: the (practically impossible) digest tie.
+SOURCE_QUOTA = 40
+
+
+@register(
+    "corpus_source_quota",
+    priority=70,  # overflow: sample_stratified reps the sampling family in-window
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY md5(text), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {SOURCE_QUOTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > {SOURCE_QUOTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn <= {SOURCE_QUOTA} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source quota capping — the per-domain cap of web-corpus "
+    "curation (keep at most N documents per domain so no single "
+    "source dominates the mix), complementing rate-based "
+    "sample_stratified: a cap bounds ABSOLUTE contribution, a rate "
+    "scales it. Selection inside each stratum orders by md5(text) — "
+    "deterministic, content-uniform, engine-identical — so the kept "
+    "set is reproducible across runs and engines, and the oracle "
+    "hash-checks kept/dropped counts AND the kept character mass. "
+    "Plan: one shuffle on source for the ranking window; a skewed "
+    "mega-source would take the salted two-phase decomposition of "
+    "events_topk_salted (rank within (source, salt) first, keep "
+    "<= N per lane, re-rank survivors — exact for top-N selection).",
+)
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars", "text", "doc_id")
+    w = W.partitionBy("source").orderBy(F.md5("text"), F.asc("doc_id"))
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= SOURCE_QUOTA
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1843,3 +1843,85 @@ def test_tiff_query_features_match_closed_form(spark):
         r = feats[d]
         assert (r.width, r.height, r.channels) == (w, h, 3)
         assert r.mean_luma == round(float(px.mean()) / 255.0, 6)
+
+
+def test_frozen_cluster_profile_semantics(spark):
+    """Cluster-profile invariants at sf0.001: assignment is total (sizes
+    sum to the corpus), clusters come from the codebook range, purity
+    and tightness are sane, and the majority label really is the mode
+    of its cluster (cross-checked against a direct assignment count)."""
+    from kingsfoil_seed_data_ingestor_spark.operators.codebook import (
+        FROZEN_IVF_SF0_01,
+    )
+    from kingsfoil_seed_data_ingestor_spark.operators.similarity import (
+        frozen_cluster_profile,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    total = emb.count()
+    rows = frozen_cluster_profile(emb, FROZEN_IVF_SF0_01).collect()
+
+    assert sum(r.n_vectors for r in rows) == total
+    assert {r.cluster for r in rows} <= set(range(len(FROZEN_IVF_SF0_01)))
+    for r in rows:
+        assert 1 <= r.top_label_n <= r.n_vectors
+        assert 0.0 < r.purity <= 1.0
+        assert abs(r.purity - r.top_label_n / r.n_vectors) < 1e-6
+        # scores are cosines to the NEAREST centroid of a codebook
+        # trained on this data's sf0.01 sibling: bounded and not
+        # degenerate-negative on average
+        assert -1.0 <= r.avg_cosine <= 1.0
+        assert r.avg_cosine > 0.0
+
+
+def test_alaw_codec_full_range_parity_and_dispatch():
+    """A-law compress/expand match the classic public-domain g711.c
+    scalar reference over the ENTIRE int16 range, the round trip is
+    idempotent, and the RIFF dispatcher routes format 6 correctly."""
+    import numpy as np
+
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    seg_end = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+    def ref_l2a(pcm):
+        pcm >>= 3
+        if pcm >= 0:
+            mask = 0xD5
+        else:
+            mask, pcm = 0x55, -pcm - 1
+        seg = next((i for i, e in enumerate(seg_end) if pcm <= e), 8)
+        if seg >= 8:
+            return 0x7F ^ mask
+        aval = seg << 4
+        aval |= (pcm >> 1 if seg < 2 else pcm >> seg) & 0xF
+        return aval ^ mask
+
+    def ref_a2l(a):
+        a ^= 0x55
+        t = (a & 0xF) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    assert np.array_equal(
+        codecs.alaw_compress(xs),
+        np.array([ref_l2a(int(v)) for v in xs], dtype=np.uint8),
+    )
+    codes = np.arange(256, dtype=np.int64)
+    assert np.array_equal(
+        codecs.alaw_expand(codes),
+        np.array([ref_a2l(int(c)) for c in codes], dtype=np.int16),
+    )
+    d1 = codecs.alaw_expand(codecs.alaw_compress(xs))
+    assert np.array_equal(codecs.alaw_expand(codecs.alaw_compress(d1)), d1)
+
+    rate, back = codecs.decode_wav_any(codecs.encode_wav_alaw(xs[:1000], 8000))
+    assert rate == 8000
+    assert np.array_equal(back, d1[:1000])
