@@ -935,6 +935,7 @@ def frozen_cluster_profile(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Corpus clustering with a FROZEN k-means codebook: hard-assign
     every vector to its nearest centroid and profile each cluster —
@@ -953,10 +954,13 @@ def frozen_cluster_profile(
     per-row-rounded exact-decimal sum divided once — no
     order-dependent float accumulation anywhere.
 
-    Scale shape: one scan computes all ``nc`` scores per row, the
-    per-(cluster,label) and per-cluster aggregates are map-side
-    partial on ≤ nc·|labels| groups, and the majority-label window
-    runs on aggregate-scale rows. Nothing shuffles at vector scale.
+    Scale shape: ONE scan computes all ``nc`` scores per row and
+    feeds a single vector-scale aggregation to (cluster, label)
+    partials (map-side combinable, ≤ nc·|labels| groups); the
+    per-cluster totals, majority-label window, and final join all run
+    on the PERSISTED aggregate — the persist is what keeps it to one
+    scan (the two consumers prune different columns, so Catalyst
+    cannot reuse their exchanges). Nothing shuffles at vector scale.
     """
     nc = len(codebook)
     s_cols = [
@@ -980,12 +984,22 @@ def frozen_cluster_profile(
         F.round(cos, 9).cast("decimal(18,12)").alias("_cos"),
     )
 
-    per = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.sum("_cos").alias("_sc"),
+    # ONE vector-scale aggregation: per-(cluster,label) partials carry
+    # both the counts and the decimal cosine sums, and the per-cluster
+    # totals re-aggregate from them (exact decimal addition is
+    # associative, so the two-level sum is bit-identical to a direct
+    # one) — the nc×dim score computation runs over the data once,
+    # with the aggregate persisted so its two consumers share it.
+    scope, own = scope_or_own(scope)
+    lab = scope.persist(
+        assigned.groupBy("cluster", "_lab").agg(
+            F.count(F.lit(1)).alias("_ln"),
+            F.sum("_cos").alias("_lsc"),
+        )
     )
-    lab = assigned.groupBy("cluster", "_lab").agg(
-        F.count(F.lit(1)).alias("_ln")
+    per = lab.groupBy("cluster").agg(
+        F.sum("_ln").alias("n_vectors"),
+        F.sum("_lsc").alias("_sc"),
     )
     w = Window.partitionBy("cluster").orderBy(F.desc("_ln"), F.asc("_lab"))
     top = (
@@ -997,7 +1011,7 @@ def frozen_cluster_profile(
             F.col("_ln").alias("top_label_n"),
         )
     )
-    return (
+    out = (
         per.join(top, "cluster")
         .select(
             "cluster",
@@ -1015,3 +1029,4 @@ def frozen_cluster_profile(
         )
         .orderBy("cluster")
     )
+    return scope.attach(out) if own else out
