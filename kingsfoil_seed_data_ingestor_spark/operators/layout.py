@@ -94,3 +94,77 @@ def files_touched(spark: SparkSession, path: str, predicate) -> tuple[int, int]:
         df.select(F.input_file_name().alias("f")).distinct().count()
     )
     return touched, total
+
+
+def morton_interleave(a, b, bits: int = 16):
+    """Morton (Z-order) code: interleave the low ``bits`` bits of two
+    non-negative integer Columns — a at odd positions, b at even — so
+    locality in EITHER dimension becomes locality in the code. Pure
+    Column arithmetic (shift/and/or), constant-folded by codegen into
+    one expression; no UDF."""
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        # bit positions are disjoint, so + IS the bitwise OR here
+        code = (
+            code
+            + F.shiftleft((F.shiftright(a, i) % 2).cast("long"), 2 * i + 1)
+            + F.shiftleft((F.shiftright(b, i) % 2).cast("long"), 2 * i)
+        )
+    return code
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet write — the TWO-dimensional extension
+    of ``write_range_clustered``: min/max-scale both cluster columns
+    to ``bits``-bit buckets, interleave them into a Morton code, and
+    range-partition + sort on the code. Each output file then covers a
+    small RECTANGLE of (a, b) space rather than a slice of one column,
+    so parquet min/max stats skip files for predicates on EITHER
+    column (a single-column layout only skips for its own column — a
+    filter on the other one touches every file). The pinned test:
+    a filter on the non-clustered dimension touches ~all files of a
+    range-clustered layout but only ~1/4 of the Z-ordered one.
+
+    Scale shape: one 4-value aggregate for the bounds (broadcast
+    back), one range exchange on the code (sampled boundaries), and
+    the in-file sort — identical cost profile to the single-column
+    writer. Production systems expose exactly this as OPTIMIZE ...
+    ZORDER BY; here it is three Column expressions and a writer."""
+    lo_a, hi_a = F.min(F.col(col_a)), F.max(F.col(col_a))
+    stats = df.agg(
+        lo_a.alias("_la"), hi_a.alias("_ha"),
+        F.min(F.col(col_b)).alias("_lb"), F.max(F.col(col_b)).alias("_hb"),
+    )
+    top = float((1 << bits) - 1)
+
+    def bucket(col, lo, hi):
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        frac = (F.col(col) - F.col(lo)).cast("double") / span
+        return F.least(
+            F.floor(frac * top).cast("long"), F.lit((1 << bits) - 1)
+        )
+
+    coded = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_z",
+            morton_interleave(
+                bucket(col_a, "_la", "_ha"), bucket(col_b, "_lb", "_hb"), bits
+            ),
+        )
+        .drop("_la", "_ha", "_lb", "_hb")
+    )
+    (
+        coded.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

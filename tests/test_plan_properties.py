@@ -283,3 +283,43 @@ def test_range_clustered_write_skips_files(spark, tmp_path):
     assert c_total == 8 and s_total == 8, (c_total, s_total)
     assert c_touched <= 3, ("range layout must localize the range", c_touched)
     assert s_touched >= 6, ("round-robin control should scatter", s_touched)
+
+
+def test_zorder_clustered_write_skips_files_on_both_dims(spark, tmp_path):
+    """Z-order vs single-column clustering on a 1000×1000 grid: a
+    filter on the NON-clustered dimension touches ~every file of the
+    single-column layout (its files each span all of y) but only a
+    fraction of the Z-ordered one (its files cover rectangles, so y
+    min/max stats prune) — while the Z layout stays competitive on
+    the clustered dimension too. The measured file counts ARE the
+    operator's value; assertions leave slack for boundary files."""
+    from kingsfoil_seed_data_ingestor_spark.operators.layout import (
+        files_touched,
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    grid = spark.range(20_000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    y_pred = F.col("y").between(100, 149)  # 5% of y-space, any x
+    box_pred = F.col("x").between(100, 149) & F.col("y").between(100, 149)
+
+    zpath = str(tmp_path / "grid_zorder")
+    write_zorder_clustered(grid, zpath, "x", "y", n_files=16)
+    xpath = str(tmp_path / "grid_xrange")
+    write_range_clustered(grid, xpath, "x", n_files=16)
+
+    zy, zt = files_touched(spark, zpath, y_pred)
+    xy, xt = files_touched(spark, xpath, y_pred)
+    assert zt == 16 and xt == 16, (zt, xt)
+    # x-clustered layout: every x-slice file contains the y-band
+    assert xy >= 14, ("x-clustered control should touch ~all files", xy)
+    # z-ordered: the y-band pins interleaved prefix bits -> ~1/4 of files
+    assert zy <= 8, ("z-order must localize the non-primary dimension", zy)
+
+    zb, _ = files_touched(spark, zpath, box_pred)
+    xb, _ = files_touched(spark, xpath, box_pred)
+    assert zb <= 4, ("z-order should localize a 2D box tightly", zb)
+    assert zb <= xb + 1, ("z should not lose to x-clustering on a box", zb, xb)
