@@ -2870,3 +2870,46 @@ def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "documents_length_histogram",
+    priority=70,  # overflow: quantiles/sketch rep the distribution family in-window
+    oracle="""
+    SELECT CAST(length(bin(CAST(n_chars AS BIGINT))) AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Power-of-two length histogram — the standard distribution "
+    "profile for corpus length fields (each bucket spans [2^(k-1), "
+    "2^k)): the bucket is the INTEGER BIT LENGTH of n_chars "
+    "(length of its binary rendering), not floor(log2(x)) on doubles "
+    "— float log2 can ulp-flip at exact powers of two and break the "
+    "cross-engine hash; bit length is integer-exact in both engines. "
+    "Plan: one scan of one column, a ~15-group map-side-partial "
+    "aggregate — at 100 TB this is the cheapest possible full-corpus "
+    "profile, and the log-scale buckets stay balanced no matter how "
+    "heavy the length tail is (a linear-bucket histogram needs a "
+    "second pass to size its buckets; the quantile sketch "
+    "text_length_quantile_sketch is the arbitrary-quantile path).",
+)
+def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    bucket = F.length(F.bin(F.col("n_chars"))).cast("int")
+    return (
+        docs.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("log2_bucket")
+    )
