@@ -86,6 +86,31 @@ def cpu_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _spin(_):
+    x = 0
+    for i in range(10_000_000):
+        x += i & 7
+    return x
+
+
+def cpu_probe_mc(workers: int = 8) -> float:
+    """Multi-core twin of ``cpu_probe``: the same fixed loop in
+    ``workers`` concurrent PROCESSES (the GIL rules out threads),
+    timed end to end. Diagnoses the failure mode the single-core probe
+    misses: on a shared host, per-core speed can hold steady while
+    aggregate multi-core throughput degrades (noisy neighbors) — which
+    is what a 32-thread local Spark suite actually experiences. Seen
+    in round 7: suite totals drifted 87→111 s across an afternoon with
+    the single-core probe flat at ~0.41-0.43 s."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    ctx = mp.get_context("fork")
+    with ctx.Pool(workers) as pool:
+        pool.map(_spin, range(workers))
+    return round(time.perf_counter() - t0, 4)
+
+
 def drain(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -281,6 +306,7 @@ def compact_line(
     streaming: dict[str, float],
     sf,
     probe: float,
+    probe_mc: float = -1.0,
 ) -> str:
     """Build the stdout line under LINE_BUDGET chars: headline totals +
     as many of the slowest per-query warm timings as fit."""
@@ -292,6 +318,7 @@ def compact_line(
         "cold_total": round(sum(t for t in cold.values() if t >= 0), 4),
         "n_queries": len(warm),
         "cpu_probe": probe,
+        "cpu_probe_mc": probe_mc,
         "streaming": streaming,
         "detail": "BENCH_FULL.json",
         "queries": {},
@@ -325,6 +352,7 @@ def main() -> int:
         jvm = jvm_diagnostics(spark)
         streaming = bench_streaming(spark, sf_dir)
         probe = round(min(probe_pre, cpu_probe()), 4)
+        probe_mc = cpu_probe_mc()
     finally:
         sys.stdout = real_stdout
 
@@ -337,6 +365,7 @@ def main() -> int:
         },
         "streaming": streaming,
         "cpu_probe_sec": probe,
+        "cpu_probe_mc_sec": probe_mc,
         "jvm": jvm,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -344,7 +373,7 @@ def main() -> int:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    print(compact_line(warm, cold, streaming, sf, probe))
+    print(compact_line(warm, cold, streaming, sf, probe, probe_mc))
     return 0
 
 
