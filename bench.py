@@ -101,7 +101,16 @@ def cpu_probe_mc(workers: int = 8) -> float:
     aggregate multi-core throughput degrades (noisy neighbors) — which
     is what a 32-thread local Spark suite actually experiences. Seen
     in round 7: suite totals drifted 87→111 s across an afternoon with
-    the single-core probe flat at ~0.41-0.43 s."""
+    the single-core probe flat at ~0.41-0.43 s.
+
+    ADVICE r7 #2: forking a multithreaded parent (live py4j/JVM
+    session) can deadlock children and the 8 forked copies of an
+    RSS-heavy driver perturb the measurement itself — so ``main()``
+    only calls this OUTSIDE the Spark session window (before
+    ``get_spark()`` and after ``spark.stop()``), where fork is a
+    single-threaded, small-RSS parent and remains the cheap, exec-free
+    choice (spawn would bill each worker a full re-import of this
+    module, pyspark included)."""
     import multiprocessing as mp
 
     t0 = time.perf_counter()
@@ -182,9 +191,28 @@ def jvm_diagnostics(spark) -> dict:
     return out
 
 
+#: warm > cold × this ratio is treated as an invariant violation (cold
+#: includes the query's whole-stage-codegen compile, so steady-state warm
+#: above it means the warm pass was externally perturbed, not the engine)
+WARM_COLD_RATIO = 1.2
+#: ...but only when the absolute excess is non-trivial: sub-150 ms
+#: queries flip the ratio on scheduler noise alone and a retry storm on
+#: them would cost more than it defends
+WARM_COLD_ABS_FLOOR = 0.15
+#: bounded extra warm passes per violating query (keep the min)
+WARM_RETRY_PASSES = 2
+#: record a cpu_probe sample every N queries inside the warm phase so
+#: per-query host speed is attributable after the fact (VERDICT r7 #1b)
+PROBE_EVERY = 30
+
+
 def bench_batch(
-    spark, sf_dir: str, queries=None, two_phase: bool = True
-) -> tuple[dict[str, float], dict[str, float]]:
+    spark,
+    sf_dir: str,
+    queries=None,
+    two_phase: bool = True,
+    probe_timeline: list | None = None,
+) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
     """Cold pass + best-of-2 warm per query.
 
     ``two_phase`` (round-7 default, PERF_NOTES §r7): ALL cold passes run
@@ -203,10 +231,34 @@ def bench_batch(
     the steady-state throughput of a fully-compiled session and stay
     comparable round-over-round regardless of how many queries the
     registry gains. Cold numbers keep the old semantics exactly
-    (first execution, compile included)."""
+    (first execution, compile included).
+
+    Round-8 hardening (VERDICT r7 #1): the r7 driver run recorded seven
+    queries with warm times 3-16× ABOVE their own cold times — a
+    physically impossible steady state (cold includes codegen compile)
+    caused by mid-run host slowdown landing in the warm-phase tail.
+    Isolated re-runs reproduced the r6 numbers exactly, so the engine
+    was fine but the recorded numbers were garbage and nothing in the
+    harness defended them. Two defenses now:
+
+    * warm > cold × ``WARM_COLD_RATIO`` (and excess > the absolute
+      floor) triggers up to ``WARM_RETRY_PASSES`` extra warm passes,
+      keeping the min — a transient host stall has to persist across
+      FOUR separated passes to survive into the record. Retry counts
+      are returned so BENCH_FULL.json shows which rows were defended.
+    * a ``cpu_probe`` sample is appended to ``probe_timeline`` at each
+      phase boundary and every ``PROBE_EVERY`` warm queries, so a
+      cross-round reader can attribute any residual drift to host
+      speed at the moment each query ran.
+    """
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    retries: dict[str, int] = {}
     items = list((queries or QUERIES).items())
+    timeline = probe_timeline if probe_timeline is not None else []
+
+    def mark(label: str) -> None:
+        timeline.append({"at": label, "cpu_probe": cpu_probe()})
 
     def cold_pass(name, q) -> bool:
         _reset(spark)
@@ -220,24 +272,48 @@ def bench_batch(
         cold[name] = round(time.perf_counter() - t0, 4)
         return True
 
+    def one_warm(name, q) -> None:
+        _reset(spark)
+        t0 = time.perf_counter()
+        drain(q.spark(spark, sf_dir))
+        t = round(time.perf_counter() - t0, 4)
+        if name not in warm or t < warm[name]:
+            warm[name] = t
+
     def warm_passes(name, q) -> None:
         for _ in range(2):
-            _reset(spark)
-            t0 = time.perf_counter()
-            drain(q.spark(spark, sf_dir))
-            t = round(time.perf_counter() - t0, 4)
-            if name not in warm or t < warm[name]:
-                warm[name] = t
+            one_warm(name, q)
+        # invariant defense: steady-state warm can't exceed compile-
+        # inclusive cold; if it does, the warm window was perturbed —
+        # re-measure (bounded) and keep the min
+        while (
+            retries.get(name, 0) < WARM_RETRY_PASSES
+            and cold[name] >= 0
+            and warm[name] > cold[name] * WARM_COLD_RATIO
+            and warm[name] - cold[name] > WARM_COLD_ABS_FLOOR
+        ):
+            retries[name] = retries.get(name, 0) + 1
+            print(
+                f"[bench] {name} warm {warm[name]} > cold {cold[name]} "
+                f"x{WARM_COLD_RATIO}: retry {retries[name]}",
+                file=sys.stderr,
+            )
+            one_warm(name, q)
 
     if two_phase:
+        mark("cold_start")
         ok = [(name, q) for name, q in items if cold_pass(name, q)]
-        for name, q in ok:
+        mark("warm_start")
+        for i, (name, q) in enumerate(ok):
+            if i and i % PROBE_EVERY == 0:
+                mark(f"warm_q{i}")
             warm_passes(name, q)
+        mark("warm_end")
     else:
         for name, q in items:
             if cold_pass(name, q):
                 warm_passes(name, q)
-    return cold, warm
+    return cold, warm, retries
 
 
 def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
@@ -288,11 +364,57 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
             "update",
         )
         out["stream_events_kmv"] = round(time.perf_counter() - t0, 4)
+
+        # fourth micro-bench (round 8, VERDICT r7 #4): stream-stream
+        # interval join with two-sided watermarks — the state-heaviest
+        # streaming operator; its state bound is pytest-pinned in
+        # test_correlate_events_join_state_bounded. The feed is TIME-
+        # ORDERED (range-partitioned on ts, mtimes set to range order):
+        # an interval join replays history in event-time order — on a
+        # time-random feed the watermark overshoots after batch 1 and
+        # silently drops most rows, which would bench a different (and
+        # easier) computation. The other three entries keep the r5-r7
+        # random feed for round-over-round comparability.
+        ordered_dir = os.path.join(tmp, "events_by_time")
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartitionByRange(
+            8, "ts"
+        ).write.parquet(ordered_dir)
+        # part-0000N is range N; make mtime order match so the file
+        # source replays oldest-first
+        parts = sorted(
+            f for f in os.listdir(ordered_dir) if f.endswith(".parquet")
+        )
+        now = time.time()
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(ordered_dir, f), (now + i, now + i))
+        # a stream-stream join materializes one state store per shuffle
+        # partition per side per batch; at micro-bench scale 32
+        # partitions is pure fixed overhead (~4× the data-proportional
+        # cost), so pin 8 for this entry only — the batch queries and
+        # the other three streaming entries keep the session setting
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            t0 = time.perf_counter()
+            join_stream = SE.read_event_stream(
+                spark, ordered_dir, max_files_per_trigger=2
+            )
+            SE.run_to_memory(
+                SE.correlate_events(join_stream), "bench_stream_join", "append"
+            )
+            out["stream_events_join"] = round(time.perf_counter() - t0, 4)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     except Exception as exc:
         print(f"[bench] streaming micro-bench FAILED: {exc}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        for nm in ("bench_stream_tumbling", "bench_stream_dedup", "bench_stream_kmv"):
+        for nm in (
+            "bench_stream_tumbling",
+            "bench_stream_dedup",
+            "bench_stream_kmv",
+            "bench_stream_join",
+        ):
             try:
                 spark.catalog.dropTempView(nm)
             except Exception:
@@ -346,13 +468,20 @@ def main() -> int:
     sys.stdout = sys.stderr
     try:
         probe_pre = cpu_probe()
+        # multi-core probe runs OUTSIDE the Spark session window only
+        # (ADVICE r7 #2: fork of a live py4j/JVM parent is unsafe)
+        probe_mc_pre = cpu_probe_mc()
         spark = get_spark(app_name="kingsfoil-bench")
         pin_comparable_conf(spark)
-        cold, warm = bench_batch(spark, sf_dir)
+        probe_timeline: list = []
+        cold, warm, warm_retries = bench_batch(
+            spark, sf_dir, probe_timeline=probe_timeline
+        )
         jvm = jvm_diagnostics(spark)
         streaming = bench_streaming(spark, sf_dir)
         probe = round(min(probe_pre, cpu_probe()), 4)
-        probe_mc = cpu_probe_mc()
+        spark.stop()
+        probe_mc = round(min(probe_mc_pre, cpu_probe_mc()), 4)
     finally:
         sys.stdout = real_stdout
 
@@ -366,6 +495,8 @@ def main() -> int:
         "streaming": streaming,
         "cpu_probe_sec": probe,
         "cpu_probe_mc_sec": probe_mc,
+        "probe_timeline": probe_timeline,
+        "warm_retries": warm_retries,
         "jvm": jvm,
     }
     here = os.path.dirname(os.path.abspath(__file__))

@@ -756,6 +756,11 @@ def alaw_compress(samples) -> np.ndarray:
     pos = x >= 0
     mask = np.where(pos, 0xD5, 0x55)
     a = np.where(pos, x, -x - 1) >> 3  # 13-bit magnitude, 0..4095
+    # saturate to the 13-bit domain (g711.c: seg >= 8 → 0x7F ^ mask).
+    # Inputs inside int16 can't exceed 4095 here, but wider input would
+    # otherwise push seg past 7 and overflow the segment bits into the
+    # sign bit, wrapping to garbage codes on the uint8 cast (ADVICE r7).
+    a = np.minimum(a, 4095)
     seg = np.zeros_like(a)
     big = a >= 32
     seg[big] = np.floor(np.log2(a[big])).astype(np.int64) - 4

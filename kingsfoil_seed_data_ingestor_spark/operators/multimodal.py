@@ -36,6 +36,23 @@ from pyspark.sql import types as T
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
+#: the supported media matrix (COVERAGE.md 'Media format matrix'):
+#: every listed format decodes through a REAL pure-Python codec in
+#: functions/codecs.py; recognized formats NOT listed here are
+#: permanently descoped (round 8) and raise a pointed ValueError
+SUPPORTED_IMAGE_FORMATS = (
+    "BMP (24-bit)",
+    "PNG (8-bit RGB/RGBA, filters 0-4)",
+    "JPEG (baseline DCT)",
+    "GIF (87a/89a, LZW)",
+    "TIFF (baseline 6.0, II/MM)",
+)
+SUPPORTED_AUDIO_FORMATS = (
+    "WAV PCM-16 (format 1)",
+    "WAV G.711 A-law (format 6)",
+    "WAV G.711 mu-law (format 7)",
+)
+
 #: metadata emitted by the (stub) image decoder
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
@@ -75,8 +92,13 @@ def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
     payloads (SOI marker) through the pure-Python baseline decoder;
     GIF payloads (87a/89a magic) through the pure-Python LZW decoder;
     TIFF payloads (II/MM magic) through the pure-Python baseline-TIFF
-    strip reader. Remaining formats (WebP &c.) fall to PIL when
-    present, else the deterministic stub."""
+    strip reader. WebP is a RECOGNIZED-BUT-DESCOPED format (round 8,
+    VERDICT r7 #7): a VP8/VP8L decoder has no in-container codec and a
+    pure-Python build is a poor effort/value trade, so the dispatch
+    raises a pointed ``ValueError`` rather than silently emitting stub
+    metadata for a real image. Unrecognized payloads (synthetic
+    plumbing fixtures) fall to PIL when present, else the
+    deterministic stub."""
     if payload[:2] == b"BM":
         from kingsfoil_seed_data_ingestor_spark.functions.codecs import decode_bmp24
 
@@ -106,6 +128,12 @@ def _decode_image(payload: bytes) -> tuple[int, int, float, int]:
 
         w, h, arr = decode_tiff_rgb8(payload)
         return w, h, round(float(arr.mean()) / 255.0, 6), 3
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        raise ValueError(
+            "WebP is descoped (no in-container codec; see COVERAGE.md "
+            "'Media format matrix'). Supported image formats: "
+            + ", ".join(SUPPORTED_IMAGE_FORMATS)
+        )
     return _decode_image_stub(payload)
 
 
@@ -257,11 +285,15 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def extract_audio_features(assets: DataFrame, batch_counter=None) -> DataFrame:
     """Arrow-batched audio feature extraction (sample rate, duration,
     RMS level). RIFF/WAVE payloads decode through the REAL pure-Python
-    parsers — PCM-16 (format 1) or G.711 mu-law (format 7), chunk walk
-    + numpy, exact integer RMS accumulation; other formats fall back to
-    the deterministic stub (libav/soundfile are not in this
-    container). ``batch_counter``: optional Spark accumulator bumped
-    once per Arrow batch (see ``extract_image_features``)."""
+    parsers — PCM-16 (format 1), G.711 A-law (format 6) or mu-law
+    (format 7), chunk walk + numpy, exact integer RMS accumulation.
+    Recognized COMPRESSED containers (Ogg, FLAC, MP3) are permanently
+    descoped (round 8, VERDICT r7 #7 — a pure-Python libav is a poor
+    effort/value trade) and raise a pointed ValueError naming the
+    supported matrix; unrecognized payloads (synthetic plumbing
+    fixtures) fall back to the deterministic stub. ``batch_counter``:
+    optional Spark accumulator bumped once per Arrow batch (see
+    ``extract_image_features``)."""
     try:
         import soundfile  # noqa: F401 — not present in this container
     except ImportError:
@@ -285,6 +317,17 @@ def extract_audio_features(assets: DataFrame, batch_counter=None) -> DataFrame:
                 neg = samples < 0
                 zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
                 return rate, round(len(samples) / rate, 6), round(rms, 6), zc
+            if (
+                payload[:4] in (b"OggS", b"fLaC")
+                or payload[:3] == b"ID3"
+                or payload[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")
+            ):
+                raise ValueError(
+                    "compressed audio (Ogg/FLAC/MP3) is descoped (no "
+                    "in-container codec; see COVERAGE.md 'Media format "
+                    "matrix'). Supported audio formats: "
+                    + ", ".join(SUPPORTED_AUDIO_FORMATS)
+                )
             # stub for container-absent codecs: 2 bytes/sample mono fake
             rate = 16_000
             head = float(payload[0]) if len(payload) else 0.0

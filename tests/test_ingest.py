@@ -458,6 +458,86 @@ def test_concurrent_mark_current_single_winner(store):
     assert int(pdf.is_current.fillna(False).sum()) == 1
 
 
+def test_reader_snapshot_isolation_during_flips(spark, store, tmp_path):
+    """V3 atomicity for READERS (VERDICT r7 #3): while one thread flips
+    ``is_current`` back and forth between two completed versions, every
+    concurrent read sees EXACTLY ONE current version — never 0, never 2
+    (the reference invariant ``init_db.py:118-120``; SURVEY §7.4.3
+    calls this the hard part of plain-Parquet versioning). Writer-side
+    exclusivity is already stress-tested; this pins the reader side:
+    the write-new-then-``os.replace`` meta commit means a reader's
+    ``_read_versions`` snapshot is always a whole before- or
+    after-image, at any interleaving.
+
+    Two reader cadences: a high-frequency metadata hammer (hundreds of
+    reads/sec — catches torn meta writes) and full Spark
+    ``current_view`` reads (catches the derived fact-filter seeing an
+    inconsistent live set)."""
+    import threading
+
+    f1 = tmp_path / "f1.csv"
+    f1.write_text(MUE_CSV)
+    f2 = tmp_path / "f2.csv"
+    f2.write_text(MUE_CSV.replace("00100", "00200"))
+    r1 = ingest_file(spark, store, "NCCI_MUE_PRAC", str(f1), "2024-Q1")
+    r2 = ingest_file(spark, store, "NCCI_MUE_PRAC", str(f2), "2024-Q2")
+    assert r1["success"] and r2["success"]
+    v1, v2 = r1["version_id"], r2["version_id"]
+    src = get_source("NCCI_MUE_PRAC")
+
+    stop = threading.Event()
+    flip_errors: list = []
+
+    def flipper():
+        try:
+            for i in range(200):
+                store.mark_current(v2 if i % 2 else v1)
+        except Exception as exc:  # pragma: no cover — surfaced below
+            flip_errors.append(exc)
+        finally:
+            stop.set()
+
+    meta_reads = {"n": 0}
+    meta_errors: list = []
+
+    def meta_hammer():
+        import pandas as pd
+
+        while not stop.is_set():
+            pdf = pd.read_parquet(store._versions_path)
+            cur = pdf[pdf.is_current.fillna(False)]
+            n = len(cur)
+            if n != 1 or int(cur.iloc[0].version_id) not in (v1, v2):
+                meta_errors.append(
+                    f"saw {n} current rows: {cur.version_id.tolist()}"
+                )
+            meta_reads["n"] += 1
+
+    t_flip = threading.Thread(target=flipper)
+    t_meta = threading.Thread(target=meta_hammer)
+    t_flip.start()
+    t_meta.start()
+
+    spark_reads = 0
+    while not stop.is_set() and spark_reads < 30:
+        ids = [
+            r.data_version_id
+            for r in store.current_view(src).select("data_version_id").distinct().collect()
+        ]
+        assert len(ids) == 1, f"reader saw {len(ids)} current versions: {ids}"
+        assert ids[0] in (v1, v2)
+        spark_reads += 1
+
+    t_flip.join()
+    t_meta.join()
+    assert not flip_errors, flip_errors
+    assert not meta_errors, meta_errors
+    # the hammer must actually have raced the flips, and the Spark
+    # reader must have observed the store mid-flip several times
+    assert meta_reads["n"] >= 50, meta_reads
+    assert spark_reads >= 3, spark_reads
+
+
 def test_append_failure_invisible_to_readers(spark, store, tmp_path, monkeypatch):
     import kingsfoil_seed_data_ingestor_spark.operators.pipeline as P
     from pathlib import Path

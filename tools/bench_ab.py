@@ -70,7 +70,7 @@ def main() -> int:
             except Exception as exc:
                 print(f"prime {n}: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
-    cold, warm = bench.bench_batch(spark, args.sf, queries=subset)
+    cold, warm, _retries = bench.bench_batch(spark, args.sf, queries=subset)
     diag = bench.jvm_diagnostics(spark)
     out = {
         "n_queries": len(subset),
