@@ -69,12 +69,7 @@ def write_range_clustered(
     sampled range boundary exchange) + an in-file sort, so parquet
     min/max stats make range predicates skip non-matching files
     entirely."""
-    (
-        df.repartitionByRange(n_files, F.col(cluster_col))
-        .sortWithinPartitions(cluster_col)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    range_layout(df, cluster_col, n_files).write.mode("overwrite").parquet(path)
 
 
 def files_touched(spark: SparkSession, path: str, predicate) -> tuple[int, int]:
@@ -137,9 +132,23 @@ def write_zorder_clustered(
     the in-file sort — identical cost profile to the single-column
     writer. Production systems expose exactly this as OPTIMIZE ...
     ZORDER BY; here it is three Column expressions and a writer."""
-    lo_a, hi_a = F.min(F.col(col_a)), F.max(F.col(col_a))
+    (
+        zorder_layout(df, col_a, col_b, n_files, bits)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_layout(
+    df: DataFrame, col_a: str, col_b: str, n_files: int, bits: int = 16
+) -> DataFrame:
+    """The Z-order transform behind ``write_zorder_clustered``, exposed
+    so other writers (notably ``VersionStore.compact_version``) can
+    apply the same layout to their own commit protocol: returns ``df``
+    range-partitioned into ``n_files`` and sorted by the Morton code of
+    the two min/max-scaled cluster columns, code column dropped."""
     stats = df.agg(
-        lo_a.alias("_la"), hi_a.alias("_ha"),
+        F.min(F.col(col_a)).alias("_la"), F.max(F.col(col_a)).alias("_ha"),
         F.min(F.col(col_b)).alias("_lb"), F.max(F.col(col_b)).alias("_hb"),
     )
     top = float((1 << bits) - 1)
@@ -161,10 +170,17 @@ def write_zorder_clustered(
         )
         .drop("_la", "_ha", "_lb", "_hb")
     )
-    (
+    return (
         coded.repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
+    )
+
+
+def range_layout(df: DataFrame, cluster_col: str, n_files: int) -> DataFrame:
+    """Single-column twin of ``zorder_layout`` (the transform behind
+    ``write_range_clustered``), for writers with their own commit
+    protocol."""
+    return df.repartitionByRange(n_files, F.col(cluster_col)).sortWithinPartitions(
+        cluster_col
     )

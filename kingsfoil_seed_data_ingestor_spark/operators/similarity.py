@@ -357,6 +357,7 @@ def knn_ivf_frozen(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scope: CacheScope | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """IVF search against a FROZEN literal codebook — zero Python in
     the plan: assignment, routing, probing, and scoring are all Column
@@ -423,6 +424,15 @@ def knn_ivf_frozen(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", cosine(F.col("q_vec"), F.col("v")))
     )
+    if stats is not None:
+        # opt-in witness (extra count job): how many (query, neighbor)
+        # rows the probe actually scored — the IVF scan-pruning metric
+        # the scaling curves pin (Σ over probed clusters' sizes)
+        stats["scored_rows"] = (
+            assigned.join(F.broadcast(probe.select("query_id", "cluster")), "cluster")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .count()
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -701,6 +711,85 @@ def rhp_banded(
 
     return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         kern, schema="_id long, band int, bucket long"
+    )
+
+
+def rhp_params_for(
+    n: int,
+    threshold: float = 0.9,
+    target_per_vec: float = 16.0,
+    recall: float = 0.95,
+    max_bands: int = 12,
+) -> tuple[int, int]:
+    """N-aware LSH sizing: ``(bands, rows_per_band)`` for
+    :func:`near_dup_pairs_rhp` such that RANDOM candidate mass stays
+    ~linear in ``n`` while pairs at cosine ≥ ``threshold`` are still
+    found with probability ≥ ``recall``.
+
+    Why this must scale with N (round-8 scaling curves, PERF_NOTES
+    §r8): with FIXED band width ``r``, unrelated pairs collide per band
+    at ~2^-r of all pairs, so the candidate count grows Θ(b·N²/2^r) —
+    quadratic with a small constant that stops being small at corpus
+    scale. Holding candidates at ``target_per_vec`` per vector needs
+    ``2^r ≳ b·N/target`` ⇒ ``r = Θ(log N)``; recall at the planted
+    threshold then sags as p_band = p^r shrinks, so the band COUNT
+    grows to compensate: ``b = ln(1/(1-recall)) / p^r``. Total planes
+    ``b·r = Θ(log N)`` per vector — the standard S-curve tuning,
+    applied as a function of corpus size instead of a constant.
+
+    Uniform-bucket approximation on the random side; clustered data
+    concentrates harder, which the measured curves (tools/
+    scaling_curves.py) quantify against this rule."""
+    import math
+
+    p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    b = 4
+    for _ in range(8):  # b and r are interdependent; a few rounds settle
+        r = max(4, math.ceil(math.log2(max(b * n / target_per_vec, 2.0))))
+        p_band = p_plane**r
+        need_b = math.ceil(math.log(1.0 / (1.0 - recall)) / p_band)
+        need_b = min(max_bands, max(1, need_b))
+        if need_b == b:
+            break
+        b = need_b
+    return b, r
+
+
+def near_dup_pairs_rhp_auto(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    target_per_vec: float = 16.0,
+    recall: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """:func:`near_dup_pairs_rhp` with the band family sized to the
+    corpus by :func:`rhp_params_for` (one cheap count job first).
+
+    This is the variant to deploy at scale. The round-8 curves
+    (SCALING_r8.json / PERF_NOTES §r8) measured the fixed 4-band×8-bit
+    family at growth exponent 2.0 in candidate pairs — 3 252 → 3.57 M
+    candidates from 600 → 20 000 vectors, and 150 s wall for the
+    blocked-clusters query at sf1 — while this N-aware family held
+    exponent ~1.17 at ≥ 0.95 recall on planted cosine-0.99 twins. The
+    FIXED family stays the registered/oracle-pinned shape (its banding
+    appears literally in the cross-engine SQL); production corpus runs
+    should come through here."""
+    n = vectors.count()
+    bands, rows_per_band = rhp_params_for(
+        n, threshold=threshold, target_per_vec=target_per_vec, recall=recall
+    )
+    return near_dup_pairs_rhp(
+        vectors,
+        threshold,
+        n_planes=bands * rows_per_band,
+        bands=bands,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        scope=scope,
     )
 
 

@@ -583,11 +583,22 @@ def simhash64_near_dups(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs (i < j) with 64-bit simhash hamming ≤ ``max_hamming`` via
     pigeonhole banding: ``max_hamming + 1`` bands of 64/(d+1) bits — a
     qualifying pair agrees exactly on ≥ 1 band. Shifts use the
-    *unsigned* right shift (the sign bit is data here)."""
+    *unsigned* right shift (the sign bit is data here).
+
+    ``max_bucket_size`` (round 8) is the hot-bucket guard this operator
+    was missing while ``lsh_candidate_pairs`` had one: a band bucket of
+    k fingerprints emits k(k-1)/2 candidate pairs, and boilerplate-
+    heavy corpora concentrate simhashes — one 16-bit bucket holding an
+    exact-duplicate cluster turns the band join quadratic. Buckets
+    above the cap are dropped from candidate generation only (run
+    ``exact_dedup`` first so identical content never reaches near-dup
+    banding). ``None`` (default) keeps exact pigeonhole recall for
+    oracle-gated runs."""
     n_bands = max_hamming + 1
     width = TX.SIMHASH64_BITS // n_bands
     spans = [
@@ -612,6 +623,14 @@ def simhash64_near_dups(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash64", "bk.band", "bk.bucket")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     left = banded.select(
         F.col("doc_id").alias("i"), F.col("simhash64").alias("h_i"), "band", "bucket"
     )

@@ -1337,6 +1337,60 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
 
 
+#: hot-bucket guard for the capped simhash query — deliberately BITES
+#: at every oracle SF (uncapped→capped pairs: 20→17 at sf0.001, 14→13
+#: at sf0.01, 227→90 at sf0.1), so the cap's exact semantics — which
+#: band buckets drop, which pairs survive via a COLD band — are
+#: cross-engine-pinned, not just documented (the JACCARD_DF_CAP
+#: precedent applied to pigeonhole banding)
+SIMHASH64_BUCKET_CAP = 3
+
+
+@register(
+    "dedup_simhash64_capped",
+    priority=55,  # overflow: same family as dedup_simhash64
+    oracle=f"""
+    WITH sh AS ({SQL_SIMHASH64_TABLE}),
+    banded AS (
+        SELECT doc_id, simhash64, b.band,
+               (simhash64 >> (b.band * 16)) & 65535 AS bucket
+        FROM sh, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    ok AS (
+        SELECT band, bucket FROM banded
+        GROUP BY band, bucket HAVING count(*) <= {SIMHASH64_BUCKET_CAP}
+    ),
+    kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bucket)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+               a.simhash64 AS hi, b.simhash64 AS hj
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT i, j, CAST(bit_count(xor(hi, hj)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(hi, hj)) <= 3
+    """,
+    doc="The round-8 hot-bucket guard under the oracle gate: 64-bit "
+    "SimHash pigeonhole banding with band buckets larger than "
+    f"{SIMHASH64_BUCKET_CAP} fingerprints dropped from candidate "
+    "generation (a boilerplate cluster of k identical fingerprints "
+    "emits k(k-1)/2 pairs per band — the quadratic hot spot at corpus "
+    "scale; see the measured SimHash tail slope in PERF_NOTES §r8). "
+    "The oracle reproduces the banding, the cap, AND the survive-via-"
+    "a-cold-band semantics brute-force, so the guard is hash-pinned. "
+    "The 16-bit bucket extraction is shift-type-invariant ((x >> s) & "
+    "0xFFFF reads the same field under arithmetic or logical shift), "
+    "keeping Spark's shiftrightunsigned and DuckDB's signed shift "
+    "bit-identical.",
+)
+def dedup_simhash64_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash64_near_dups(
+        load(spark, sf_dir, "documents"),
+        max_hamming=3,
+        max_bucket_size=SIMHASH64_BUCKET_CAP,
+    ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+
+
 # ----------------------------------------------------------------------
 # similarity search
 # ----------------------------------------------------------------------

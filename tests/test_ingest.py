@@ -672,6 +672,69 @@ def test_view_as_of_time_travel(spark, store, tmp_path):
         store.view_as_of(src, "2019-Q1")
 
 
+def test_compact_with_cluster_cols_prunes_like_fresh_zorder(spark, store, tmp_path):
+    """Z-order compaction integration (VERDICT r7 #6): maintenance that
+    was already rewriting a version partition for small-file health can
+    fix LAYOUT in the same pass — after
+    ``compact_version(cluster_cols=[x, y])`` a y-only filter prunes the
+    partition as tightly as a fresh ``write_zorder_clustered``, while
+    content and the commit protocol are untouched."""
+    from pathlib import Path
+
+    from kingsfoil_seed_data_ingestor_spark.operators.layout import (
+        files_touched,
+        write_zorder_clustered,
+    )
+
+    src = get_source("PFS_RVU")
+    vid = store.create_version("PFS_RVU", "2024-Z1")
+    grid = spark.range(20_000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    # simulate many small appends: 16 round-robin files, no ordering
+    store.write_records(src, vid, grid.repartition(16))
+    store.complete_version(vid, 20_000)
+
+    part_dir = Path(store.root) / "facts" / src.target_table / f"data_version_id={vid}"
+    y_pred = F.col("y").between(100, 149)
+    before_touched, before_total = files_touched(spark, str(part_dir), y_pred)
+    assert before_total == 16
+    assert before_touched >= 14, "round-robin layout should touch ~all files"
+    before_sum = spark.read.parquet(str(part_dir)).agg(
+        F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    ).first()
+
+    n_files = store.compact_version(src, vid, target_files=16, cluster_cols=["x", "y"])
+    after_touched, after_total = files_touched(spark, str(part_dir), y_pred)
+    assert after_total == n_files
+    # content is row-identical (layout only)
+    after_sum = spark.read.parquet(str(part_dir)).agg(
+        F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    ).first()
+    assert tuple(after_sum) == tuple(before_sum)
+
+    # prunes like a FRESH Z-ordered write of the same data
+    fresh = str(tmp_path / "fresh_zorder")
+    write_zorder_clustered(grid, fresh, "x", "y", n_files=16)
+    fresh_touched, fresh_total = files_touched(spark, fresh, y_pred)
+    assert fresh_total == 16
+    assert after_touched <= fresh_touched + 1, (after_touched, fresh_touched)
+    assert after_touched <= 8, "compacted+clustered partition must prune"
+
+    # single-column variant: range clustering through the same pass
+    vid2 = store.create_version("PFS_RVU", "2024-Z2")
+    store.write_records(src, vid2, grid.repartition(16))
+    store.complete_version(vid2, 20_000)
+    part2 = Path(store.root) / "facts" / src.target_table / f"data_version_id={vid2}"
+    store.compact_version(src, vid2, target_files=16, cluster_cols=["y"])
+    t2, n2 = files_touched(spark, str(part2), y_pred)
+    assert t2 <= 2, "range-clustered compaction must localize the 5% y-band"
+
+    with pytest.raises(ValueError, match="cluster_cols"):
+        store.compact_version(src, vid, cluster_cols=["x", "y", "x"])
+
+
 def test_compact_refuses_uncompleted_and_recovers_from_crash(spark, store, tmp_path):
     import shutil
     from pathlib import Path

@@ -283,6 +283,25 @@ def test_simhash64_near_dups_finds_identical_and_close(spark):
     assert pairs == {(0, 1): 0}
 
 
+def test_simhash64_hot_bucket_cap(spark):
+    """The round-8 hot-bucket guard: a boilerplate cluster of k
+    identical fingerprints would emit k(k-1)/2 candidates per band;
+    with ``max_bucket_size`` the hot bucket is dropped from candidate
+    generation while pairs in small buckets keep exact pigeonhole
+    recall."""
+    boiler = "lorem ipsum dolor sit amet " * 8
+    pair = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    rows = [(i, boiler) for i in range(20)] + [(100, pair), (101, pair)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = DD.simhash64_near_dups(docs, 3)
+    assert uncapped.count() == 20 * 19 // 2 + 1  # clique + the small pair
+
+    capped = DD.simhash64_near_dups(docs, 3, max_bucket_size=10)
+    got = {(r.i, r.j) for r in capped.collect()}
+    assert got == {(100, 101)}, got
+
+
 # ----------------------------------------------------------------------
 # similarity search
 # ----------------------------------------------------------------------
@@ -502,6 +521,41 @@ def test_near_dup_pairs_rhp_subset_of_exact(vectors):
         vectors.union(dup), 0.99, n_planes=8, bands=4, dim=3
     ).collect()
     assert (6, 0) in {(r.dup_id, r.kept_id) for r in with_dup}
+
+
+def test_near_dup_pairs_rhp_auto_matches_manual_params(vectors):
+    """The auto wrapper = rhp_params_for(count) + near_dup_pairs_rhp
+    with exactly those params — same pairs, same scores."""
+    n = vectors.count()
+    b, r = SIM.rhp_params_for(n, threshold=0.9, target_per_vec=16.0)
+    manual = {
+        (row.dup_id, row.kept_id): row.cosine
+        for row in SIM.near_dup_pairs_rhp(
+            vectors, 0.9, n_planes=b * r, bands=b, dim=3
+        ).collect()
+    }
+    auto = {
+        (row.dup_id, row.kept_id): row.cosine
+        for row in SIM.near_dup_pairs_rhp_auto(vectors, 0.9, dim=3).collect()
+    }
+    assert auto == manual
+
+
+def test_rhp_params_for_scales_with_n():
+    """r grows Θ(log N); recall target keeps band count compensating;
+    the candidate budget is respected in the uniform approximation."""
+    b1, r1 = SIM.rhp_params_for(1_000, threshold=0.99)
+    b2, r2 = SIM.rhp_params_for(1_000_000, threshold=0.99)
+    b3, r3 = SIM.rhp_params_for(1_000_000_000, threshold=0.99)
+    assert r1 < r2 < r3, (r1, r2, r3)
+    assert r3 - r1 == pytest.approx(
+        __import__("math").log2(1_000_000), abs=2
+    ), "r must grow ~log2(N)"
+    assert b1 <= b2 <= b3 <= 12
+    # uniform-bucket candidate budget: b·N²/2^(r+1) ≤ target·N/2 · slack
+    for n, (b, r) in ((1_000, (b1, r1)), (1_000_000, (b2, r2))):
+        est = b * n * n / (2 ** (r + 1))
+        assert est <= 16.0 * n, (n, b, r, est)
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,149 @@
+"""Scaling-slope gates (VERDICT r7 #2): candidate-pair growth for the
+dedup/ANN families is measured at two corpus sizes (4× apart, same
+generator, same seed discipline) and the fitted log-log exponent is
+asserted sub-quadratic. This is the hard version of every "~linear at
+scale" claim in PLANS.md — a regression that turns a banded join
+quadratic (dropped distinct, widened bucket, broken band key) fails
+HERE, not in a 100 TB incident.
+
+The full four-point curves (sf0.03/0.1/0.3/1) live in
+tools/scaling_curves.py → SCALING_r8.json / PERF_NOTES §r8; this gate
+reruns the same counters at the two smallest sizes so the suite stays
+fast while the invariant stays pinned.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
+from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
+from kingsfoil_seed_data_ingestor_spark.operators.codebook import FROZEN_IVF_SF0_01
+from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+SF_A, SF_B = 0.03, 0.12  # 4× apart; docs 1500 → 6000, emb 600 → 2400
+RATIO = SF_B / SF_A
+
+
+def _slope(a: float, b: float) -> float:
+    return math.log(b / a) / math.log(RATIO)
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    from tools.gen_scaling_data import generate
+
+    root = tmp_path_factory.mktemp("scaling")
+    out = {}
+    for sf in (SF_A, SF_B):
+        d = str(root / f"sf{sf}")
+        generate(d, sf)
+        out[sf] = d
+    return out
+
+
+@pytest.fixture(scope="module")
+def counts(spark, dirs):
+    """One pass collecting every counter at both sizes."""
+    got: dict[float, dict] = {}
+    for sf, d in dirs.items():
+        row: dict = {}
+        docs = load(spark, d, "documents")
+        emb = load(spark, d, "embeddings")
+        sigs = DD.minhash_signatures(docs, num_hashes=128)
+        row["mh_cand"] = DD.lsh_candidate_pairs(
+            sigs, bands=32, rows_per_band=4
+        ).count()
+        row["sh64_pairs"] = DD.simhash64_near_dups(docs, max_hamming=3).count()
+
+        mh_pairs = DD.minhash_near_dups(docs, threshold=0.8).persist()
+        row["mh_verified"] = mh_pairs.count()
+        stats: dict = {}
+        CC.connected_components(
+            mh_pairs, src="i", dst="j", fast_rounds=0, stats=stats
+        ).count()
+        row["star_rounds"] = stats["rounds"]
+        mh_pairs.unpersist()
+
+        def rhp_count(bands: int, rows: int, with_recall: bool = False):
+            planes = SIM.rhp_sign_planes(bands * rows, 64)
+            banded = SIM.rhp_banded(emb, planes, bands, rows).persist()
+            left = banded.select(F.col("_id").alias("i"), "band", "bucket")
+            right = banded.select(F.col("_id").alias("j"), "band", "bucket")
+            cand = (
+                left.join(right, ["band", "bucket"])
+                .filter(F.col("i") < F.col("j"))
+                .select("i", "j")
+                .distinct()
+                .persist()
+            )
+            n = cand.count()
+            recall = None
+            if with_recall:
+                import pyarrow.parquet as pq
+
+                tw = pq.read_table(os.path.join(d, "_twins.parquet")).to_pandas()
+                twins = spark.createDataFrame(tw, schema="i long, j long")
+                recall = cand.join(twins, ["i", "j"], "left_semi").count() / len(tw)
+            cand.unpersist()
+            banded.unpersist()
+            return n, recall
+
+        row["rhp_fixed_cand"], _ = rhp_count(4, 8)
+        n_emb = emb.count()
+        tb, tr = SIM.rhp_params_for(n_emb, threshold=0.99, target_per_vec=16.0)
+        row["rhp_tuned_cand"], row["rhp_tuned_recall"] = rhp_count(
+            tb, tr, with_recall=True
+        )
+
+        ann_stats: dict = {}
+        SIM.knn_ivf_frozen(
+            emb, FROZEN_IVF_SF0_01, [0, 1, 2, 3, 4], stats=ann_stats
+        ).count()
+        row["ann_scored_rows"] = ann_stats["scored_rows"]
+        got[sf] = row
+        spark.catalog.clearCache()
+    return got
+
+
+def test_minhash_lsh_candidates_subquadratic(counts):
+    s = _slope(counts[SF_A]["mh_cand"], counts[SF_B]["mh_cand"])
+    assert s <= 1.5, f"MinHash LSH candidate slope {s:.2f} (want ≤ 1.5)"
+    sv = _slope(counts[SF_A]["mh_verified"], counts[SF_B]["mh_verified"])
+    assert sv <= 1.5, f"verified-pair slope {sv:.2f}"
+
+
+def test_simhash64_pairs_subquadratic(counts):
+    s = _slope(counts[SF_A]["sh64_pairs"], counts[SF_B]["sh64_pairs"])
+    assert s <= 1.5, f"SimHash64 pair slope {s:.2f} (want ≤ 1.5)"
+
+
+def test_rhp_tuned_bands_linearize_candidates(counts):
+    """The N-aware band rule (rhp_params_for) must beat the fixed 4×8
+    family's growth AND stay near-linear itself, at full recall on the
+    planted twins — the measured content of the 'r = Θ(log N) keeps LSH
+    sub-quadratic' claim."""
+    fixed = _slope(counts[SF_A]["rhp_fixed_cand"], counts[SF_B]["rhp_fixed_cand"])
+    tuned = _slope(counts[SF_A]["rhp_tuned_cand"], counts[SF_B]["rhp_tuned_cand"])
+    assert tuned <= 1.6, f"tuned RHP slope {tuned:.2f} (want ≤ 1.6)"
+    assert tuned < fixed, (
+        f"tuned slope {tuned:.2f} must undercut fixed-band slope {fixed:.2f}"
+    )
+    for sf in (SF_A, SF_B):
+        assert counts[sf]["rhp_tuned_recall"] >= 0.9, counts[sf]
+
+
+def test_star_component_rounds_flat(counts):
+    ra, rb = counts[SF_A]["star_rounds"], counts[SF_B]["star_rounds"]
+    assert rb <= ra + 1, f"star rounds grew {ra} → {rb}"
+    assert rb <= 6, f"star rounds {rb} exceed the log² bound at this size"
+
+
+def test_ivf_scored_rows_linear(counts):
+    s = _slope(counts[SF_A]["ann_scored_rows"], counts[SF_B]["ann_scored_rows"])
+    assert s <= 1.25, f"IVF scored-row slope {s:.2f} (want ~1, ≤ 1.25)"

@@ -1,0 +1,242 @@
+"""Measured scaling curves for the dedup/ANN/components/sketch
+families (VERDICT r7 #2): every 100 TB argument in PLANS.md is a plan
+audit at sf0.1 — this harness turns them into NUMBERS by running the
+families at sf0.03/0.1/0.3/1 over the locally-generated
+driver-marginal-matched testdata (tools/gen_scaling_data.py) and
+fitting log-log growth exponents.
+
+Metrics per SF:
+
+* candidate-pair counts — the load-bearing scale metric (wall time on
+  local[32] has a ~0.3-0.5 s scheduler floor that flattens small-SF
+  slopes; pair counts are exact and floor-free):
+  - MinHash LSH (128 hashes, 32×4 bands): expected ~linear (planted
+    dup rates are constant per document);
+  - SimHash64 pigeonhole (4×16-bit bands): ~linear while fingerprint
+    diversity outruns corpus growth;
+  - RHP FIXED 4 bands × 8 bits (the registered blocked-cluster
+    family's band shape): expected Θ(N²/2^r) — the measured quadratic
+    that motivates the next row;
+  - RHP TUNED via ``rhp_params_for(n)`` (r = Θ(log N)): candidates
+    ~linear at matched recall on the planted twins.
+* star-component rounds on the MinHash near-dup edge set
+  (``fast_rounds=0`` pure star): flat in N (the O(log² n) bound).
+* IVF scored rows (frozen codebook, nprobe=3, 5 queries): ~linear in N
+  with slope times the probed fraction.
+* warm wall time (best of 2 after a cold pass) for the registered
+  family queries.
+
+Output: SCALING_r8.json + a markdown table on stdout (pasted into
+PERF_NOTES §r8). The pytest twin (tests/test_scaling_slopes.py) runs
+the same counters at two small SFs and gates the exponents.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kingsfoil_seed_data_ingestor_spark import plans  # noqa: F401
+from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
+from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
+from kingsfoil_seed_data_ingestor_spark.operators.codebook import FROZEN_IVF_SF0_01
+from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES
+from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+from kingsfoil_seed_data_ingestor_spark.session import get_spark, pin_comparable_conf
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALING_ROOT = os.path.join(REPO, ".scaling")
+SFS = ["0.03", "0.1", "0.3", "1"]
+
+TIMED_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash64",
+    "dedup_semantic_clusters_blocked",
+    "embed_ann_ivf_frozen",
+    "events_distinct_users_hll",
+    "events_heavy_hitters_cms",
+    "text_length_quantile_sketch",
+]
+
+
+def drain(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(fn, reps: int = 2) -> float:
+    best = math.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def candidate_counts(spark, sf_dir: str) -> dict:
+    out: dict = {}
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    out["n_docs"] = docs.count()
+    out["n_emb"] = emb.count()
+    out["n_events"] = load(spark, sf_dir, "events").count()
+
+    sigs = DD.minhash_signatures(docs, num_hashes=128)
+    out["mh_cand"] = DD.lsh_candidate_pairs(sigs, bands=32, rows_per_band=4).count()
+    mh_pairs = DD.minhash_near_dups(docs, threshold=0.8)
+    mh_pairs = mh_pairs.persist()
+    out["mh_verified"] = mh_pairs.count()
+
+    out["sh64_pairs"] = DD.simhash64_near_dups(docs, max_hamming=3).count()
+
+    # star components over the MinHash edge set: rounds must stay flat
+    stats: dict = {}
+    CC.connected_components(
+        mh_pairs, src="i", dst="j", fast_rounds=0, stats=stats
+    ).count()
+    out["star_rounds"] = stats.get("rounds")
+    mh_pairs.unpersist()
+
+    # RHP fixed band shape (the registered 4×8 family): band-collision
+    # candidates only — the quadratic onset this harness exists to show
+    fixed_b, fixed_r = 4, 8
+    planes = SIM.rhp_sign_planes(fixed_b * fixed_r, 64)
+    banded = SIM.rhp_banded(emb, planes, fixed_b, fixed_r).persist()
+    left = banded.select(F.col("_id").alias("i"), "band", "bucket")
+    right = banded.select(F.col("_id").alias("j"), "band", "bucket")
+    out["rhp_fixed_cand"] = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+        .count()
+    )
+    banded.unpersist()
+
+    # RHP tuned to N (rhp_params_for): candidates ~linear, recall held
+    n = out["n_emb"]
+    tb, tr = SIM.rhp_params_for(n, threshold=0.99, target_per_vec=16.0)
+    tplanes = SIM.rhp_sign_planes(tb * tr, 64)
+    tbanded = SIM.rhp_banded(emb, tplanes, tb, tr).persist()
+    tl = tbanded.select(F.col("_id").alias("i"), "band", "bucket")
+    trr = tbanded.select(F.col("_id").alias("j"), "band", "bucket")
+    cand = (
+        tl.join(trr, ["band", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+        .persist()
+    )
+    out["rhp_tuned_bands"] = tb
+    out["rhp_tuned_rows"] = tr
+    out["rhp_tuned_cand"] = cand.count()
+    # underscore-prefixed files are invisible to Spark's listing (by
+    # design — they must not pollute the embeddings table read); load
+    # the tiny ground-truth table via pyarrow instead
+    import pyarrow.parquet as pq
+
+    tw = pq.read_table(os.path.join(sf_dir, "_twins.parquet")).to_pandas()
+    twins = spark.createDataFrame(tw, schema="i long, j long")
+    n_twins = len(tw)
+    hit = cand.join(twins, ["i", "j"], "left_semi").count()
+    out["twin_pairs"] = n_twins
+    out["rhp_tuned_recall"] = round(hit / n_twins, 4) if n_twins else None
+    cand.unpersist()
+    tbanded.unpersist()
+
+    # frozen-codebook IVF: scored rows = Σ probed-cluster sizes
+    ann_stats: dict = {}
+    SIM.knn_ivf_frozen(
+        emb, FROZEN_IVF_SF0_01, [0, 1, 2, 3, 4], stats=ann_stats
+    ).count()
+    out["ann_scored_rows"] = ann_stats.get("scored_rows")
+    return out
+
+
+def wall_times(spark, sf_dir: str) -> dict:
+    out = {}
+    for name in TIMED_QUERIES:
+        q = QUERIES[name]
+        try:
+            drain(q.spark(spark, sf_dir))  # cold (codegen) pass
+            out[name] = timed(lambda: drain(q.spark(spark, sf_dir)))
+        except Exception as exc:
+            print(f"[scaling] {name} FAILED at {sf_dir}: {exc}", file=sys.stderr)
+            out[name] = -1.0
+        spark.catalog.clearCache()
+    return out
+
+
+def fit_slope(ns: list[float], ys: list[float]) -> float | None:
+    pts = [(n, y) for n, y in zip(ns, ys) if n and y and y > 0]
+    if len(pts) < 2:
+        return None
+    lx = np.log([p[0] for p in pts])
+    ly = np.log([p[1] for p in pts])
+    return round(float(np.polyfit(lx, ly, 1)[0]), 3)
+
+
+def main() -> int:
+    from tools.gen_scaling_data import generate
+
+    spark = get_spark(app_name="kingsfoil-scaling")
+    pin_comparable_conf(spark)
+    per_sf: dict[str, dict] = {}
+    for sf_s in SFS:
+        sf_dir = os.path.join(SCALING_ROOT, f"sf{sf_s}")
+        generate(sf_dir, float(sf_s))
+        row = candidate_counts(spark, sf_dir)
+        row["wall"] = wall_times(spark, sf_dir)
+        per_sf[sf_s] = row
+        print(f"[scaling] sf{sf_s}: {json.dumps(row)}", file=sys.stderr)
+
+    docs_n = [per_sf[s]["n_docs"] for s in SFS]
+    emb_n = [per_sf[s]["n_emb"] for s in SFS]
+    ev_n = [per_sf[s]["n_events"] for s in SFS]
+    slopes = {
+        "mh_cand": fit_slope(docs_n, [per_sf[s]["mh_cand"] for s in SFS]),
+        "mh_verified": fit_slope(docs_n, [per_sf[s]["mh_verified"] for s in SFS]),
+        "sh64_pairs": fit_slope(docs_n, [per_sf[s]["sh64_pairs"] for s in SFS]),
+        "rhp_fixed_cand": fit_slope(emb_n, [per_sf[s]["rhp_fixed_cand"] for s in SFS]),
+        "rhp_tuned_cand": fit_slope(emb_n, [per_sf[s]["rhp_tuned_cand"] for s in SFS]),
+        "ann_scored_rows": fit_slope(emb_n, [per_sf[s]["ann_scored_rows"] for s in SFS]),
+    }
+    for q in TIMED_QUERIES:
+        base = ev_n if q.startswith(("events", "text_length")) else (
+            emb_n if "embed" in q or "semantic" in q else docs_n
+        )
+        slopes[f"wall:{q}"] = fit_slope(base, [per_sf[s]["wall"][q] for s in SFS])
+
+    result = {"per_sf": per_sf, "slopes": slopes, "sfs": SFS}
+    with open(os.path.join(REPO, "SCALING_r8.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # markdown table for PERF_NOTES
+    print("| metric | " + " | ".join(f"sf{s}" for s in SFS) + " | exponent |")
+    print("|---|" + "---|" * (len(SFS) + 1))
+    for key in (
+        "n_docs", "n_emb", "mh_cand", "mh_verified", "sh64_pairs",
+        "star_rounds", "rhp_fixed_cand", "rhp_tuned_cand",
+        "rhp_tuned_recall", "ann_scored_rows",
+    ):
+        vals = " | ".join(str(per_sf[s].get(key)) for s in SFS)
+        print(f"| {key} | {vals} | {slopes.get(key, '—')} |")
+    for q in TIMED_QUERIES:
+        vals = " | ".join(f"{per_sf[s]['wall'][q]:.2f}" for s in SFS)
+        print(f"| wall:{q} | {vals} | {slopes[f'wall:{q}']} |")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
