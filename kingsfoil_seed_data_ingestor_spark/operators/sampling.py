@@ -72,6 +72,57 @@ def stratified_sample(
     return df.filter(flag)
 
 
+#: u = (h60 + 1) / (2^60 + 1) maps the 60-bit md5 hash into (0, 1)
+#: strictly — both endpoints excluded, so ln(u) is finite everywhere
+AES_U_DENOM = float((1 << 60) + 1)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme on the repo's engine-portable md5
+    uniform: each row gets ``u = (h60+1)/(2^60+1)`` from the 60-bit
+    md5 of its id and the key ``ln(u)/w`` (the monotone log transform
+    of A-ES's ``u^(1/w)``); the k largest keys are the sample.
+    P[row selected] rises with ``w`` exactly as weighted sampling
+    without replacement prescribes, and because ``u`` is content-hash
+    derived the SAME k rows come back on every run and every engine —
+    the property that makes weighted corpus ablations comparable (the
+    weighted twin of the md5-threshold uniform sampler above).
+
+    Scale shape: one map-side expression per row + a distributed top-k
+    (TakeOrderedAndProject) — no shuffle of the corpus, no window over
+    it. Key emitted rounded to 6 (the repo's float-compare discipline,
+    as with cosine scores); ordering uses the unrounded key with the
+    id as the deterministic tiebreak."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    u = (h + F.lit(1)) / F.lit(AES_U_DENOM)
+    keyed = df.select(
+        id_col,
+        *(extra_cols or []),
+        weight.alias("weight"),
+        (F.log(u) / weight).alias("_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            *(extra_cols or []),
+            F.col("weight").cast("int").alias("weight"),
+            F.round("_key", 6).alias("aes_key"),
+        )
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_set: DataFrame,

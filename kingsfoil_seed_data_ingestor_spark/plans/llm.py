@@ -596,6 +596,47 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: A-ES weighted sample size (documents table: 500 docs at the oracle
+#: SF, so the 100-row sample is a real selection, not a pass-through)
+AES_K = 100
+
+
+@register(
+    "corpus_sample_weighted",
+    priority=55,  # overflow: sample_stratified reps the sampling family
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, 1 + (n_chars % 5) AS weight,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, weight,
+               ln((hv + 1) / {SMP.AES_U_DENOM!r}) / weight AS key
+        FROM h
+    )
+    SELECT doc_id, CAST(weight AS INT) AS weight, round(key, 6) AS aes_key
+    FROM k ORDER BY key DESC, doc_id LIMIT {AES_K}
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis–Spirakis A-ES): key = ln(u)/w over the engine-"
+    "portable 60-bit md5 uniform, top-k by key — quality-weighted "
+    "corpus selection that is reproducible across runs AND engines "
+    "(the oracle recomputes the identical keys and selects the "
+    "identical rows; weight here is a 1-5 length-derived quality "
+    "proxy). Scale shape: map-side key expression + distributed "
+    "top-k (TakeOrderedAndProject) — no corpus shuffle, no window. "
+    "The md5-threshold sampler covers uniform/stratified rates; this "
+    "is its weighted twin for importance-weighted training mixes.",
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SMP.weighted_sample_topk(
+        docs, AES_K, (F.lit(1) + F.col("n_chars") % 5).cast("double")
+    )
+
+
 #: the decontamination check plants one KNOWN leak: eval doc -1 is the
 #: first N tokens of train doc 42 — the testdata's organic eval stand-in
 #: (docs 0-4) shares no 8-gram with any train doc, so without a planted

@@ -563,6 +563,39 @@ def test_rhp_params_for_scales_with_n():
 # ----------------------------------------------------------------------
 
 
+def test_weighted_sample_topk_matches_python_aes(spark):
+    """A-ES selection equals an independent Python implementation of
+    the same scheme (md5 uniform → ln(u)/w → top-k), and heavier
+    weights are overrepresented in the sample — the defining property
+    of weighted sampling without replacement."""
+    import hashlib
+    import math
+
+    from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES
+    from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = QUERIES["corpus_sample_weighted"].spark(spark, sf_dir).collect()
+    assert len(got) == 100
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    ref = []
+    for r in rows:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        w = 1 + r.n_chars % 5
+        key = math.log((h + 1) / float((1 << 60) + 1)) / w
+        ref.append((key, r.doc_id, w))
+    ref.sort(key=lambda t: (-t[0], t[1]))
+    want = {(d, w, round(k, 6)) for k, d, w in ref[:100]}
+    assert {(r.doc_id, r.weight, r.aes_key) for r in got} == want
+
+    # weight bias: the selected rows' mean weight must exceed the
+    # population's (weights 1..5 ~uniform → population mean ≈ 3)
+    pop_mean = sum(w for _, _, w in ref) / len(ref)
+    sel_mean = sum(r.weight for r in got) / len(got)
+    assert sel_mean > pop_mean + 0.3, (sel_mean, pop_mean)
+
+
 def test_hash_threshold_bounds():
     from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
 
