@@ -933,3 +933,87 @@ def test_watermark_drops_late_rows_exactly_at_boundary(spark, tmp_path):
         "2024-01-01T01:15:00.000Z",
         "2024-01-01T01:45:00.000Z",
     ], wms
+
+
+def test_session_window_state_bounded_by_watermark(spark, tmp_path):
+    """Session-window aggregation state witness (companion to the
+    stream-stream join bound): with a 30-minute watermark over a
+    30-day time-ordered feed, open-session state must hold only users
+    whose sessions can still grow — i.e. sessions with activity newer
+    than (watermark − gap). The state bound: rows ≤ sessions whose
+    last event ts ≥ watermark − gap − slack, far below the total
+    session count."""
+    import os as _os
+    import time as _time
+
+    from kingsfoil_seed_data_ingestor_spark.streaming import (
+        session_window_stats,
+    )
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    src = tmp_path / "ev_feed_sessw"
+    src.mkdir()
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter((F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2])),
+        ev.filter(F.col("ts") >= cuts[2]),
+    ]
+    for i, p in enumerate(parts):
+        d = src / f"b{i}.parquet"
+        p.coalesce(1).write.parquet(str(d))
+        now = _time.time()
+        for f in d.rglob("*"):
+            _os.utime(f, (now + i, now + i))
+
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out, progress = _run_with_progress(
+        session_window_stats(stream, gap="10 minutes", watermark="30 minutes"),
+        "sessw_state_bound",
+        "append",
+    )
+    total_sessions = session_window_stats(
+        ev, gap="10 minutes", watermark="30 minutes"
+    ).count()
+    assert total_sessions > 100
+
+    # (user, last event µs) per batch-derivable bound: sessions still
+    # open under watermark W are those with an event ≥ W - gap
+    evts = sorted(
+        r.us for r in ev.select(F.unix_micros("ts").alias("us")).collect()
+    )
+    import bisect
+
+    gap_us = 10 * 60 * 1_000_000
+    checked = 0
+    peak = 0
+    for p in progress:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        state_rows = sum(op.get("numRowsTotal", 0) for op in ops)
+        peak = max(peak, state_rows)
+        wm = p.get("eventTime", {}).get("watermark")
+        if not wm or not wm.startswith("2024"):
+            continue
+        w_us = _parse_wm_us(wm)
+        # every state row belongs to a session reachable from SOME
+        # event newer than W - gap; bound by that event count
+        bound = len(evts) - bisect.bisect_left(evts, w_us - gap_us)
+        assert state_rows <= bound + 2, (state_rows, bound, wm)
+        checked += 1
+    assert checked >= 2, checked
+    # eviction is real: 30 days of sessions never accumulate in state
+    assert 0 < peak < total_sessions / 2, (peak, total_sessions)
