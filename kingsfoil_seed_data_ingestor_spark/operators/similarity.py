@@ -743,16 +743,54 @@ def rhp_params_for(
     import math
 
     p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+
+    def r_for(b: int) -> int:
+        return max(4, math.ceil(math.log2(max(b * n / target_per_vec, 2.0))))
+
     b = 4
     for _ in range(8):  # b and r are interdependent; a few rounds settle
-        r = max(4, math.ceil(math.log2(max(b * n / target_per_vec, 2.0))))
-        p_band = p_plane**r
+        p_band = p_plane ** r_for(b)
         need_b = math.ceil(math.log(1.0 / (1.0 - recall)) / p_band)
         need_b = min(max_bands, max(1, need_b))
         if need_b == b:
             break
         b = need_b
-    return b, r
+    # r is ALWAYS recomputed from the final b: if the fixed-point loop
+    # exhausts its iterations without converging (or oscillates between
+    # two (b, r) pairs), returning the r of the PREVIOUS b alongside the
+    # new b would hand the caller an internally inconsistent family
+    # (round-9 ADVICE fix).
+    return b, r_for(b)
+
+
+def rhp_mask_bits(
+    n: int,
+    bands: int,
+    target_per_vec: int = 16,
+    lo: int = 4,
+    hi: int = 24,
+) -> int:
+    """Smallest ``r`` in ``[lo, hi]`` with ``2^r · target ≥ bands · n``
+    — the N-aware band WIDTH as pure integer arithmetic, so a SQL
+    oracle can compute the identical ``r`` from a ``COUNT(*)`` scalar
+    subquery (``MIN(r) FROM range(lo, hi+1) WHERE (1 << r) * target >=
+    bands * n``) with zero float/log2 boundary hazard. Holding the
+    expected RANDOM collision mass at ``target_per_vec`` candidates per
+    vector per the uniform-bucket model (candidates ≈ bands·n²/2^r)
+    needs exactly ``2^r ≳ bands·n/target`` — the same Θ(log N) growth
+    as :func:`rhp_params_for`, but with the band COUNT held fixed so
+    the plane pool (and hence the oracle's plane literals) is a
+    compile-time constant and only the MASK varies with N.
+
+    ``hi`` caps the pool size: with the default 24 the rule is exact up
+    to ``n ≈ 2^24·target/bands`` (33 M vectors at 8 bands) and saturates
+    above it — corpus runs beyond the cap belong on
+    :func:`near_dup_pairs_rhp_auto`, which grows both ``b`` and ``r``
+    unbounded."""
+    for r in range(lo, hi + 1):
+        if (1 << r) * int(target_per_vec) >= bands * int(n):
+            return r
+    return hi
 
 
 def near_dup_pairs_rhp_auto(
@@ -802,6 +840,7 @@ def near_dup_pairs_rhp(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scope: CacheScope | None = None,
+    bucket_mask: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by random-hyperplane LSH, verified by
     exact cosine ≥ ``threshold`` — the 100 TB path for embedding dedup.
@@ -837,9 +876,21 @@ def near_dup_pairs_rhp(
     scope, own = scope_or_own(scope)
     # both self-join sides read the banded table: persist so the
     # n_planes dot products per vector compute once, not twice
-    banded = scope.persist(
-        rhp_banded(vectors, planes, bands, rows_per_band, id_col, vec_col)
-    )
+    banded = rhp_banded(vectors, planes, bands, rows_per_band, id_col, vec_col)
+    if bucket_mask is not None:
+        # N-aware masked banding (rhp_mask_bits): the kernel computes
+        # the FULL rows_per_band-bit sign word from a fixed plane pool
+        # and only the low `r` bits participate in the band key — the
+        # pool (plane literals) stays a compile-time constant shared
+        # with the SQL oracle while the effective band width grows
+        # Θ(log N). The masked full-width word costs rows_per_band dots
+        # per band instead of r; that waste is the price of a
+        # cross-engine-verifiable family and is bounded by the pool cap
+        # (production unverified runs take near_dup_pairs_rhp_auto).
+        banded = banded.withColumn(
+            "bucket", F.col("bucket").bitwiseAND(F.lit(int(bucket_mask)))
+        )
+    banded = scope.persist(banded)
     left = banded.select(F.col("_id").alias("kept_id"), "band", "bucket")
     right = banded.select(F.col("_id").alias("dup_id"), "band", "bucket")
     pairs = (

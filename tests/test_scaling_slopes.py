@@ -101,6 +101,58 @@ def counts(spark, dirs):
             tb, tr, with_recall=True
         )
 
+        # the REGISTERED auto family (dedup_semantic_clusters_auto):
+        # masked banding over the planted-twin augmented table, r from
+        # the integer rhp_mask_bits rule — this is the exact candidate
+        # stage the driver's oracle gates, measured for growth
+        from kingsfoil_seed_data_ingestor_spark.plans.corpus import (
+            SEM_AUTO_BANDS,
+            SEM_AUTO_MAX_R,
+            SEM_AUTO_PLANES,
+            SEM_AUTO_TARGET,
+            SEM_TWIN_A,
+            SEM_TWIN_B,
+            semantic_augmented,
+        )
+
+        aug = semantic_augmented(spark, d)
+        n_aug = 3 * n_emb
+        r_bits = SIM.rhp_mask_bits(
+            n_aug, SEM_AUTO_BANDS, SEM_AUTO_TARGET, hi=SEM_AUTO_MAX_R
+        )
+        banded = (
+            SIM.rhp_banded(aug, SEM_AUTO_PLANES, SEM_AUTO_BANDS, SEM_AUTO_MAX_R)
+            .withColumn("bucket", F.col("bucket").bitwiseAND(F.lit((1 << r_bits) - 1)))
+            .persist()
+        )
+        left = banded.select(F.col("_id").alias("i"), "band", "bucket")
+        right = banded.select(F.col("_id").alias("j"), "band", "bucket")
+        cand = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j")
+            .distinct()
+            .persist()
+        )
+        row["rhp_auto_cand"] = cand.count()
+        row["rhp_auto_r"] = r_bits
+        # planted recall: every base vector has twins at vec_id+A / +B
+        # (cosine ≈ 0.994) — the pairs the clustering must recover
+        planted = (
+            emb.select(F.col("vec_id").alias("i"))
+            .withColumn("j", F.col("i") + F.lit(SEM_TWIN_A))
+            .unionByName(
+                emb.select(F.col("vec_id").alias("i")).withColumn(
+                    "j", F.col("i") + F.lit(SEM_TWIN_B)
+                )
+            )
+        )
+        row["rhp_auto_recall"] = (
+            cand.join(planted, ["i", "j"], "left_semi").count() / (2 * n_emb)
+        )
+        cand.unpersist()
+        banded.unpersist()
+
         ann_stats: dict = {}
         SIM.knn_ivf_frozen(
             emb, FROZEN_IVF_SF0_01, [0, 1, 2, 3, 4], stats=ann_stats
@@ -136,6 +188,22 @@ def test_rhp_tuned_bands_linearize_candidates(counts):
     )
     for sf in (SF_A, SF_B):
         assert counts[sf]["rhp_tuned_recall"] >= 0.9, counts[sf]
+
+
+def test_registered_auto_family_subquadratic(counts):
+    """VERDICT r8 #1 'Done' criterion: the DRIVER-ORACLE-GATED semantic
+    clustering family (dedup_semantic_clusters_auto's masked banding)
+    must measure candidate exponent ≤ 1.3 with planted-twin recall
+    ≥ 0.9 — the property whose absence convicted the fixed 4×8 family
+    (measured exponent 2.00, SCALING_r8.json)."""
+    s = _slope(counts[SF_A]["rhp_auto_cand"], counts[SF_B]["rhp_auto_cand"])
+    assert s <= 1.3, f"registered auto-band candidate slope {s:.2f} (want ≤ 1.3)"
+    for sf in (SF_A, SF_B):
+        assert counts[sf]["rhp_auto_recall"] >= 0.9, counts[sf]
+    # the mask rule actually widened the band between the two sizes
+    # (4× more rows ⇒ r grows by 2) — otherwise the slope test would
+    # silently measure a fixed family
+    assert counts[SF_B]["rhp_auto_r"] == counts[SF_A]["rhp_auto_r"] + 2, counts
 
 
 def test_star_component_rounds_flat(counts):

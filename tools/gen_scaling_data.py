@@ -127,6 +127,12 @@ def gen_embeddings(
     # of the previous row (cosine ≥ 0.99 → found by every near-dup path)
     twin_mask = (rng.random(n) < TWIN_RATE) & (np.arange(n) > 0)
     idx = np.where(twin_mask)[0]
+    # drop CONSECUTIVE twin indices: the vectorized assignment below
+    # reads the PRE-assignment row idx-1, so if idx-1 is itself being
+    # replaced, the recorded (idx-1, idx) pair would NOT be at cosine
+    # ≥ 0.99 — silently deflating measured recall by ~TWIN_RATE² of
+    # twins (round-9 ADVICE fix)
+    idx = idx[np.diff(np.r_[-2, idx]) > 1]
     vecs[idx] = vecs[idx - 1] + rng.standard_normal((len(idx), dim)) * 0.01
     labels[idx] = labels[idx - 1]
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -173,10 +179,26 @@ def gen_events(n: int, seed: int, n_users: int) -> pa.Table:
     )
 
 
+#: bump on any change to the generated DISTRIBUTION (twin structure,
+#: rates, marginals) — cached .scaling dirs from an older generator are
+#: wiped and rebuilt instead of silently mixing generations
+GEN_VERSION = 2  # v2: consecutive-twin exclusion (round-9 ADVICE fix)
+
+
 def generate(out_dir: str, sf: float, seed: int = 42) -> dict:
     """Write documents/embeddings/events for ``sf`` into ``out_dir``
-    (idempotent: skips tables that already exist). Returns row counts."""
+    (idempotent: skips tables that already exist and match
+    ``GEN_VERSION``). Returns row counts."""
     os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "GENERATED.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if meta.get("gen_version") != GEN_VERSION:
+            import shutil
+
+            shutil.rmtree(out_dir)
+            os.makedirs(out_dir)
     counts = {}
     vocab = means = scales = None
     plan = {
@@ -206,8 +228,11 @@ def generate(out_dir: str, sf: float, seed: int = 42) -> dict:
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
-    with open(os.path.join(out_dir, "GENERATED.json"), "w") as fh:
-        json.dump({"sf": sf, "seed": seed, "rows": counts}, fh)
+    with open(marker, "w") as fh:
+        json.dump(
+            {"sf": sf, "seed": seed, "rows": counts, "gen_version": GEN_VERSION},
+            fh,
+        )
     return counts
 
 
