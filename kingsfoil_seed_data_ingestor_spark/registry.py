@@ -366,3 +366,53 @@ def get_source(source_code: str) -> Source:
         return SOURCES[source_code.upper()]
     except KeyError:
         raise KeyError(f"Data source not found: {source_code}") from None
+
+
+#: view-name suffix for the three MUE sources that SHARE the ncci_mue
+#: fact table — the reference names its per-source views after the
+#: service category, not the source code (``init_db.py:496-517``:
+#: NCCI_MUE_OPH = "Outpatient Hospital" ⇒ ncci_mue_hospital_current)
+MUE_VIEW_SUFFIX = {
+    "NCCI_MUE_DME": "dme",
+    "NCCI_MUE_PRAC": "practitioner",
+    "NCCI_MUE_OPH": "hospital",
+}
+
+
+def current_view_specs() -> list[tuple[str, str, "str | None"]]:
+    """``(view_name, source_code, variant)`` triples reproducing the
+    reference's EXACT 11-view catalog (``init_db.py:424-517``):
+
+    * one ``{table}_current`` view per single-table source (PFS_RVU,
+      PFS_GPCI, PFS_LOCALITY, PFS_ANES_CF, PFS_OPPS_CAP, HCPCS);
+    * one ``{table}_{variant}_current`` view per NCCI_PTP VARIANT
+      (hospital / practitioner) — the reference never merges variants
+      into one view, because the PTP bundling check (SCHEMA.md:269-277)
+      reads exactly one service category;
+    * one ``{table}_{suffix}_current`` view per MUE SOURCE (dme /
+      practitioner / hospital) — three sources share the ncci_mue fact
+      table, disambiguated by the version rows' source_code.
+
+    Deduping by ``target_table`` here (the pre-round-9 bug) collapsed
+    the three MUE views into one bound to whichever source registered
+    first and merged the two PTP variants — practitioner/hospital MUE
+    rows were unreachable through the catalog.
+    """
+    specs: list[tuple[str, str, "str | None"]] = []
+    for source in SOURCES.values():
+        if source.variants:
+            for v in source.variants:
+                specs.append(
+                    (f"{source.target_table}_{v}_current", source.source_code, v)
+                )
+        elif source.source_code in MUE_VIEW_SUFFIX:
+            specs.append(
+                (
+                    f"{source.target_table}_{MUE_VIEW_SUFFIX[source.source_code]}_current",
+                    source.source_code,
+                    None,
+                )
+            )
+        else:
+            specs.append((f"{source.target_table}_current", source.source_code, None))
+    return specs
