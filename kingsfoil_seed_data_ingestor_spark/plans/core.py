@@ -17,6 +17,9 @@ follow strict determinism rules:
 
 from __future__ import annotations
 
+import glob
+import os
+import re
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -92,9 +95,43 @@ DRIVER_WINDOW = 50
 #: variant. Bands <50 (reference parity, streaming twins, family
 #: flagships) are never displaced — rotation only permutes which
 #: extension variants occupy the window's tail.
-ROTATION_ROUND = 8  # bump each round alongside the round's commits
+#: fallback only — the live value is derived by ``_detect_round`` so a
+#: forgotten manual bump can no longer freeze the window (VERDICT r8 #4)
+_ROTATION_FALLBACK_ROUND = 9
 ROTATION_SLOTS = 8
 _ROTATION_BASE_ROUND = 8  # first round the policy was active
+
+
+def _detect_round() -> int:
+    """The build round currently in progress, without a manual source
+    edit each round (VERDICT r8 #4 — one forgotten bump silently
+    freezes the rotation and the driver re-checks the same window
+    forever). Resolution order:
+
+    1. ``SPARK_GRAFT_ROUND`` env (driver/operator override);
+    2. newest ``CORRECTNESS_r{N}.json`` at the repo root — the driver
+       writes round N's artifact AFTER round N, so the round being
+       built is N+1;
+    3. the pinned fallback (fresh checkout with no artifacts).
+
+    ``tests/test_registry_rotation.py`` asserts the fallback never lags
+    the artifacts, so path 3 can't silently regress either.
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env.isdigit():
+        return int(env)
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds) + 1 if rounds else _ROTATION_FALLBACK_ROUND
+
+
+ROTATION_ROUND = _detect_round()
 
 
 def rotated_in_names() -> list[str]:

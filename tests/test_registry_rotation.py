@@ -69,6 +69,35 @@ def test_rotation_covers_overflow_over_rounds(monkeypatch):
     )
 
 
+def test_rotation_round_tracks_artifacts(monkeypatch):
+    """VERDICT r8 #4: the round is DERIVED, not hand-bumped. The env
+    override wins; else the newest CORRECTNESS_r{N}.json implies round
+    N+1; and the fallback constant must never lag the artifacts (the
+    staleness this guard exists to catch)."""
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifact_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    if artifact_rounds:
+        assert core.ROTATION_ROUND >= max(artifact_rounds) + 1, (
+            "rotation round lags the newest correctness artifact — "
+            "the window froze"
+        )
+        assert core._ROTATION_FALLBACK_ROUND >= max(artifact_rounds) + 1, (
+            "fallback constant is stale vs the artifacts on disk"
+        )
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "123")
+    assert core._detect_round() == 123
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    assert core._detect_round() == core.ROTATION_ROUND
+
+
 def test_rotation_deterministic():
     assert core.rotated_in_names() == core.rotated_in_names()
     a = [q.name for q in core.ordered_queries()]
