@@ -156,8 +156,18 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float, int]:
     return width, height, mean_luma, 3
 
 
+#: quarantine-mode output: the feature columns plus a per-row error —
+#: descoped/undecodable assets carry the message, decoded rows null
+IMAGE_FEATURES_Q_SCHEMA = T.StructType(
+    list(IMAGE_FEATURES_SCHEMA.fields) + [T.StructField("error", T.StringType())]
+)
+
+
 def extract_image_features(
-    assets: DataFrame, batch_size_hint: int = 256, batch_counter=None
+    assets: DataFrame,
+    batch_size_hint: int = 256,
+    batch_counter=None,
+    on_descoped: str = "raise",
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -170,7 +180,19 @@ def extract_image_features(
     ARROW BATCH the kernel receives — the test hook proving invocation
     count scales with batches, not rows (the whole point of the Arrow
     path vs a row-wise UDF).
-    """
+
+    ``on_descoped`` (round-9 ADVICE fix): ``"raise"`` (default) keeps
+    the strict contract — one descoped asset (e.g. WebP) aborts the
+    job after task retries, so a pipeline can't silently drop media.
+    ``"quarantine"`` is the corpus-scale production mode: descoped
+    rows come back with NULL features and the ValueError text in an
+    ``error`` column (schema gains that column); callers split on
+    ``error IS NULL`` — the healthy side flows on, the quarantined
+    side is the audit sink. The blast radius of one bad asset is one
+    row, not the job."""
+    if on_descoped not in ("raise", "quarantine"):
+        raise ValueError(f"on_descoped must be raise|quarantine, got {on_descoped}")
+    quarantine = on_descoped == "quarantine"
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -178,20 +200,32 @@ def extract_image_features(
         for batch in batches:
             if batch_counter is not None:
                 batch_counter.add(1)
-            decoded = [_decode_image(p) for p in batch["payload"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": batch["asset_id"].values,
-                    "media_type": batch["media_type"].values,
-                    "byte_size": batch["byte_size"].values,
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "mean_luma": [d[2] for d in decoded],
-                    "channels": [d[3] for d in decoded],
-                }
-            )
+            decoded, errors = [], []
+            for p in batch["payload"]:
+                if not quarantine:
+                    decoded.append(_decode_image(p))
+                    continue
+                try:
+                    decoded.append(_decode_image(p))
+                    errors.append(None)
+                except ValueError as exc:
+                    decoded.append((None, None, None, None))
+                    errors.append(str(exc))
+            out = {
+                "asset_id": batch["asset_id"].values,
+                "media_type": batch["media_type"].values,
+                "byte_size": batch["byte_size"].values,
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "mean_luma": [d[2] for d in decoded],
+                "channels": [d[3] for d in decoded],
+            }
+            if quarantine:
+                out["error"] = errors
+            yield pd.DataFrame(out)
 
-    return assets.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    schema = IMAGE_FEATURES_Q_SCHEMA if quarantine else IMAGE_FEATURES_SCHEMA
+    return assets.mapInPandas(run, schema=schema)
 
 
 #: output of the (stub) resize kernel: payload out, dims in metadata
@@ -282,7 +316,15 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_audio_features(assets: DataFrame, batch_counter=None) -> DataFrame:
+#: quarantine-mode output: feature columns plus a per-row error
+AUDIO_FEATURES_Q_SCHEMA = T.StructType(
+    list(AUDIO_FEATURES_SCHEMA.fields) + [T.StructField("error", T.StringType())]
+)
+
+
+def extract_audio_features(
+    assets: DataFrame, batch_counter=None, on_descoped: str = "raise"
+) -> DataFrame:
     """Arrow-batched audio feature extraction (sample rate, duration,
     RMS level). RIFF/WAVE payloads decode through the REAL pure-Python
     parsers — PCM-16 (format 1), G.711 A-law (format 6) or mu-law
@@ -293,13 +335,20 @@ def extract_audio_features(assets: DataFrame, batch_counter=None) -> DataFrame:
     supported matrix; unrecognized payloads (synthetic plumbing
     fixtures) fall back to the deterministic stub. ``batch_counter``:
     optional Spark accumulator bumped once per Arrow batch (see
-    ``extract_image_features``)."""
+    ``extract_image_features``). ``on_descoped="quarantine"`` (round-9
+    ADVICE fix) contains a descoped container to its own row — NULL
+    features + the ValueError text in an added ``error`` column —
+    instead of aborting the whole corpus job; the raise stays the
+    strict default."""
     try:
         import soundfile  # noqa: F401 — not present in this container
     except ImportError:
         pass
     else:  # pragma: no cover — real decode goes here
         raise NotImplementedError("real audio decode not wired yet")
+    if on_descoped not in ("raise", "quarantine"):
+        raise ValueError(f"on_descoped must be raise|quarantine, got {on_descoped}")
+    quarantine = on_descoped == "quarantine"
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -337,21 +386,31 @@ def extract_audio_features(assets: DataFrame, batch_counter=None) -> DataFrame:
             if batch_counter is not None:
                 batch_counter.add(1)
             sizes = batch["byte_size"].to_numpy(dtype=np.int64)
-            decoded = [
-                one(p, s) for p, s in zip(batch["payload"], sizes)
-            ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": batch["asset_id"].values,
-                    "byte_size": sizes,
-                    "sample_rate": [d[0] for d in decoded],
-                    "duration_sec": [d[1] for d in decoded],
-                    "rms_level": [d[2] for d in decoded],
-                    "n_crossings": [d[3] for d in decoded],
-                }
-            )
+            decoded, errors = [], []
+            for p, s in zip(batch["payload"], sizes):
+                if not quarantine:
+                    decoded.append(one(p, s))
+                    continue
+                try:
+                    decoded.append(one(p, s))
+                    errors.append(None)
+                except ValueError as exc:
+                    decoded.append((None, None, None, None))
+                    errors.append(str(exc))
+            out = {
+                "asset_id": batch["asset_id"].values,
+                "byte_size": sizes,
+                "sample_rate": [d[0] for d in decoded],
+                "duration_sec": [d[1] for d in decoded],
+                "rms_level": [d[2] for d in decoded],
+                "n_crossings": [d[3] for d in decoded],
+            }
+            if quarantine:
+                out["error"] = errors
+            yield pd.DataFrame(out)
 
-    return assets.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    schema = AUDIO_FEATURES_Q_SCHEMA if quarantine else AUDIO_FEATURES_SCHEMA
+    return assets.mapInPandas(run, schema=schema)
 
 
 #: per-frame rows emitted by the audio frame sampler

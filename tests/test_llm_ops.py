@@ -596,6 +596,39 @@ def test_weighted_sample_topk_matches_python_aes(spark):
     assert sel_mean > pop_mean + 0.3, (sel_mean, pop_mean)
 
 
+def test_weighted_sample_large_k_parity_and_weight_guard(spark):
+    """The large_k threshold path (estimate kth key → map-side filter →
+    exact top-k on survivors) returns the IDENTICAL sample as the
+    direct path (VERDICT r8 #7), and non-positive weights are excluded
+    rather than mis-ranked (w=0 → -inf key, w<0 → inverted preference;
+    round-9 ADVICE fix)."""
+    from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
+    from kingsfoil_seed_data_ingestor_spark.plans.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "n_chars"
+    )
+    w = (F.lit(1) + F.col("n_chars") % 5).cast("double")
+    exact = SMP.weighted_sample_topk(docs, 60, w).collect()
+    large = SMP.weighted_sample_topk(docs, 60, w, large_k=True).collect()
+    key = lambda r: (r.doc_id, r.weight, r.aes_key)  # noqa: E731
+    assert sorted(map(key, exact)) == sorted(map(key, large))
+    assert len(exact) == 60
+
+    # weight guard: doc_ids made non-positive-weight must never be
+    # selected, on either path — even when w<0 would have produced the
+    # LARGEST ln(u)/w keys under the unguarded formula
+    poisoned_w = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(-5.0))
+        .when(F.col("doc_id") % 3 == 1, F.lit(0.0))
+        .otherwise(w)
+    )
+    for flag in (False, True):
+        got = SMP.weighted_sample_topk(docs, 60, poisoned_w, large_k=flag).collect()
+        assert got, f"large_k={flag} returned empty"
+        assert all(r.doc_id % 3 == 2 for r in got), f"large_k={flag}"
+
+
 def test_hash_threshold_bounds():
     from kingsfoil_seed_data_ingestor_spark.operators import sampling as SMP
 
@@ -756,6 +789,48 @@ def test_audio_descope_gate_raises_in_plan(spark):
     )
     with pytest.raises(Exception, match="descoped"):
         MM.extract_audio_features(assets).collect()
+
+
+def test_media_descope_quarantine_mode(spark):
+    """on_descoped='quarantine' (round-9 ADVICE fix): a descoped asset
+    is contained to its own row — NULL features + the pointed error in
+    the added `error` column — while healthy assets in the SAME batch
+    decode normally; the strict raise stays the default (pinned by the
+    two gate tests above)."""
+    from kingsfoil_seed_data_ingestor_spark.functions import codecs
+
+    rgb = bytes([128] * (4 * 2 * 3))
+    bmp = codecs.encode_bmp24(4, 2, rgb)
+    webp = b"RIFF" + (1000).to_bytes(4, "little") + b"WEBPVP8L" + b"\x00" * 64
+    assets = spark.createDataFrame(
+        [
+            (1, "image/bmp", bmp, len(bmp), "x"),
+            (2, "image/webp", webp, len(webp), "y"),
+        ],
+        "asset_id long, media_type string, payload binary, byte_size long, checksum string",
+    )
+    rows = {
+        r.asset_id: r
+        for r in MM.extract_image_features(assets, on_descoped="quarantine").collect()
+    }
+    assert rows[1].error is None and (rows[1].width, rows[1].height) == (4, 2)
+    assert rows[2].width is None and "WebP is descoped" in rows[2].error
+
+    ogg = b"OggS" + b"\x00" * 60
+    wav = codecs.encode_wav_pcm16([0, 1000, -1000, 500], 8000)
+    audio = spark.createDataFrame(
+        [(1, "audio/wav", wav, len(wav), "x"), (2, "audio/ogg", ogg, len(ogg), "y")],
+        "asset_id long, media_type string, payload binary, byte_size long, checksum string",
+    )
+    arows = {
+        r.asset_id: r
+        for r in MM.extract_audio_features(audio, on_descoped="quarantine").collect()
+    }
+    assert arows[1].error is None and arows[1].sample_rate == 8000
+    assert arows[2].sample_rate is None and "descoped" in arows[2].error
+
+    with pytest.raises(ValueError, match="raise|quarantine"):
+        MM.extract_image_features(assets, on_descoped="ignore")
 
 
 # ----------------------------------------------------------------------
