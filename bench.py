@@ -120,6 +120,40 @@ def cpu_probe_mc(workers: int = 8) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _spin_tasks(it):
+    # smaller fixed spin than _spin: ~0.15 s/core idle — enough signal
+    # above scheduler noise, cheap enough to sample many times
+    x = 0
+    for i in range(4_000_000):
+        x += i & 7
+    yield x
+
+
+def cpu_probe_spark(spark, tasks: int = 32) -> float:
+    """EXECUTOR-SIDE multicore probe (VERDICT r8 #3): ``tasks``
+    concurrent Spark tasks each running a fixed Python spin inside
+    ``mapPartitions``, timed end to end. This measures the aggregate
+    multicore throughput the 32-thread suite actually competes for —
+    INSIDE the session window, at any timeline point — without fork
+    (ADVICE r7 #2 stays satisfied: the parallelism is Spark's own
+    executor threads + reused Python workers, no multiprocessing of a
+    live-JVM parent). The r8 driver run recorded the most-parallel
+    query at 2× its true cost while the single-core probe timeline
+    stayed FLAT — only the session-exterior mc-probe (0.57 vs 0.39 s)
+    revealed multicore contention, unattributable per-query. Sampling
+    this beside ``cpu_probe`` at each timeline mark closes that gap:
+    host-wide parallel slowdowns now show up AT the phase boundary
+    where they hit."""
+    t0 = time.perf_counter()
+    n = (
+        spark.sparkContext.parallelize(range(tasks), tasks)
+        .mapPartitions(_spin_tasks)
+        .count()
+    )
+    assert n == tasks
+    return round(time.perf_counter() - t0, 4)
+
+
 def drain(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -204,6 +238,12 @@ WARM_RETRY_PASSES = 2
 #: record a cpu_probe sample every N queries inside the warm phase so
 #: per-query host speed is attributable after the fact (VERDICT r7 #1b)
 PROBE_EVERY = 30
+#: cold-outlier defense (VERDICT r8 #3): a cold pass more than this
+#: ratio above the COMMITTED previous-round cold for the same query
+#: (same sf) is re-measured once — a transient host stall has to
+#:  persist across two separated passes to enter the record
+COLD_RETRY_RATIO = 3.0
+COLD_RETRY_ABS_FLOOR = 1.0  # seconds — don't retry-storm fast queries
 
 
 def bench_batch(
@@ -212,7 +252,8 @@ def bench_batch(
     queries=None,
     two_phase: bool = True,
     probe_timeline: list | None = None,
-) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
+    cold_ref: dict | None = None,
+) -> tuple[dict[str, float], dict[str, float], dict[str, dict[str, int]]]:
     """Cold pass + best-of-2 warm per query.
 
     ``two_phase`` (round-7 default, PERF_NOTES §r7): ALL cold passes run
@@ -254,22 +295,54 @@ def bench_batch(
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     retries: dict[str, int] = {}
+    cold_retries: dict[str, int] = {}
     items = list((queries or QUERIES).items())
     timeline = probe_timeline if probe_timeline is not None else []
 
     def mark(label: str) -> None:
-        timeline.append({"at": label, "cpu_probe": cpu_probe()})
+        # single-core AND executor-side multicore sample per point: the
+        # pair separates "host cores slowed" from "host cores stolen"
+        # (VERDICT r8 #3 — r8's per-query drift was mc-contention with
+        # a flat single-core timeline)
+        timeline.append(
+            {
+                "at": label,
+                "cpu_probe": cpu_probe(),
+                "cpu_probe_spark": cpu_probe_spark(spark),
+            }
+        )
 
-    def cold_pass(name, q) -> bool:
+    def timed_cold(name, q) -> float:
         _reset(spark)
         t0 = time.perf_counter()
+        drain(q.spark(spark, sf_dir))
+        return round(time.perf_counter() - t0, 4)
+
+    def cold_pass(name, q) -> bool:
         try:
-            drain(q.spark(spark, sf_dir))
+            t = timed_cold(name, q)
         except Exception as exc:  # surface, don't abort the whole bench
             print(f"[bench] {name} FAILED cold: {exc}", file=sys.stderr)
             cold[name] = warm[name] = -1.0
             return False
-        cold[name] = round(time.perf_counter() - t0, 4)
+        # cold-outlier defense vs the committed previous-round cold.
+        # The retry executes with this query's codegen already cached,
+        # so a kept retry value is a LOWER bound of true cold — the
+        # honest trade (cold_retries flags the row) vs recording a 3x
+        # host-stall artifact as the engine's compile cost.
+        ref = (cold_ref or {}).get(name, -1.0)
+        if ref > 0 and t > ref * COLD_RETRY_RATIO and t - ref > COLD_RETRY_ABS_FLOOR:
+            print(
+                f"[bench] {name} cold {t} > {COLD_RETRY_RATIO}x committed "
+                f"{ref}: re-measuring once",
+                file=sys.stderr,
+            )
+            cold_retries[name] = 1
+            try:
+                t = min(t, timed_cold(name, q))
+            except Exception as exc:  # keep the first measurement
+                print(f"[bench] {name} cold retry failed: {exc}", file=sys.stderr)
+        cold[name] = t
         return True
 
     def one_warm(name, q) -> None:
@@ -313,7 +386,7 @@ def bench_batch(
         for name, q in items:
             if cold_pass(name, q):
                 warm_passes(name, q)
-    return cold, warm, retries
+    return cold, warm, {"warm": retries, "cold": cold_retries}
 
 
 def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
@@ -466,6 +539,21 @@ def main() -> int:
     # stderr; only the final JSON line is printed on the real stdout
     real_stdout = sys.stdout
     sys.stdout = sys.stderr
+    here = os.path.dirname(os.path.abspath(__file__))
+    # previous round's committed colds (same sf only) for the
+    # cold-outlier defense — read BEFORE this run overwrites the file
+    cold_ref: dict = {}
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf:
+            cold_ref = {
+                k: v["cold"]
+                for k, v in prev.get("queries", {}).items()
+                if v.get("cold", -1.0) > 0
+            }
+    except Exception:
+        pass
     try:
         probe_pre = cpu_probe()
         # multi-core probe runs OUTSIDE the Spark session window only
@@ -474,8 +562,8 @@ def main() -> int:
         spark = get_spark(app_name="kingsfoil-bench")
         pin_comparable_conf(spark)
         probe_timeline: list = []
-        cold, warm, warm_retries = bench_batch(
-            spark, sf_dir, probe_timeline=probe_timeline
+        cold, warm, retry_log = bench_batch(
+            spark, sf_dir, probe_timeline=probe_timeline, cold_ref=cold_ref
         )
         jvm = jvm_diagnostics(spark)
         streaming = bench_streaming(spark, sf_dir)
@@ -496,10 +584,10 @@ def main() -> int:
         "cpu_probe_sec": probe,
         "cpu_probe_mc_sec": probe_mc,
         "probe_timeline": probe_timeline,
-        "warm_retries": warm_retries,
+        "warm_retries": retry_log["warm"],
+        "cold_retries": retry_log["cold"],
         "jvm": jvm,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
