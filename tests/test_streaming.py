@@ -814,6 +814,149 @@ def test_correlate_events_join_state_bounded(spark, tmp_path):
     assert 0 < peak < (len(clicks) + len(purchases)) / 2, peak
 
 
+def test_bounded_disorder_feed_completeness(spark, tmp_path):
+    """Bounded-disorder arrival semantics (VERDICT r8 #5): real
+    pipelines are neither time-ordered (the r8 micro-bench's honest
+    simplification, PERF_NOTES §r8) nor time-random (where a watermark
+    silently drops most rows) — they arrive with a KNOWN max disorder.
+    The fixture is a dense synthetic click/purchase feed (4 000 events
+    43.2 s apart, 20 users, every click followed by a same-user
+    purchase inside the 1 h join window → 3 980 expected pairs) whose
+    ARRIVAL order displaces each event by a deterministic md5-derived
+    ±6 h; max lateness vs the max event time already seen is therefore
+    ≤ 12 h — the documented disorder bound. With watermark slack ≥ that
+    bound the stream-stream interval join must be COMPLETE (zero rows
+    dropped by the watermark, output identical to the batch twin) and
+    the state-size witness must still hold across micro-batches;
+    tightening the slack BELOW the bound must visibly drop rows and
+    lose pairs — the gate that fails if anyone 'optimizes' the slack
+    under the disorder. Fixed data + hash displacement: fully
+    deterministic (measured: 725 min slack → 3980/3980, 0 dropped;
+    125 min → 3662 pairs, 166 dropped)."""
+    import bisect
+    import os as _os
+    import time as _time
+
+    from kingsfoil_seed_data_ingestor_spark.streaming import correlate_events
+
+    ev = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 20).alias("user_id"),
+        F.when((F.col("id") / 20).cast("long") % 2 == 0, "click")
+        .otherwise("purchase")
+        .alias("event_type"),
+        F.timestamp_micros(
+            F.lit(1704067200000000) + F.col("id") * F.lit(43_200_000)
+        ).alias("ts"),
+        (F.col("id") % 50 * 1.0).alias("value"),
+    )
+    disorder_s = 6 * 3600
+    arrival = (
+        F.unix_micros("ts")
+        + (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % (2 * disorder_s + 1)
+            - disorder_s
+        )
+        * 1_000_000
+    )
+    perturbed = ev.withColumn("_arrival", arrival)
+    # 8 arrival-ordered files → 8 micro-batches (each ~6 h of feed);
+    # every boundary exposes up to 12 h of disorder to the watermark
+    cuts = perturbed.approxQuantile("_arrival", [i / 8 for i in range(1, 8)], 0.0)
+    src = tmp_path / "ev_feed_disorder"
+    src.mkdir()
+    lo = float("-inf")
+    for i, hi in enumerate(list(cuts) + [float("inf")]):
+        part = perturbed.filter(
+            (F.col("_arrival") >= lo) & (F.col("_arrival") < hi)
+        ).drop("_arrival")
+        d = src / f"b{i}.parquet"
+        part.coalesce(1).write.parquet(str(d))
+        now = _time.time()
+        for f in d.rglob("*"):
+            _os.utime(f, (now + i, now + i))
+        lo = hi
+
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+
+    def run(name: str, slack: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        out, progress = _run_with_progress(
+            correlate_events(stream, watermark=slack), name, "append"
+        )
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in (p.get("stateOperators") or [])
+        )
+        return out, progress, dropped
+
+    batch_n = correlate_events(ev).count()
+    assert batch_n == 3980
+
+    # slack ≥ the 12 h disorder bound (+ margin): complete
+    out, progress, dropped = run("disorder_wide", "725 minutes")
+    assert dropped == 0, f"watermark dropped {dropped} rows despite slack ≥ bound"
+    assert out.count() == batch_n, "stream output incomplete vs batch twin"
+
+    # the state witness holds under disorder too (same eviction bound
+    # as the ordered-feed test, slack for in-flight batch rows)
+    within_us = 3_600 * 1_000_000
+    clicks = sorted(
+        r.us
+        for r in ev.filter(F.col("event_type") == "click")
+        .select(F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    purchases = sorted(
+        r.us
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select(F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    checked = 0
+    peak = 0
+    for p in progress:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        total_state = sum(op.get("numRowsTotal", 0) for op in ops)
+        peak = max(peak, total_state)
+        wm = p.get("eventTime", {}).get("watermark")
+        if not wm:
+            continue
+        w_us = _parse_wm_us(wm)
+        if w_us <= 0:
+            continue
+        bound = (
+            len(clicks) - bisect.bisect_left(clicks, w_us - within_us)
+        ) + (len(purchases) - bisect.bisect_left(purchases, w_us))
+        assert total_state <= bound + 8, (total_state, bound, wm)
+        checked += 1
+    assert checked >= 3, f"too few watermarked batches to witness: {checked}"
+    # eviction actually ran: 48 h of feed vs a ~13 h retention horizon
+    assert 0 < peak < len(clicks) + len(purchases), peak
+
+    # negative control: slack BELOW the disorder bound must drop rows
+    # and lose pairs — the completeness above is the watermark slack
+    # covering the bound, not the feed being secretly ordered
+    out_tight, _, dropped_tight = run("disorder_tight", "125 minutes")
+    assert dropped_tight > 0, (
+        "tight watermark dropped nothing — the fixture's disorder bound "
+        "is not being exercised"
+    )
+    assert out_tight.count() < batch_n
+
+
 def test_watermark_drops_late_rows_exactly_at_boundary(spark, tmp_path):
     """Late-data semantics pinned under data (VERDICT r7 #5), with a
     10-minute tumbling window, 15-minute watermark, append mode.
