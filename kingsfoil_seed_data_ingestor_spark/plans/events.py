@@ -994,3 +994,91 @@ def events_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx", "event_type")
     )
+
+
+# ----------------------------------------------------------------------
+# round 9: sketch MERGE-cost witness — state-table sizes vs geometry
+# ----------------------------------------------------------------------
+
+
+def sketch_state_sizes(spark: SparkSession, sf_dir: str) -> dict:
+    """Rows in each mergeable sketch's STATE table — the payload
+    partitions exchange when sketches are merged — next to the
+    geometric cap that makes each a sketch (VERDICT r8 #6).
+
+    Scan cost for the sketch queries is trivially linear in N (every
+    event is hashed once, map-side); the 100 TB property worth gating
+    is that the MERGE side is bounded by geometry alone:
+
+    * HLL register table (``events_distinct_users_hll``): one row per
+      (event_type, bucket) — cap ``n_types × HLL_M``. Growth vs N is
+      the coupon-collector occupancy curve, strictly concave, flat
+      once every register is touched.
+    * CMS counter table (``events_heavy_hitters_cms``): one row per
+      (d, bucket) — cap ``CMS_D × CMS_W``, same saturation shape.
+    * Bloom word table (``events_bloom_prefilter``): one row per
+      62-bit word with any bit set — cap ``BF_WORDS`` (saturates
+      almost immediately at the deliberately-tight 3 968-bit
+      geometry).
+
+    The bucket/position expressions are the exact ones the registered
+    queries build (60-bit md5 prefix via ``conv``), so a geometry or
+    hash change there moves these numbers too. Returns measured sizes
+    plus their caps so callers assert ``size <= cap`` without
+    re-importing constants.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+
+    def h60(col):  # the repo's cross-engine 60-bit hash
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    n_types = ev.select("event_type").distinct().count()
+    hll_regs = (
+        ev.select(
+            "event_type",
+            (h60(F.col("user_id").cast("string")) % HLL_M).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .count()
+        .count()
+    )
+
+    dkey = F.concat_ws(
+        ":", F.col("d").cast("string"), F.col("user_id").cast("string")
+    )
+    cms_counters = (
+        ev.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d"),
+        )
+        .select("d", (h60(dkey) % CMS_W).alias("bucket"))
+        .groupBy("d", "bucket")
+        .count()
+        .count()
+    )
+
+    per = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("np"),
+        F.sum((F.col("event_type") == "view").cast("int")).alias("nv"),
+    )
+    members = per.filter(F.col("np") > F.col("nv")).select("user_id")
+    bloom_words = (
+        members.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(i) for i in range(BF_K)])).alias("d"),
+        )
+        .select((h60(dkey) % (BF_WORDS * BF_BPW)).alias("pos"))
+        .select(F.expr(f"pos div {BF_BPW}").alias("w"))
+        .distinct()
+        .count()
+    )
+
+    return {
+        "hll_regs": hll_regs,
+        "hll_cap": n_types * HLL_M,
+        "cms_counters": cms_counters,
+        "cms_cap": CMS_D * CMS_W,
+        "bloom_words": bloom_words,
+        "bloom_cap": BF_WORDS,
+        "n_types": n_types,
+    }

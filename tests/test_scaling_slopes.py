@@ -215,3 +215,46 @@ def test_star_component_rounds_flat(counts):
 def test_ivf_scored_rows_linear(counts):
     s = _slope(counts[SF_A]["ann_scored_rows"], counts[SF_B]["ann_scored_rows"])
     assert s <= 1.25, f"IVF scored-row slope {s:.2f} (want ~1, ≤ 1.25)"
+
+
+# ----------------------------------------------------------------------
+# round 9 (VERDICT r8 #6): sketch family — MERGE cost bounded by
+# geometry, not N
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sketch_sizes(spark, dirs):
+    from kingsfoil_seed_data_ingestor_spark.plans.events import (
+        sketch_state_sizes,
+    )
+
+    return {sf: sketch_state_sizes(spark, d) for sf, d in dirs.items()}
+
+
+def test_sketch_merge_state_capped_by_geometry(sketch_sizes):
+    """The mergeable state table of every sketch query must stay
+    inside its geometric cap at BOTH corpus sizes — the property that
+    makes cross-partition (and cross-day) merges O(geometry) no matter
+    how many events were absorbed. Scan cost is trivially linear; THIS
+    is the 100 TB invariant worth pinning (VERDICT r8 #6)."""
+    for sf, row in sketch_sizes.items():
+        assert row["hll_regs"] <= row["hll_cap"], (sf, row)
+        assert row["cms_counters"] <= row["cms_cap"], (sf, row)
+        assert row["bloom_words"] <= row["bloom_cap"], (sf, row)
+
+
+def test_sketch_merge_state_saturates(sketch_sizes):
+    """State growth vs a 4× event scale-up follows the concave
+    register-occupancy curve, never the data: HLL measures ~0.62,
+    CMS ~0.78 (both still filling their register files at these sizes
+    — the curve flattens to 0 at saturation, and the cap test above
+    bounds the limit), Bloom is already saturated flat at 64 words.
+    A linear slope here would mean per-row state — a broken sketch."""
+    a, b = sketch_sizes[SF_A], sketch_sizes[SF_B]
+    s_hll = _slope(a["hll_regs"], b["hll_regs"])
+    assert s_hll <= 0.75, f"HLL register-table slope {s_hll:.2f} (want ≤ 0.75)"
+    s_cms = _slope(a["cms_counters"], b["cms_counters"])
+    assert s_cms <= 0.9, f"CMS counter-table slope {s_cms:.2f} (want ≤ 0.9)"
+    s_bf = _slope(a["bloom_words"], b["bloom_words"])
+    assert s_bf <= 0.05, f"Bloom word-table slope {s_bf:.2f} (want flat)"

@@ -243,7 +243,7 @@ def main() -> int:
     ap.add_argument("--root", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling"
     ))
-    ap.add_argument("--sfs", default="0.03,0.1,0.3,1")
+    ap.add_argument("--sfs", default="0.03,0.1,0.3,1,3")
     args = ap.parse_args()
     for sf_s in args.sfs.split(","):
         sf = float(sf_s)

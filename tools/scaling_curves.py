@@ -1,9 +1,15 @@
 """Measured scaling curves for the dedup/ANN/components/sketch
-families (VERDICT r7 #2): every 100 TB argument in PLANS.md is a plan
-audit at sf0.1 — this harness turns them into NUMBERS by running the
-families at sf0.03/0.1/0.3/1 over the locally-generated
-driver-marginal-matched testdata (tools/gen_scaling_data.py) and
-fitting log-log growth exponents.
+families (VERDICT r7 #2, extended per r8 #6): every 100 TB argument in
+PLANS.md is a plan audit at sf0.1 — this harness turns them into
+NUMBERS by running the families at sf0.03/0.1/0.3/1/3 over the
+locally-generated driver-marginal-matched testdata
+(tools/gen_scaling_data.py) and fitting log-log growth exponents.
+Round 9 adds the sf3 column (another 3× past sf1, confirming the
+1.0-1.2 dedup exponents hold), the REGISTERED N-aware semantic family
+(``dedup_semantic_clusters_auto``'s masked banding — the driver-oracle
+path since r9), and the sketch-family MERGE-cost curves
+(``plans.events.sketch_state_sizes``: HLL/CMS/Bloom state-table rows
+vs their geometric caps — saturating, never linear).
 
 Metrics per SF:
 
@@ -18,7 +24,14 @@ Metrics per SF:
     family's band shape): expected Θ(N²/2^r) — the measured quadratic
     that motivates the next row;
   - RHP TUNED via ``rhp_params_for(n)`` (r = Θ(log N)): candidates
-    ~linear at matched recall on the planted twins.
+    ~linear at matched recall on the planted twins;
+  - RHP AUTO (the registered ``dedup_semantic_clusters_auto``
+    candidate stage: 8 bands masked to ``rhp_mask_bits(3N)`` bits over
+    the twin-augmented table): ~linear with planted recall ≥ 0.9.
+* sketch MERGE state (rows in the mergeable counter tables vs their
+  geometric caps): HLL registers ≤ types×1024, CMS counters ≤ 4×2048,
+  Bloom words ≤ 64 — the saturation curves behind the "merge cost is
+  O(geometry), not O(N)" claim.
 * star-component rounds on the MinHash near-dup edge set
   (``fast_rounds=0`` pure star): flat in N (the O(log² n) bound).
 * IVF scored rows (frozen codebook, nprobe=3, 5 queries): ~linear in N
@@ -26,8 +39,8 @@ Metrics per SF:
 * warm wall time (best of 2 after a cold pass) for the registered
   family queries.
 
-Output: SCALING_r8.json + a markdown table on stdout (pasted into
-PERF_NOTES §r8). The pytest twin (tests/test_scaling_slopes.py) runs
+Output: SCALING_r9.json + a markdown table on stdout (pasted into
+PERF_NOTES §r9). The pytest twin (tests/test_scaling_slopes.py) runs
 the same counters at two small SFs and gates the exponents.
 """
 
@@ -55,13 +68,14 @@ from kingsfoil_seed_data_ingestor_spark.session import get_spark, pin_comparable
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALING_ROOT = os.path.join(REPO, ".scaling")
-SFS = ["0.03", "0.1", "0.3", "1"]
+SFS = ["0.03", "0.1", "0.3", "1", "3"]
 
 TIMED_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash64",
     "dedup_semantic_clusters_blocked",
+    "dedup_semantic_clusters_auto",
     "embed_ann_ivf_frozen",
     "events_distinct_users_hll",
     "events_heavy_hitters_cms",
@@ -153,18 +167,81 @@ def candidate_counts(spark, sf_dir: str) -> dict:
     cand.unpersist()
     tbanded.unpersist()
 
+    # the REGISTERED auto family (dedup_semantic_clusters_auto, the
+    # driver-oracle path since r9): masked banding over the
+    # twin-augmented table, r from the integer rhp_mask_bits rule
+    from kingsfoil_seed_data_ingestor_spark.plans.corpus import (
+        SEM_AUTO_BANDS,
+        SEM_AUTO_MAX_R,
+        SEM_AUTO_PLANES,
+        SEM_AUTO_TARGET,
+        SEM_TWIN_A,
+        SEM_TWIN_B,
+        semantic_augmented,
+    )
+
+    aug = semantic_augmented(spark, sf_dir)
+    r_bits = SIM.rhp_mask_bits(3 * n, SEM_AUTO_BANDS, SEM_AUTO_TARGET, hi=SEM_AUTO_MAX_R)
+    abanded = (
+        SIM.rhp_banded(aug, SEM_AUTO_PLANES, SEM_AUTO_BANDS, SEM_AUTO_MAX_R)
+        .withColumn("bucket", F.col("bucket").bitwiseAND(F.lit((1 << r_bits) - 1)))
+        .persist()
+    )
+    al = abanded.select(F.col("_id").alias("i"), "band", "bucket")
+    ar = abanded.select(F.col("_id").alias("j"), "band", "bucket")
+    acand = (
+        al.join(ar, ["band", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+        .persist()
+    )
+    out["rhp_auto_cand"] = acand.count()
+    out["rhp_auto_r"] = r_bits
+    planted = (
+        emb.select(F.col("vec_id").alias("i"))
+        .withColumn("j", F.col("i") + F.lit(SEM_TWIN_A))
+        .unionByName(
+            emb.select(F.col("vec_id").alias("i")).withColumn(
+                "j", F.col("i") + F.lit(SEM_TWIN_B)
+            )
+        )
+    )
+    out["rhp_auto_recall"] = round(
+        acand.join(planted, ["i", "j"], "left_semi").count() / (2 * n), 4
+    )
+    acand.unpersist()
+    abanded.unpersist()
+
     # frozen-codebook IVF: scored rows = Σ probed-cluster sizes
     ann_stats: dict = {}
     SIM.knn_ivf_frozen(
         emb, FROZEN_IVF_SF0_01, [0, 1, 2, 3, 4], stats=ann_stats
     ).count()
     out["ann_scored_rows"] = ann_stats.get("scored_rows")
+
+    # sketch MERGE state: counter-table rows vs geometric caps
+    from kingsfoil_seed_data_ingestor_spark.plans.events import sketch_state_sizes
+
+    out.update(sketch_state_sizes(spark, sf_dir))
     return out
 
 
-def wall_times(spark, sf_dir: str) -> dict:
+def wall_times(spark, sf_dir: str, sf: float) -> dict:
     out = {}
     for name in TIMED_QUERIES:
+        if name == "dedup_semantic_clusters_blocked" and sf >= 3:
+            # the DEPRECATED fixed-band family is measured quadratic
+            # (100.7 s at sf1, SCALING_r8.json); at sf3 a single rep is
+            # ~15 min for a point the sf0.03-1 curve already proves.
+            # Logged, not silent: -2 marks "skipped, known-quadratic".
+            print(
+                f"[scaling] {name} SKIPPED at sf{sf} (known-quadratic "
+                "family, exponent 2.00 pinned by the sf0.03-1 curve)",
+                file=sys.stderr,
+            )
+            out[name] = -2.0
+            continue
         q = QUERIES[name]
         try:
             drain(q.spark(spark, sf_dir))  # cold (codegen) pass
@@ -186,18 +263,37 @@ def fit_slope(ns: list[float], ys: list[float]) -> float | None:
 
 
 def main() -> int:
-    from tools.gen_scaling_data import generate
+    from tools.gen_scaling_data import GEN_VERSION, generate
+
+    # per-SF checkpoint: a multi-SF run is ~20 min end-to-end; caching
+    # finished SF rows (keyed by generator version + the metric set)
+    # makes interrupted runs resume instead of restarting
+    cache_path = os.path.join(SCALING_ROOT, "curves_cache_r9.json")
+    cache_key = f"g{GEN_VERSION}-m2"
+    cache: dict[str, dict] = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as fh:
+            stored = json.load(fh)
+        if stored.get("key") == cache_key:
+            cache = stored.get("per_sf", {})
 
     spark = get_spark(app_name="kingsfoil-scaling")
     pin_comparable_conf(spark)
     per_sf: dict[str, dict] = {}
     for sf_s in SFS:
+        if sf_s in cache:
+            per_sf[sf_s] = cache[sf_s]
+            print(f"[scaling] sf{sf_s}: cached", file=sys.stderr)
+            continue
         sf_dir = os.path.join(SCALING_ROOT, f"sf{sf_s}")
         generate(sf_dir, float(sf_s))
         row = candidate_counts(spark, sf_dir)
-        row["wall"] = wall_times(spark, sf_dir)
+        row["wall"] = wall_times(spark, sf_dir, float(sf_s))
         per_sf[sf_s] = row
         print(f"[scaling] sf{sf_s}: {json.dumps(row)}", file=sys.stderr)
+        cache[sf_s] = row
+        with open(cache_path, "w") as fh:
+            json.dump({"key": cache_key, "per_sf": cache}, fh)
 
     docs_n = [per_sf[s]["n_docs"] for s in SFS]
     emb_n = [per_sf[s]["n_emb"] for s in SFS]
@@ -208,7 +304,11 @@ def main() -> int:
         "sh64_pairs": fit_slope(docs_n, [per_sf[s]["sh64_pairs"] for s in SFS]),
         "rhp_fixed_cand": fit_slope(emb_n, [per_sf[s]["rhp_fixed_cand"] for s in SFS]),
         "rhp_tuned_cand": fit_slope(emb_n, [per_sf[s]["rhp_tuned_cand"] for s in SFS]),
+        "rhp_auto_cand": fit_slope(emb_n, [per_sf[s]["rhp_auto_cand"] for s in SFS]),
         "ann_scored_rows": fit_slope(emb_n, [per_sf[s]["ann_scored_rows"] for s in SFS]),
+        "hll_regs": fit_slope(ev_n, [per_sf[s]["hll_regs"] for s in SFS]),
+        "cms_counters": fit_slope(ev_n, [per_sf[s]["cms_counters"] for s in SFS]),
+        "bloom_words": fit_slope(ev_n, [per_sf[s]["bloom_words"] for s in SFS]),
     }
     for q in TIMED_QUERIES:
         base = ev_n if q.startswith(("events", "text_length")) else (
@@ -217,7 +317,7 @@ def main() -> int:
         slopes[f"wall:{q}"] = fit_slope(base, [per_sf[s]["wall"][q] for s in SFS])
 
     result = {"per_sf": per_sf, "slopes": slopes, "sfs": SFS}
-    with open(os.path.join(REPO, "SCALING_r8.json"), "w") as fh:
+    with open(os.path.join(REPO, "SCALING_r9.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
@@ -227,7 +327,9 @@ def main() -> int:
     for key in (
         "n_docs", "n_emb", "mh_cand", "mh_verified", "sh64_pairs",
         "star_rounds", "rhp_fixed_cand", "rhp_tuned_cand",
-        "rhp_tuned_recall", "ann_scored_rows",
+        "rhp_tuned_recall", "rhp_auto_cand", "rhp_auto_r",
+        "rhp_auto_recall", "ann_scored_rows",
+        "hll_regs", "cms_counters", "bloom_words",
     ):
         vals = " | ".join(str(per_sf[s].get(key)) for s in SFS)
         print(f"| {key} | {vals} | {slopes.get(key, '—')} |")
