@@ -478,6 +478,28 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
             out["stream_events_join"] = round(time.perf_counter() - t0, 4)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        # fifth micro-bench (round 9): incremental MinHash-LSH near-dup
+        # index — per batch: shingle+lanes over NEW docs only, banded
+        # probe against the accumulated on-disk index, exact-Jaccard
+        # verify, idempotent batch_id-scoped writes
+        from kingsfoil_seed_data_ingestor_spark.streaming.lsh import (
+            StreamingLSHIndex,
+            stream_lsh_dedup,
+        )
+
+        t0 = time.perf_counter()
+        lsh_stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(doc_dir)
+        lsh_index = StreamingLSHIndex(os.path.join(tmp, "lsh_store"))
+        q = stream_lsh_dedup(
+            lsh_stream, lsh_index, os.path.join(tmp, "lsh_ckpt"),
+            query_name="bench_stream_lsh",
+        )
+        q.awaitTermination()
+        lsh_index.near_dup_pairs(spark).count()
+        out["stream_lsh_dedup"] = round(time.perf_counter() - t0, 4)
     except Exception as exc:
         print(f"[bench] streaming micro-bench FAILED: {exc}", file=sys.stderr)
     finally:

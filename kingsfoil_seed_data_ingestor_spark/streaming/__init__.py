@@ -37,6 +37,10 @@ from kingsfoil_seed_data_ingestor_spark.streaming.ingest import (
     stream_ingest_directory,
     watch_drop_directory,
 )
+from kingsfoil_seed_data_ingestor_spark.streaming.lsh import (
+    StreamingLSHIndex,
+    stream_lsh_dedup,
+)
 
 __all__ = [
     "read_event_stream",
@@ -58,4 +62,6 @@ __all__ = [
     "run_to_memory",
     "stream_ingest_directory",
     "watch_drop_directory",
+    "StreamingLSHIndex",
+    "stream_lsh_dedup",
 ]

@@ -60,6 +60,13 @@ def counts(spark, dirs):
             sigs, bands=32, rows_per_band=4
         ).count()
         row["sh64_pairs"] = DD.simhash64_near_dups(docs, max_hamming=3).count()
+        from kingsfoil_seed_data_ingestor_spark.plans.llm import (
+            SIMHASH64_BUCKET_CAP,
+        )
+
+        row["sh64_capped_pairs"] = DD.simhash64_near_dups(
+            docs, max_hamming=3, max_bucket_size=SIMHASH64_BUCKET_CAP
+        ).count()
 
         mh_pairs = DD.minhash_near_dups(docs, threshold=0.8).persist()
         row["mh_verified"] = mh_pairs.count()
@@ -173,6 +180,23 @@ def test_minhash_lsh_candidates_subquadratic(counts):
 def test_simhash64_pairs_subquadratic(counts):
     s = _slope(counts[SF_A]["sh64_pairs"], counts[SF_B]["sh64_pairs"])
     assert s <= 1.5, f"SimHash64 pair slope {s:.2f} (want ≤ 1.5)"
+
+
+def test_simhash64_capped_production_path_near_linear(counts):
+    """The PRODUCTION simhash path (hot-bucket cap, the exact family
+    `dedup_simhash64_capped` oracle-pins) must grow strictly slower
+    than the uncapped pigeonhole — the cap exists because the uncapped
+    family measured exponent 1.51 over 100× (SCALING_r9.json,
+    fingerprint concentration) and a capped bucket contributes O(cap²)
+    pairs instead of O(k²). Gate: capped slope ≤ 1.3 AND ≤ uncapped."""
+    capped = _slope(
+        counts[SF_A]["sh64_capped_pairs"], counts[SF_B]["sh64_capped_pairs"]
+    )
+    uncapped = _slope(counts[SF_A]["sh64_pairs"], counts[SF_B]["sh64_pairs"])
+    assert capped <= 1.3, f"capped SimHash64 slope {capped:.2f} (want ≤ 1.3)"
+    assert capped <= uncapped + 1e-9, (
+        f"capped slope {capped:.2f} must not exceed uncapped {uncapped:.2f}"
+    )
 
 
 def test_rhp_tuned_bands_linearize_candidates(counts):

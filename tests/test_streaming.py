@@ -1160,3 +1160,85 @@ def test_session_window_state_bounded_by_watermark(spark, tmp_path):
     assert checked >= 2, checked
     # eviction is real: 30 days of sessions never accumulate in state
     assert 0 < peak < total_sessions / 2, (peak, total_sessions)
+
+
+# ----------------------------------------------------------------------
+# round 9: incremental MinHash-LSH near-dup index (streaming/lsh.py)
+# ----------------------------------------------------------------------
+
+
+def test_streaming_lsh_matches_batch(spark, tmp_path):
+    """The incremental LSH index over 3 micro-batches must emit exactly
+    the pair set batch ``minhash_near_dups`` finds on the union — the
+    'never recompute history, never miss a cross-batch pair' contract.
+    Clones are planted so pairs straddle every batch combination."""
+    from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import (
+        StreamingLSHIndex,
+        stream_lsh_dedup,
+    )
+
+    src = tmp_path / "lsh_feed"
+    src.mkdir()
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    clones = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    all_docs = docs.unionByName(clones)
+    # batch 0: even originals; batch 1: odd originals; batch 2: clones —
+    # every clone pair crosses a batch boundary, originals split 0/1
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(str(src / "b0.parquet"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(str(src / "b1.parquet"))
+    clones.write.parquet(str(src / "b2.parquet"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    index = StreamingLSHIndex(str(tmp_path / "lsh_store"), threshold=0.8)
+    q = stream_lsh_dedup(stream, index, str(tmp_path / "lsh_ckpt"))
+    q.awaitTermination(300)
+
+    got_df = index.near_dup_pairs(spark)
+    got = {(r.i, r.j, r.jaccard) for r in got_df.collect()}
+    want = {
+        (r.i, r.j, r.jaccard)
+        for r in DD.minhash_near_dups(all_docs, threshold=0.8).collect()
+    }
+    assert got == want
+    # the planted clones guarantee a non-vacuous check with pairs in
+    # every batch-combination (clone pairs all cross into batch 2)
+    n_docs = docs.count()
+    assert len(got) >= n_docs
+    # exactly-once: each pair was emitted by one batch only
+    assert got_df.count() == len(got)
+    assert index.seen_ids(spark).count() == 2 * n_docs
+
+
+def test_streaming_lsh_replay_idempotent_and_param_pin(spark, tmp_path):
+    """foreachBatch delivers at-least-once: replaying a batch id must
+    overwrite identical rows, not double-append; and an index refuses
+    probes under different banding parameters (banded rows are only
+    comparable when banded identically)."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import StreamingLSHIndex
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 25)
+    b1 = docs.filter(F.col("doc_id") >= 25).withColumn(
+        "doc_id", F.col("doc_id") - 25
+    ).withColumn("doc_id", F.col("doc_id") + 2000)
+    index = StreamingLSHIndex(str(tmp_path / "store"), threshold=0.8)
+    index.process_batch(b0, 0)
+    index.process_batch(b1, 1)
+    before = sorted(
+        (r.i, r.j, r.jaccard) for r in index.near_dup_pairs(spark).collect()
+    )
+    index.process_batch(b1, 1)  # replay
+    after = sorted(
+        (r.i, r.j, r.jaccard) for r in index.near_dup_pairs(spark).collect()
+    )
+    assert after == before
+    assert index.seen_ids(spark).count() == docs.count()
+
+    with pytest.raises(ValueError, match="refusing to probe"):
+        StreamingLSHIndex(str(tmp_path / "store"), threshold=0.8, bands=16)
