@@ -224,9 +224,53 @@ class StreamingLSHIndex:
             .filter(F.col("jaccard") >= self.threshold)
             .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
         )
+        verified = verified.persist()
         verified.write.mode("overwrite").parquet(
             os.path.join(self._sub("pairs"), f"batch_id={batch_id}")
         )
+
+        # novelty verdict for THIS batch (the ingestion filter): a new
+        # document is a near-DUPLICATE iff it verified-pairs with any
+        # document whose arrival key (batch_id, doc_id) is smaller —
+        # the near-dup extension of first_seen_filter's keeper rule.
+        # Chains stay greedy-by-arrival on purpose: C pairing only with
+        # the duplicate B is still a duplicate (B is indexed either
+        # way), exactly as a batch greedy-by-arrival pass decides.
+        doc_batch = (
+            spark.read.parquet(self._sub("banded"))
+            .groupBy("doc_id")
+            .agg(F.min("batch_id").alias("first_batch"))
+        )
+        new_ids = docs.select("doc_id").distinct()
+        endpoints = verified.select(
+            F.col("i").alias("doc_id"), F.col("j").alias("other")
+        ).unionByName(
+            verified.select(F.col("j").alias("doc_id"), F.col("i").alias("other"))
+        )
+        dup_ids = (
+            endpoints.join(new_ids, "doc_id", "left_semi")
+            .join(
+                doc_batch.select(
+                    F.col("doc_id").alias("other"),
+                    F.col("first_batch").alias("other_batch"),
+                ),
+                "other",
+            )
+            .filter(
+                (F.col("other_batch") < F.lit(batch_id))
+                | (
+                    (F.col("other_batch") == F.lit(batch_id))
+                    & (F.col("other") < F.col("doc_id"))
+                )
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        novel = new_ids.join(dup_ids, "doc_id", "left_anti")
+        novel.write.mode("overwrite").parquet(
+            os.path.join(self._sub("novel"), f"batch_id={batch_id}")
+        )
+        verified.unpersist()
         posts_new.unpersist()
         banded_new.unpersist()
 
@@ -236,6 +280,16 @@ class StreamingLSHIndex:
         return spark.read.parquet(self._sub("pairs")).select(
             "i", "j", "jaccard"
         )
+
+    def novel_ids(self, spark: SparkSession) -> DataFrame:
+        """Ids of documents that were NOVEL at arrival — not a
+        near-duplicate of anything arriving earlier (smaller
+        (batch_id, doc_id) key). This is the ingestion filter: keep
+        exactly these, drop the rest, and the retained corpus carries
+        one representative per near-dup chain, chosen by arrival
+        order. Documents too short to shingle are trivially novel
+        (invisible to LSH, same as the batch family)."""
+        return spark.read.parquet(self._sub("novel")).select("doc_id")
 
     def seen_ids(self, spark: SparkSession) -> DataFrame:
         """Distinct document ids the index has absorbed. Documents too

@@ -594,11 +594,19 @@ def test_reader_snapshot_isolation_during_flips(spark, store, tmp_path):
 
     stop = threading.Event()
     flip_errors: list = []
+    reads_done = {"spark": 0}
 
     def flipper():
+        # ≥200 flips, and keep flipping until the Spark reader has
+        # raced us several times — a fixed flip count made the
+        # "spark_reads >= 3" liveness check load-sensitive (a busy host
+        # finished the flips before 3 full Spark reads completed);
+        # capped so a wedged reader can't spin this forever
         try:
-            for i in range(200):
+            for i in range(5000):
                 store.mark_current(v2 if i % 2 else v1)
+                if i >= 200 and reads_done["spark"] >= 3:
+                    break
         except Exception as exc:  # pragma: no cover — surfaced below
             flip_errors.append(exc)
         finally:
@@ -634,6 +642,7 @@ def test_reader_snapshot_isolation_during_flips(spark, store, tmp_path):
         assert len(ids) == 1, f"reader saw {len(ids)} current versions: {ids}"
         assert ids[0] in (v1, v2)
         spark_reads += 1
+        reads_done["spark"] = spark_reads
 
     t_flip.join()
     t_meta.join()

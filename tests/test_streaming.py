@@ -1214,6 +1214,24 @@ def test_streaming_lsh_matches_batch(spark, tmp_path):
     assert got_df.count() == len(got)
     assert index.seen_ids(spark).count() == 2 * n_docs
 
+    # novelty filter parity: greedy-by-arrival over the batch pair set.
+    # Arrival key = (batch, doc_id); a doc is dup iff it pairs with any
+    # doc of smaller key (regardless of that doc's own dup status —
+    # exactly the index's rule, so chains agree too).
+    batch_of = {}
+    for r in docs.collect():
+        batch_of[r.doc_id] = 0 if r.doc_id % 2 == 0 else 1
+        batch_of[r.doc_id + 1000] = 2
+    dup = set()
+    for i, j, _ in want:
+        ki, kj = (batch_of[i], i), (batch_of[j], j)
+        dup.add(j if kj > ki else i)
+    want_novel = set(batch_of) - dup
+    got_novel = {r.doc_id for r in index.novel_ids(spark).collect()}
+    assert got_novel == want_novel
+    # every clone (batch 2) duplicates its batch-0/1 original
+    assert all(c not in got_novel for c in batch_of if c >= 1000)
+
 
 def test_streaming_lsh_replay_idempotent_and_param_pin(spark, tmp_path):
     """foreachBatch delivers at-least-once: replaying a batch id must
