@@ -208,9 +208,14 @@ def extract_image_features(
                 try:
                     decoded.append(_decode_image(p))
                     errors.append(None)
-                except ValueError as exc:
+                except Exception as exc:  # noqa: BLE001 — quarantine mode
+                    # catch EVERYTHING, not just ValueError: a malformed
+                    # IDAT stream raises zlib.error, a truncated header
+                    # struct.error — any decode failure is one bad ROW
+                    # in quarantine mode, never a dead corpus job
+                    # (round-9 review fix). Strict mode still raises.
                     decoded.append((None, None, None, None))
-                    errors.append(str(exc))
+                    errors.append(f"{type(exc).__name__}: {exc}")
             out = {
                 "asset_id": batch["asset_id"].values,
                 "media_type": batch["media_type"].values,
@@ -394,9 +399,12 @@ def extract_audio_features(
                 try:
                     decoded.append(one(p, s))
                     errors.append(None)
-                except ValueError as exc:
+                except Exception as exc:  # noqa: BLE001 — quarantine mode
+                    # any decode failure (ValueError, struct.error,
+                    # zlib.error, ...) is one bad ROW in quarantine
+                    # mode, never a dead corpus job (round-9 review fix)
                     decoded.append((None, None, None, None))
-                    errors.append(str(exc))
+                    errors.append(f"{type(exc).__name__}: {exc}")
             out = {
                 "asset_id": batch["asset_id"].values,
                 "byte_size": sizes,

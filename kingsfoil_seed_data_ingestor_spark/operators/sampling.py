@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
 from kingsfoil_seed_data_ingestor_spark.operators.text_dedup import shingle_table
 
 
@@ -120,8 +121,10 @@ def weighted_sample_topk(
     1e-4), so the cutoff's true rank from the top lands in [2k, 4k] —
     always ≥ k: no fallback rescan needed, survivors bounded ≤ ~4k +
     εn); phase 2 filters map-side to keys ≥ cutoff and runs the exact
-    top-k on the survivors only. Two scans of the keyed corpus, no
-    corpus shuffle, driver memory O(k) instead of O(k · partitions).
+    top-k on the survivors only. The keyed frame is persisted for the
+    path's three actions (count, quantile, final top-k) so the corpus
+    is read and the md5 key computed ONCE; no corpus shuffle, driver
+    memory O(k) instead of O(k · partitions).
     The selected set is IDENTICAL to the default path (pinned by
     tests): the sketch only chooses how much slack survives phase 1,
     never which rows win the exact final ordering."""
@@ -136,7 +139,14 @@ def weighted_sample_topk(
         weight.alias("weight"),
         (F.log(u) / weight).alias("_key"),
     ).filter(F.col("weight") > 0)
+    scope: CacheScope | None = None
     if large_k:
+        # persist: count, approxQuantile, and the final top-k are three
+        # ACTIONS — unpersisted they would each rescan the source and
+        # recompute the md5 key (round-9 review fix); the scope attaches
+        # to the result so the cache releases when it is dropped
+        scope = CacheScope()
+        keyed = scope.persist(keyed)
         n = keyed.count()
         if n > 4 * max(k, 1):
             eps = max(k / n, 1e-4)
@@ -145,7 +155,7 @@ def weighted_sample_topk(
             keyed = keyed.filter(F.col("_key") >= cutoff)
         # else: the corpus is ablation-sized after all — the exact
         # path's per-partition collection is already bounded by n
-    return (
+    out = (
         keyed.orderBy(F.desc("_key"), F.asc(id_col))
         .limit(k)
         .select(
@@ -155,6 +165,7 @@ def weighted_sample_topk(
             F.round("_key", 6).alias("aes_key"),
         )
     )
+    return scope.attach(out) if scope is not None else out
 
 
 def contamination_pairs(

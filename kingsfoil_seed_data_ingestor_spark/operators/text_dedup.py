@@ -337,6 +337,46 @@ def minhash_profiles(
     return prof.select("doc_id", signature.alias("signature"), "shset")
 
 
+def lsh_band_expr(bands: int, rows_per_band: int) -> str:
+    """The band-key SQL expression shared by every LSH consumer —
+    ``explode`` of (band, bucket) structs where bucket = hash of the
+    band's signature slice. ONE definition on purpose: the streaming
+    index (``streaming/lsh.py``) probes rows banded by the batch
+    operator's exact formula, and a second copy of this string would
+    let the two silently desynchronize."""
+    structs = ", ".join(
+        f"struct({b} AS band, "
+        f"hash(slice(signature, {b * rows_per_band + 1}, {rows_per_band})) AS bucket)"
+        for b in range(bands)
+    )
+    return f"explode(array({structs}))"
+
+
+def verify_candidates_from_sets(
+    sets: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification over pre-aggregated shingle sets:
+    ``sets`` = (doc_id, shset), ``cands`` = (i, j) → (i, j, jaccard)
+    filtered to ≥ threshold, rounded to 6 (the registry/oracle
+    convention). Shared by ``minhash_near_dups`` and the streaming
+    index so the verification formula exists exactly once."""
+    paired = (
+        sets.select(F.col("doc_id").alias("i"), F.col("shset").alias("sh_i"))
+        .join(F.broadcast(cands), "i")
+        .join(
+            sets.select(F.col("doc_id").alias("j"), F.col("shset").alias("sh_j")),
+            "j",
+        )
+    )
+    common = F.size(F.array_intersect("sh_i", "sh_j"))
+    jac = common / (F.size("sh_i") + F.size("sh_j") - common)
+    return (
+        paired.select("i", "j", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -369,13 +409,8 @@ def lsh_candidate_pairs(
     # single parsed expression for the band array — per-band Column
     # construction costs ~5 py4j round trips each (see
     # minhash_lanes_from_hashed_posts)
-    band_structs = ", ".join(
-        f"struct({b} AS band, "
-        f"hash(slice(signature, {b * rows_per_band + 1}, {rows_per_band})) AS bucket)"
-        for b in range(bands)
-    )
     banded = signatures.select(
-        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bk")
+        "doc_id", F.expr(lsh_band_expr(bands, rows_per_band)).alias("bk")
     ).select("doc_id", "bk.band", "bk.bucket")
     # both sides of the self-join read the banded table; persist the
     # (docs × bands) narrow rows so the signature aggregation runs once
@@ -520,21 +555,7 @@ def minhash_near_dups(
             persist_banded=False,
         )
         sets = profiles.select("doc_id", "shset")
-    paired = (
-        sets.select(F.col("doc_id").alias("i"), F.col("shset").alias("sh_i"))
-        .join(F.broadcast(cands), "i")
-        .join(
-            sets.select(F.col("doc_id").alias("j"), F.col("shset").alias("sh_j")),
-            "j",
-        )
-    )
-    common = F.size(F.array_intersect("sh_i", "sh_j"))
-    jac = common / (F.size("sh_i") + F.size("sh_j") - common)
-    out = (
-        paired.select("i", "j", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
-    )
+    out = verify_candidates_from_sets(sets, cands, threshold)
     return scope.attach(out) if own else out
 
 

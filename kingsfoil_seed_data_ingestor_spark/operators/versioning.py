@@ -96,6 +96,25 @@ LOCK_STALE_SECONDS = 60.0
 LOCK_RETRY_SECONDS = 0.01
 
 
+def _lock_holder_dead(path: Path) -> bool:
+    """True iff the lock file's recorded holder pid is provably not
+    running on this host. Unparseable/foreign pids return False — never
+    break a lock we cannot prove dead."""
+    try:
+        pid = int(path.read_text().strip() or "0")
+    except (OSError, ValueError):
+        return False
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+        return False  # alive (or at least signalable)
+    except ProcessLookupError:
+        return True
+    except PermissionError:  # pragma: no cover — exists, other user
+        return False
+
+
 @contextlib.contextmanager
 def _exclusive_lock(path: Path, stale_after: float = LOCK_STALE_SECONDS):
     """Cross-process mutual exclusion via ``O_CREAT|O_EXCL`` — the
@@ -103,6 +122,20 @@ def _exclusive_lock(path: Path, stale_after: float = LOCK_STALE_SECONDS):
     read-modify-write runs under this lock, so two concurrent writers
     serialize instead of losing updates; readers stay lock-free (the
     atomic ``os.replace`` swap always gives them a consistent file).
+
+    Stale-lock recovery (round 9, review fix): an existing lock is
+    broken ONLY when its age exceeds ``stale_after`` AND the recorded
+    holder pid is provably dead on this host — mtime age alone broke a
+    LIVE holder's lock whenever one critical section ran long (the
+    pre-r9 compactor held this lock across a full Spark rewrite, so a
+    61-second compaction lost its mutual exclusion mid-swap). Age
+    still gates the check so the common contended path never pays the
+    read+kill probe; a crashed holder's lock is reaped on the first
+    post-staleness acquisition attempt. Critical sections are kept
+    SHORT by construction (pandas ops over small meta files; the
+    compactor now stages its rewrite outside the lock), so a live
+    holder past the staleness age is a bug surfacing as contention,
+    not a reason to break in.
 
     The PostgreSQL reference gets this from transactions
     (``app/services/ingestor.py:226-259``); on a shared cluster a
@@ -116,8 +149,11 @@ def _exclusive_lock(path: Path, stale_after: float = LOCK_STALE_SECONDS):
             break
         except FileExistsError:
             try:
-                if time.time() - path.stat().st_mtime > stale_after:
-                    path.unlink(missing_ok=True)  # break a dead writer's lock
+                if (
+                    time.time() - path.stat().st_mtime > stale_after
+                    and _lock_holder_dead(path)
+                ):
+                    path.unlink(missing_ok=True)  # break a DEAD writer's lock
                     continue
             except FileNotFoundError:
                 continue  # holder just released; retry immediately
@@ -468,6 +504,15 @@ class VersionStore:
             / f"compact-{version_id}-{uuid.uuid4().hex}"
         )
         trash = staged.with_name(staged.name + ".trash")
+        # Phase 1 (short lock): status check + file-set snapshot. The
+        # rewrite itself runs OUTSIDE the lock — it is a full Spark job
+        # over the partition and held the meta lock for its entire
+        # duration before round 9, which meant any compaction longer
+        # than the stale-lock window had its lock broken by a waiting
+        # reader and swapped directories UNLOCKED (review fix). The
+        # optimistic re-verify in phase 3 makes the unlocked write
+        # safe: any concurrent change to the partition discards the
+        # staged copy instead of being clobbered.
         with self._meta_lock():
             pdf = self._read_versions()
             hit = pdf[pdf.version_id == version_id]
@@ -478,30 +523,46 @@ class VersionStore:
             if not part_dir.exists():
                 raise KeyError(f"No fact partition for version {version_id}")
             snapshot = sorted(f.name for f in part_dir.glob("*.parquet"))
-            live = self.spark.read.parquet(str(part_dir))
-            if not cluster_cols:
-                compacted = live.coalesce(target_files)
-            elif len(cluster_cols) == 1:
-                from kingsfoil_seed_data_ingestor_spark.operators.layout import (
-                    range_layout,
-                )
 
-                compacted = range_layout(live, cluster_cols[0], target_files)
-            elif len(cluster_cols) == 2:
-                from kingsfoil_seed_data_ingestor_spark.operators.layout import (
-                    zorder_layout,
-                )
+        # Phase 2 (unlocked, long): read the snapshot and write the
+        # staged replacement. Readers and other writers proceed freely.
+        live = self.spark.read.parquet(str(part_dir))
+        if not cluster_cols:
+            compacted = live.coalesce(target_files)
+        elif len(cluster_cols) == 1:
+            from kingsfoil_seed_data_ingestor_spark.operators.layout import (
+                range_layout,
+            )
 
-                compacted = zorder_layout(
-                    live, cluster_cols[0], cluster_cols[1], target_files
-                )
-            else:
-                raise ValueError(
-                    "cluster_cols supports 1 (range) or 2 (Z-order) columns, "
-                    f"got {cluster_cols}"
-                )
+            compacted = range_layout(live, cluster_cols[0], target_files)
+        elif len(cluster_cols) == 2:
+            from kingsfoil_seed_data_ingestor_spark.operators.layout import (
+                zorder_layout,
+            )
+
+            compacted = zorder_layout(
+                live, cluster_cols[0], cluster_cols[1], target_files
+            )
+        else:
+            raise ValueError(
+                "cluster_cols supports 1 (range) or 2 (Z-order) columns, "
+                f"got {cluster_cols}"
+            )
+        try:
             compacted.write.mode("overwrite").parquet(str(staged))
-            if sorted(f.name for f in part_dir.glob("*.parquet")) != snapshot:
+        except Exception:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+
+        # Phase 3 (short lock): re-verify nothing changed since the
+        # snapshot, then the two-rename swap — O(1) filesystem ops, so
+        # the reader-isolation guarantee of _list_facts only ever waits
+        # milliseconds, regardless of partition size.
+        with self._meta_lock():
+            if (
+                not part_dir.exists()
+                or sorted(f.name for f in part_dir.glob("*.parquet")) != snapshot
+            ):
                 shutil.rmtree(staged, ignore_errors=True)
                 raise RuntimeError(
                     f"Partition changed during compaction of version {version_id}; "

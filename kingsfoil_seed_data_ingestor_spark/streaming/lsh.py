@@ -11,34 +11,46 @@ Design — ``foreachBatch`` + an accumulating on-disk index, NOT
 ``applyInPandasWithState``:
 
 * The state here is an INDEX (banded signature rows + hashed shingle
-  posting lists), which grows linearly with the corpus. That belongs in
-  an append-only table the cluster can shuffle-join and prune — not in
-  the streaming state store, whose per-key payloads are rewritten on
-  update and checkpointed via changelog (right for per-key
-  accumulators like the exact-dedup fold in ``streaming/dedup.py``,
-  wrong for a corpus-sized posting index).
-* Each micro-batch computes signatures ONCE for the new documents
-  (one shingle pass + 96 codegen min-hash lanes, identical to the
-  batch operator), probes the banded index for collisions, verifies
-  candidates by exact Jaccard over hashed shingle sets, and appends
-  its rows to the index — O(batch) new work per batch, never O(corpus)
-  signature recomputation. The only corpus-sized cost is the probe
-  join against the banded index, which shuffles on (band, bucket);
-  at scale, write the index with ``bucketBy(band)`` (see
-  ``operators/bucketed.py``) so the probe co-locates instead.
+  posting lists + an arrival registry), which grows linearly with the
+  corpus. That belongs in append-only tables the cluster can
+  shuffle-join and prune — not in the streaming state store, whose
+  per-key payloads are rewritten on update and checkpointed via
+  changelog (right for per-key accumulators like the exact-dedup fold
+  in ``streaming/dedup.py``, wrong for a corpus-sized posting index).
+* Each micro-batch computes signatures ONCE for its unseen documents
+  (one shingle pass + 96 codegen min-hash lanes — literally the batch
+  operator's code: banding uses ``text_dedup.lsh_band_expr`` and
+  verification ``text_dedup.verify_candidates_from_sets``, so the two
+  paths cannot drift), probes the banded index for collisions,
+  verifies candidates by exact Jaccard over hashed shingle sets, and
+  appends its rows to the index — O(batch) new work per batch, never
+  O(corpus) signature recomputation. The corpus-sized costs per batch
+  are the probe join against the banded index (shuffles on
+  (band, bucket); at scale write the index with ``bucketBy(band)``,
+  see ``operators/bucketed.py``, so it co-locates) and two narrow
+  id-table scans (the arrival registry for re-delivery filtering and
+  arrival keys — two longs per document, metadata-scale next to the
+  corpus).
 * Per-batch writes land under ``batch_id=N`` subdirectories with
   overwrite, so ``foreachBatch``'s at-least-once redelivery is
   idempotent: a replayed batch rewrites byte-identical rows instead of
-  double-appending.
+  double-appending. A ``_progress.json`` high-water mark refuses batch
+  ids BELOW the highest processed — the failure mode it kills is a
+  stream restarted against a fresh checkpoint (batch ids restart at 0)
+  silently overwriting historical batches of a store that outlived its
+  checkpoint.
+* Documents re-delivered with an already-seen ``doc_id`` in a LATER
+  batch are dropped before processing (anti-join against the arrival
+  registry): at-least-once upstreams re-drop files, and re-indexing
+  the same id would re-emit all its pairs under a second batch,
+  breaking the exactly-once pair contract.
 
 Parity contract (pinned by ``test_streaming_lsh_matches_batch``): a
 pair is emitted by exactly ONE batch — the one that completes it (both
 endpoints present; earlier-batch pairs never recur because a probe
-always includes ≥1 new endpoint). Signatures, banding, and Jaccard
-verification reuse the batch operator's exact formulas, so after all
-batches the UNION of emitted pairs equals batch
-``minhash_near_dups`` over the union of the documents, regardless of
-how arrival split them.
+always includes ≥1 new endpoint). After all batches the UNION of
+emitted pairs equals batch ``minhash_near_dups`` over the union of the
+documents, regardless of how arrival split them.
 
 Reference scope: the reference engine has no streaming surface (this
 module extends ``SURVEY.md §2.11``); the dedup semantics mirror the
@@ -47,15 +59,28 @@ LLM-pipeline batch family, not a reference operator.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kingsfoil_seed_data_ingestor_spark.operators.text_dedup import (
+    lsh_band_expr,
     minhash_lanes_from_hashed_posts,
     shingle_hash_table,
+    verify_candidates_from_sets,
 )
+
+_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.LongType()),
+        T.StructField("j", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ]
+)
+_IDS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
 
 
 class StreamingLSHIndex:
@@ -63,7 +88,8 @@ class StreamingLSHIndex:
 
     ``process_batch(df, batch_id)`` is the ``foreachBatch`` hook;
     ``near_dup_pairs(spark)`` reads the verified pairs accumulated so
-    far; ``seen_ids(spark)`` the indexed document ids.
+    far; ``novel_ids(spark)`` the arrival-order keeper set;
+    ``seen_ids(spark)`` the registered document ids.
 
     Banding/verification parameters must stay fixed for the life of an
     index (a probe is only correct against rows banded the same way);
@@ -108,8 +134,6 @@ class StreamingLSHIndex:
         }
 
     def _check_params(self) -> None:
-        import json
-
         os.makedirs(self.store_dir, exist_ok=True)
         path = os.path.join(self.store_dir, "_params.json")
         if os.path.exists(path):
@@ -124,8 +148,6 @@ class StreamingLSHIndex:
         # a fresh directory is pinned lazily by the first process_batch
 
     def _pin_params(self) -> None:
-        import json
-
         path = os.path.join(self.store_dir, "_params.json")
         if not os.path.exists(path):
             tmp = path + ".tmp"
@@ -133,39 +155,92 @@ class StreamingLSHIndex:
                 json.dump(self._params(), fh)
             os.replace(tmp, path)
 
+    def _progress_path(self) -> str:
+        return os.path.join(self.store_dir, "_progress.json")
+
+    def _highest_batch(self) -> int | None:
+        try:
+            with open(self._progress_path()) as fh:
+                return int(json.load(fh)["highest_batch_id"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _record_batch(self, batch_id: int) -> None:
+        tmp = self._progress_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"highest_batch_id": int(batch_id)}, fh)
+        os.replace(tmp, self._progress_path())
+
     def _sub(self, table: str) -> str:
         return os.path.join(self.store_dir, table)
 
-    def _band_expr(self) -> str:
-        # same single-parsed-expression shape as lsh_candidate_pairs
-        # (per-band Column construction costs ~5 py4j round trips each)
-        structs = ", ".join(
-            f"struct({b} AS band, hash(slice(signature, "
-            f"{b * self.rows_per_band + 1}, {self.rows_per_band})) AS bucket)"
-            for b in range(self.bands)
-        )
-        return f"explode(array({structs}))"
+    def _read_or_empty(
+        self, spark: SparkSession, table: str, schema: T.StructType
+    ) -> DataFrame:
+        """Read an index table, or an empty frame with the right schema
+        when the stream has processed zero batches — callers like
+        ``bench.py`` drain the query unconditionally and an empty
+        source directory must mean 'no pairs yet', not a crash."""
+        path = self._sub(table)
+        if not os.path.isdir(path):
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(path)
 
     # ------------------------------------------------------------------
     def process_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
         """Index + probe one micro-batch (the ``foreachBatch`` hook).
 
-        Work per batch: one shingle pass over the NEW documents, the
+        Work per batch: re-delivery filter against the arrival
+        registry, one shingle pass over the unseen documents, the
         min-hash lane aggregate, a banded probe join against the
         accumulated index, exact-Jaccard verification of the
-        candidates, three ``batch_id``-scoped overwrites.
+        candidates, four ``batch_id``-scoped overwrites, one progress
+        commit.
         """
         spark = batch_docs.sparkSession
         self._pin_params()
+        highest = self._highest_batch()
+        if highest is not None and batch_id < highest:
+            raise ValueError(
+                f"index at {self.store_dir} has processed up to batch "
+                f"{highest} but received batch {batch_id}: the stream's "
+                "checkpoint restarted behind the store (fresh checkpoint "
+                "dir, or a second query on the same store). Processing "
+                "would overwrite historical batches with different "
+                "documents — keep the checkpoint and index directories "
+                "together, or start a fresh index."
+            )
         docs = batch_docs.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
             F.col(self.text_col).alias("text"),
         )
 
+        # arrival registry: EVERY id of the batch (even shingle-less
+        # docs), used for (a) dropping at-least-once re-deliveries of
+        # already-seen ids — re-indexing an id would re-emit its pairs
+        # under a second batch — and (b) O(1)-width arrival keys for
+        # the novelty verdict. Reads exclude the current batch id so a
+        # replay of THIS batch does not filter itself out.
+        ids_prev = (
+            self._read_or_empty(spark, "ids", _IDS_SCHEMA)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            if os.path.isdir(self._sub("ids"))
+            else spark.createDataFrame([], "doc_id long, batch_id long")
+        )
+        docs = docs.join(
+            ids_prev.select("doc_id"), "doc_id", "left_anti"
+        ).persist()
+        docs.select("doc_id").distinct().write.mode("overwrite").parquet(
+            os.path.join(self._sub("ids"), f"batch_id={batch_id}")
+        )
+
         posts_new = shingle_hash_table(docs, self.n, distinct=False).persist()
         sigs_new = minhash_lanes_from_hashed_posts(posts_new, self.num_hashes)
         banded_new = (
-            sigs_new.select("doc_id", F.expr(self._band_expr()).alias("bk"))
+            sigs_new.select(
+                "doc_id",
+                F.expr(lsh_band_expr(self.bands, self.rows_per_band)).alias("bk"),
+            )
             .select("doc_id", "bk.band", "bk.bucket")
             .persist()
         )
@@ -180,7 +255,9 @@ class StreamingLSHIndex:
         )
 
         # probe: every candidate pair has ≥1 endpoint in THIS batch, so
-        # a pair is emitted exactly once — by the batch that completes it
+        # a pair is emitted exactly once — by the batch that completes
+        # it. New-new pairs surface twice (once per endpoint's probe
+        # row) before the distinct; old-old pairs cannot surface.
         banded_all = spark.read.parquet(self._sub("banded"))
         cands = (
             banded_new.join(banded_all, ["band", "bucket"])
@@ -191,11 +268,10 @@ class StreamingLSHIndex:
             )
             .distinct()
         )
-        # new-new pairs surface twice (once per endpoint's probe row)
-        # before the distinct; old-old pairs cannot surface at all.
 
         # verification reads shingle sets for candidate docs only —
-        # O(candidates), never O(corpus)
+        # O(candidates), never O(corpus); the formula is the batch
+        # operator's own (verify_candidates_from_sets)
         posts_all = spark.read.parquet(self._sub("posts"))
         cand_docs = (
             cands.select(F.col("i").alias("doc_id"))
@@ -207,24 +283,7 @@ class StreamingLSHIndex:
             .groupBy("doc_id")
             .agg(F.collect_set("sh").alias("shset"))
         )
-        paired = (
-            sets.select(F.col("doc_id").alias("i"), F.col("shset").alias("sh_i"))
-            .join(F.broadcast(cands), "i")
-            .join(
-                sets.select(
-                    F.col("doc_id").alias("j"), F.col("shset").alias("sh_j")
-                ),
-                "j",
-            )
-        )
-        common = F.size(F.array_intersect("sh_i", "sh_j"))
-        jac = common / (F.size("sh_i") + F.size("sh_j") - common)
-        verified = (
-            paired.select("i", "j", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= self.threshold)
-            .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
-        )
-        verified = verified.persist()
+        verified = verify_candidates_from_sets(sets, cands, self.threshold).persist()
         verified.write.mode("overwrite").parquet(
             os.path.join(self._sub("pairs"), f"batch_id={batch_id}")
         )
@@ -236,26 +295,29 @@ class StreamingLSHIndex:
         # Chains stay greedy-by-arrival on purpose: C pairing only with
         # the duplicate B is still a duplicate (B is indexed either
         # way), exactly as a batch greedy-by-arrival pass decides.
-        doc_batch = (
-            spark.read.parquet(self._sub("banded"))
-            .groupBy("doc_id")
-            .agg(F.min("batch_id").alias("first_batch"))
-        )
-        new_ids = docs.select("doc_id").distinct()
+        # Arrival keys come from the narrow ids registry, semi-joined
+        # down to the verified endpoints — never a corpus-wide
+        # aggregate over the banded index.
         endpoints = verified.select(
             F.col("i").alias("doc_id"), F.col("j").alias("other")
         ).unionByName(
             verified.select(F.col("j").alias("doc_id"), F.col("i").alias("other"))
         )
+        other_ids = endpoints.select(F.col("other").alias("doc_id")).distinct()
+        # re-delivery filtering makes ids unique across batches, so the
+        # registry row IS the arrival key — no aggregate needed
+        other_batch = (
+            spark.read.parquet(self._sub("ids"))
+            .join(F.broadcast(other_ids), "doc_id", "left_semi")
+            .select(
+                F.col("doc_id").alias("other"),
+                F.col("batch_id").alias("other_batch"),
+            )
+        )
+        new_ids = docs.select("doc_id").distinct()
         dup_ids = (
             endpoints.join(new_ids, "doc_id", "left_semi")
-            .join(
-                doc_batch.select(
-                    F.col("doc_id").alias("other"),
-                    F.col("first_batch").alias("other_batch"),
-                ),
-                "other",
-            )
+            .join(other_batch, "other")
             .filter(
                 (F.col("other_batch") < F.lit(batch_id))
                 | (
@@ -273,11 +335,14 @@ class StreamingLSHIndex:
         verified.unpersist()
         posts_new.unpersist()
         banded_new.unpersist()
+        docs.unpersist()
+        self._record_batch(batch_id)
 
     # ------------------------------------------------------------------
     def near_dup_pairs(self, spark: SparkSession) -> DataFrame:
-        """All verified near-dup pairs (i < j, jaccard) emitted so far."""
-        return spark.read.parquet(self._sub("pairs")).select(
+        """All verified near-dup pairs (i < j, jaccard) emitted so far;
+        empty (with schema) before the first batch."""
+        return self._read_or_empty(spark, "pairs", _PAIRS_SCHEMA).select(
             "i", "j", "jaccard"
         )
 
@@ -288,17 +353,15 @@ class StreamingLSHIndex:
         exactly these, drop the rest, and the retained corpus carries
         one representative per near-dup chain, chosen by arrival
         order. Documents too short to shingle are trivially novel
-        (invisible to LSH, same as the batch family)."""
-        return spark.read.parquet(self._sub("novel")).select("doc_id")
+        (invisible to LSH, same as the batch family); re-deliveries of
+        an already-seen id are judged once, at first arrival."""
+        return self._read_or_empty(spark, "novel", _IDS_SCHEMA).select("doc_id")
 
     def seen_ids(self, spark: SparkSession) -> DataFrame:
-        """Distinct document ids the index has absorbed. Documents too
-        short to produce a single n-gram shingle generate no banded
-        rows and are absent here — exactly as they are invisible to the
-        batch LSH family (no shingles ⇒ no signature ⇒ no pairs)."""
-        return (
-            spark.read.parquet(self._sub("banded")).select("doc_id").distinct()
-        )
+        """Distinct document ids the index has registered (including
+        shingle-less documents, which are registered for re-delivery
+        filtering but generate no banded rows and so never pair)."""
+        return self._read_or_empty(spark, "ids", _IDS_SCHEMA).select("doc_id")
 
 
 def stream_lsh_dedup(
@@ -313,7 +376,9 @@ def stream_lsh_dedup(
     drain-the-backlog mode the ingest stream also uses; swap the
     trigger for continuous feeds). The checkpoint makes batch ids
     stable across restarts, which the ``batch_id=N`` overwrite
-    discipline turns into exactly-once index contents.
+    discipline turns into exactly-once index contents; keep the
+    checkpoint and index directories together (the index refuses a
+    checkpoint that restarted behind it).
     """
     return (
         stream_docs.writeStream.foreachBatch(index.process_batch)

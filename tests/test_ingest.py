@@ -710,7 +710,15 @@ def test_reader_isolation_during_compaction_swap(spark, store, tmp_path, monkeyp
     t = threading.Thread(target=compactor)
     t.start()
     good_reads, loud_retries, silent_wrong = 0, 0, []
-    while good_reads + loud_retries < 8 and not compact_errors:
+    # loop until BOTH witnesses accumulate (≥5 good reads, ≥3 raced
+    # swaps) — a fixed read budget was load-sensitive: the round-9
+    # unlocked-rewrite compactor swaps faster, so loud retries could
+    # exhaust the budget before 5 good reads landed; bounded overall
+    while (
+        (good_reads < 5 or swaps["n"] < 3)
+        and good_reads + loud_retries < 60
+        and not compact_errors
+    ):
         try:
             n = store.current_view(src).count()
         except Exception as exc:
@@ -916,7 +924,13 @@ def test_compact_with_cluster_cols_prunes_like_fresh_zorder(spark, store, tmp_pa
     write_zorder_clustered(grid, fresh, "x", "y", n_files=16)
     fresh_touched, fresh_total = files_touched(spark, fresh, y_pred)
     assert fresh_total == 16
-    assert after_touched <= fresh_touched + 1, (after_touched, fresh_touched)
+    # ±2, not ±1: the compacted and fresh layouts derive their Morton
+    # range boundaries from two INDEPENDENT distributed sample runs,
+    # and a one-file boundary jitter on each side compounds — the
+    # measured spread is 5-7 touched files for either layout, and a
+    # ±1 margin flaked on the unlucky 7-vs-5 draw. The load-bearing
+    # pruning claim is the absolute bound below, which never moved.
+    assert after_touched <= fresh_touched + 2, (after_touched, fresh_touched)
     assert after_touched <= 8, "compacted+clustered partition must prune"
 
     # single-column variant: range clustering through the same pass

@@ -816,6 +816,43 @@ def test_media_descope_quarantine_mode(spark):
     assert rows[1].error is None and (rows[1].width, rows[1].height) == (4, 2)
     assert rows[2].width is None and "WebP is descoped" in rows[2].error
 
+    # quarantine must contain ANY decode failure, not just the typed
+    # ValueError descopes (round-9 review fix): a PNG whose chunk CRCs
+    # are self-consistent but whose IDAT deflate stream is garbage
+    # raises zlib.error inside decode_png — one bad row, not a dead job
+    import struct
+    import zlib
+
+    good_png = codecs.encode_png(2, 2, bytes(range(12)), channels=3)
+    sig, pos, chunks = good_png[:8], 8, []
+    while pos < len(good_png):
+        (ln,) = struct.unpack(">I", good_png[pos : pos + 4])
+        ctype = good_png[pos + 4 : pos + 8]
+        data = good_png[pos + 8 : pos + 8 + ln]
+        if ctype == b"IDAT":
+            data = b"this is not a deflate stream"
+        chunks.append(
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+        pos += 12 + ln
+    bad_png = sig + b"".join(chunks)
+    mixed = spark.createDataFrame(
+        [
+            (1, "image/bmp", bmp, len(bmp), "x"),
+            (3, "image/png", bad_png, len(bad_png), "z"),
+        ],
+        "asset_id long, media_type string, payload binary, byte_size long, checksum string",
+    )
+    mrows = {
+        r.asset_id: r
+        for r in MM.extract_image_features(mixed, on_descoped="quarantine").collect()
+    }
+    assert mrows[1].error is None and mrows[1].width == 4
+    assert mrows[3].width is None and mrows[3].error is not None
+
     ogg = b"OggS" + b"\x00" * 60
     wav = codecs.encode_wav_pcm16([0, 1000, -1000, 500], 8000)
     audio = spark.createDataFrame(

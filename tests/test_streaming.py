@@ -1260,3 +1260,47 @@ def test_streaming_lsh_replay_idempotent_and_param_pin(spark, tmp_path):
 
     with pytest.raises(ValueError, match="refusing to probe"):
         StreamingLSHIndex(str(tmp_path / "store"), threshold=0.8, bands=16)
+
+
+def test_streaming_lsh_lifecycle_guards(spark, tmp_path):
+    """Round-9 review fixes: (a) an index refuses a batch id behind its
+    high-water mark — the stream-restarted-with-fresh-checkpoint case
+    that would silently overwrite historical batches; (b) a document
+    re-delivered with an already-seen id in a LATER batch is dropped
+    before processing, so its pairs are not re-emitted under a second
+    batch; (c) readers on a zero-batch store return empty frames, not
+    path errors."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import StreamingLSHIndex
+
+    # (c) zero-batch store: readers are empty, never AnalysisException
+    empty_index = StreamingLSHIndex(str(tmp_path / "empty_store"))
+    assert empty_index.near_dup_pairs(spark).count() == 0
+    assert empty_index.novel_ids(spark).count() == 0
+    assert empty_index.seen_ids(spark).count() == 0
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 25)
+    index = StreamingLSHIndex(str(tmp_path / "store"))
+    index.process_batch(b0, 0)
+    index.process_batch(docs.filter(F.col("doc_id") >= 25), 1)
+
+    # (a) a batch id behind the high-water mark is refused loudly
+    with pytest.raises(ValueError, match="checkpoint restarted behind"):
+        index.process_batch(b0, 0)
+
+    # (b) re-delivery of already-seen ids in a NEW batch: the docs are
+    # dropped before indexing — no duplicate pair emission, no growth
+    pairs_before = sorted(
+        (r.i, r.j) for r in index.near_dup_pairs(spark).collect()
+    )
+    seen_before = index.seen_ids(spark).count()
+    novel_before = {r.doc_id for r in index.novel_ids(spark).collect()}
+    index.process_batch(b0, 2)  # same ids, later batch
+    pairs_after = sorted(
+        (r.i, r.j) for r in index.near_dup_pairs(spark).collect()
+    )
+    assert pairs_after == pairs_before, "re-delivery re-emitted pairs"
+    assert index.seen_ids(spark).count() == seen_before
+    # the re-delivered batch contributes NOTHING novel (every id was
+    # judged at first arrival) and disturbs no earlier verdict
+    assert {r.doc_id for r in index.novel_ids(spark).collect()} == novel_before
