@@ -97,7 +97,7 @@ DRIVER_WINDOW = 50
 #: extension variants occupy the window's tail.
 #: fallback only — the live value is derived by ``_detect_round`` so a
 #: forgotten manual bump can no longer freeze the window (VERDICT r8 #4)
-_ROTATION_FALLBACK_ROUND = 9
+_ROTATION_FALLBACK_ROUND = 10
 ROTATION_SLOTS = 8
 _ROTATION_BASE_ROUND = 8  # first round the policy was active
 

@@ -963,16 +963,18 @@ def semantic_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_clusters_blocked",
-    # round 9: DEMOTED from the driver window (45 → 55). The round-8
-    # scaling curves (SCALING_r8.json) measured this FIXED 4-band×8-bit
-    # family's candidate mass at growth exponent 2.00 — correct at
-    # every oracle SF but the wrong family to present as the registered
-    # 100 TB path. dedup_semantic_clusters_auto (below) is the
-    # in-window successor: same augmentation/rescore/closure, band
-    # width derived from COUNT(*) identically in both engines. This
-    # variant stays registered as the fixed-band referee, oracle-
-    # checked in-suite by test_oracle_parity.
-    priority=55,
+    # round 9 demoted this from the driver window (45 → 55); round 10
+    # (VERDICT r9 #2) pushes it to the pytest-only band (55 → 72): the
+    # round-8 scaling curves (SCALING_r8.json) measured this FIXED
+    # 4-band×8-bit family's candidate mass at growth exponent 2.00 —
+    # correct at every oracle SF but a driver-window slot spent
+    # re-proving a known-quadratic family is a slot not spent on a
+    # production path. dedup_semantic_clusters_auto is the in-window
+    # successor: same augmentation/rescore/closure, band width derived
+    # from COUNT(*) identically in both engines. This variant stays
+    # registered as the fixed-band referee, hash-checked in-suite by
+    # test_oracle_parity.
+    priority=72,
     oracle=f"""
     WITH RECURSIVE aug AS MATERIALIZED (
         SELECT vec_id, {_SQL_SEM_BASE} AS embedding FROM embeddings

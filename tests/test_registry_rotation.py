@@ -89,9 +89,13 @@ def test_rotation_round_tracks_artifacts(monkeypatch):
             "rotation round lags the newest correctness artifact — "
             "the window froze"
         )
-        assert core._ROTATION_FALLBACK_ROUND >= max(artifact_rounds) + 1, (
-            "fallback constant is stale vs the artifacts on disk"
-        )
+        # The FALLBACK constant is deliberately NOT asserted against the
+        # artifacts here (VERDICT r9 #1): when artifacts exist the live
+        # round is derived from them (the assert above proves tracking),
+        # and the constant only matters on artifact-less fresh checkouts
+        # — where this branch doesn't run. Asserting it here made the
+        # suite go red by construction the moment a round's driver wrote
+        # its CORRECTNESS artifact.
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "123")
     assert core._detect_round() == 123
     monkeypatch.delenv("SPARK_GRAFT_ROUND")
