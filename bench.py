@@ -497,7 +497,9 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
             lsh_stream, lsh_index, os.path.join(tmp, "lsh_ckpt"),
             query_name="bench_stream_lsh",
         )
-        q.awaitTermination()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_lsh_dedup did not finish in 300 s")
         lsh_index.near_dup_pairs(spark).count()
         out["stream_lsh_dedup"] = round(time.perf_counter() - t0, 4)
     except Exception as exc:

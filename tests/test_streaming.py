@@ -1304,3 +1304,219 @@ def test_streaming_lsh_lifecycle_guards(spark, tmp_path):
     # the re-delivered batch contributes NOTHING novel (every id was
     # judged at first arrival) and disturbs no earlier verdict
     assert {r.doc_id for r in index.novel_ids(spark).collect()} == novel_before
+
+
+# ----------------------------------------------------------------------
+# round 10: LSM store for the LSH index — compaction + probe pruning
+# ----------------------------------------------------------------------
+
+
+def _split_batches(docs, k):
+    """Deterministic k-way split of a doc frame by id modulus."""
+    return [docs.filter(F.col("doc_id") % k == i) for i in range(k)]
+
+
+def test_streaming_lsh_compaction_preserves_results(spark, tmp_path):
+    """VERDICT r9 #3: folding L0 batch dirs into the chunk-partitioned
+    compacted run must be invisible to every reader — pairs, novelty
+    verdicts, and the arrival registry all match an uncompacted control
+    index fed the identical batches, across auto-fired and explicit
+    compactions, with further batches arriving after the fold."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import StreamingLSHIndex
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 120
+    )
+    clones = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5000
+    )
+    batches = _split_batches(docs, 5) + [clones]
+
+    lsm = StreamingLSHIndex(
+        str(tmp_path / "lsm"), threshold=0.8, chunks=4, compact_every=2
+    )
+    flat = StreamingLSHIndex(
+        str(tmp_path / "flat"), threshold=0.8, chunks=4, compact_every=0
+    )
+    for b, df in enumerate(batches):
+        lsm.process_batch(df, b)
+        flat.process_batch(df, b)
+    # the cadence must actually have fired (otherwise this tests nothing)
+    assert lsm._compaction() is not None
+    assert flat._compaction() is None
+
+    def snap(ix):
+        return (
+            sorted((r.i, r.j, r.jaccard) for r in ix.near_dup_pairs(spark).collect()),
+            sorted(r.doc_id for r in ix.novel_ids(spark).collect()),
+            sorted(r.doc_id for r in ix.seen_ids(spark).collect()),
+        )
+
+    assert snap(lsm) == snap(flat)
+    pairs, novel, seen = snap(lsm)
+    assert len(pairs) >= clones.count()  # non-vacuous: planted clones pair
+    assert len(seen) == docs.count() + clones.count()
+
+    # explicit compaction after the stream is drained: readers unchanged
+    assert lsm.compact(spark) is True
+    assert snap(lsm) == (pairs, novel, seen)
+    # idempotent: nothing new to fold
+    assert lsm.compact(spark) is False
+
+    # a replay of the HIGHEST batch after compaction is still idempotent
+    # (the highest is deliberately never folded, so its L0 dir remains
+    # overwritable)
+    lsm.process_batch(batches[-1], len(batches) - 1)
+    assert snap(lsm) == (pairs, novel, seen)
+
+
+def test_streaming_lsh_probe_files_flat(spark, tmp_path):
+    """The probe-cost gate (VERDICT r9 #3 'done' criterion): with
+    compaction on, the number of parquet files a batch's banded probe
+    touches stays FLAT as batches accumulate — bounded by the chunk
+    grid plus the ≤ compact_every L0 dirs — while the uncompacted
+    control's probe keeps touching every file ever written (linear in
+    batch count)."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import StreamingLSHIndex
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 240
+    )
+    batches = _split_batches(docs, 12)
+    probe = docs.filter(F.col("doc_id") % 12 == 0).limit(4)
+
+    lsm = StreamingLSHIndex(
+        str(tmp_path / "lsm"), threshold=0.8, chunks=4, compact_every=2
+    )
+    flat = StreamingLSHIndex(
+        str(tmp_path / "flat"), threshold=0.8, chunks=4, compact_every=0
+    )
+    lsm_curve, flat_curve = [], []
+    for b, df in enumerate(batches):
+        lsm.process_batch(df, b)
+        flat.process_batch(df, b)
+        if b in (3, 11):
+            lsm_curve.append(lsm.probe_files_touched(spark, probe))
+            flat_curve.append(flat.probe_files_touched(spark, probe))
+
+    # control: the flat layout's probe grows with the index (3x the
+    # batches => ~3x the files; demand at least 2x to stay noise-proof)
+    assert flat_curve[1] >= 2 * flat_curve[0], (flat_curve, lsm_curve)
+    # gate: the LSM layout's probe is flat — bounded by the chunk grid
+    # + the L0 tail, REGARDLESS of how many batches were indexed
+    assert lsm_curve[1] <= lsm_curve[0] + lsm.chunks, (lsm_curve, flat_curve)
+    # and strictly better than the control at the same index size
+    assert lsm_curve[1] < flat_curve[1], (lsm_curve, flat_curve)
+
+
+def test_streaming_lsh_fingerprint_guard(spark, tmp_path):
+    """Round-10 review fix: a stream restarted against a FRESH
+    checkpoint whose first batch id equals the stored high-water mark
+    (the common one-batch case: highest=0, fresh checkpoint restarts at
+    0) must be refused when it carries different documents — and still
+    accepted when it is a genuine foreachBatch replay of the same
+    delivery."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import StreamingLSHIndex
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 25)
+    other = docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+
+    index = StreamingLSHIndex(str(tmp_path / "store"), threshold=0.8)
+    index.process_batch(b0, 0)
+    pairs = sorted((r.i, r.j) for r in index.near_dup_pairs(spark).collect())
+
+    # genuine replay: same batch id, same documents — idempotent
+    index.process_batch(b0, 0)
+    assert sorted(
+        (r.i, r.j) for r in index.near_dup_pairs(spark).collect()
+    ) == pairs
+
+    # fresh-checkpoint collision: same batch id, DIFFERENT documents
+    with pytest.raises(ValueError, match="different documents"):
+        index.process_batch(other, 0)
+    # history untouched by the refused batch
+    assert index.seen_ids(spark).count() == b0.count()
+
+
+def test_streaming_lsh_corpus_end_to_end(spark, tmp_path):
+    """VERDICT r9 #4: drop-dir feed → LSH novelty filter → corpus, end
+    to end. Clones are planted across every batch boundary; the stream
+    is drained, EXTENDED with late drops, and resumed on the same
+    checkpoint. The final corpus must hold exactly the greedy-by-
+    arrival keeper set of the full feed (one representative per
+    near-dup chain, smallest arrival key), with full document rows."""
+    from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import (
+        StreamingLSHIndex,
+        stream_lsh_corpus,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 150
+    )
+    clones_a = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5000
+    )
+    clones_b = docs.filter(F.col("doc_id") % 5 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 9000
+    )
+    # arrival order: originals split across two drops, clones later —
+    # every clone pair crosses a batch boundary; clones_b arrives in
+    # the SECOND stream run (restart-resume)
+    src = tmp_path / "feed"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(str(src / "d0.parquet"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(str(src / "d1.parquet"))
+    clones_a.write.parquet(str(src / "d2.parquet"))
+
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        index = StreamingLSHIndex(str(tmp_path / "store"), threshold=0.8)
+        q = stream_lsh_corpus(
+            stream, index, str(tmp_path / "ckpt"), str(tmp_path / "corpus")
+        )
+        assert q.awaitTermination(300)
+        return index
+
+    run_stream()  # drains d0..d2
+    # late drops arrive; the SAME checkpoint resumes with new batch ids
+    clones_b.write.parquet(str(src / "d3.parquet"))
+    index = run_stream()
+
+    # oracle: greedy-by-arrival over the batch pair set of the full feed
+    all_docs = docs.unionByName(clones_a).unionByName(clones_b)
+    arrival = {}  # doc_id -> batch index in arrival order
+    for r in docs.collect():
+        arrival[r.doc_id] = 0 if r.doc_id % 2 == 0 else 1
+    for r in clones_a.collect():
+        arrival[r.doc_id] = 2
+    for r in clones_b.collect():
+        arrival[r.doc_id] = 3
+    dup = set()
+    for r in DD.minhash_near_dups(all_docs, threshold=0.8).collect():
+        ki, kj = (arrival[r.i], r.i), (arrival[r.j], r.j)
+        dup.add(r.j if kj > ki else r.i)
+    want_keepers = set(arrival) - dup
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    got_keepers = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert got_keepers == want_keepers
+    # full rows retained, one per keeper, content intact
+    assert corpus.count() == len(want_keepers)
+    texts = dict(
+        (r.doc_id, r.text) for r in all_docs.collect() if r.doc_id in want_keepers
+    )
+    sample = corpus.limit(20).collect()
+    assert all(r.text == texts[r.doc_id] for r in sample)
+    # clones never survive (their originals arrived first)
+    assert all(k < 5000 for k in got_keepers)
+    # index agrees with the corpus (the filter IS novel_ids)
+    assert got_keepers == {r.doc_id for r in index.novel_ids(spark).collect()}

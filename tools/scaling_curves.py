@@ -39,7 +39,11 @@ Metrics per SF:
 * warm wall time (best of 2 after a cold pass) for the registered
   family queries.
 
-Output: SCALING_r9.json + a markdown table on stdout (pasted into
+Round 10 adds the incremental-LSH per-batch cost curve (VERDICT r9
+#5): 16 fixed-size batches at two corpus sizes — per-batch wall,
+probe files touched (flat under the LSM store layout), index rows.
+
+Output: SCALING_r10.json + a markdown table on stdout (pasted into
 PERF_NOTES §r9). The pytest twin (tests/test_scaling_slopes.py) runs
 the same counters at two small SFs and gates the exponents.
 """
@@ -253,6 +257,57 @@ def wall_times(spark, sf_dir: str, sf: float) -> dict:
     return out
 
 
+def stream_lsh_curve(spark, sf_dir: str, n_batches: int = 16) -> dict:
+    """Per-batch cost of the incremental LSH index as the index grows
+    (VERDICT r9 #5): feed ``n_batches`` equal fixed-size batches — so
+    the index is 16× larger under the last batch than the first — and
+    record per-batch wall, the probe's files-touched at four
+    checkpoints (flat under the LSM layout: compacted chunk grid +
+    ≤ compact_every L0 dirs), and the final index row count. Run at
+    two corpus sizes so per-batch wall is attributable to BATCH size,
+    not index size."""
+    import shutil
+    import tempfile
+
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import (
+        StreamingLSHIndex,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="lsh-curve-")
+    try:
+        index = StreamingLSHIndex(
+            os.path.join(tmp, "store"),
+            threshold=0.8,
+            chunks=16,
+            compact_every=4,
+        )
+        probe = docs.limit(8)
+        walls: list[float] = []
+        files: dict[str, int] = {}
+        for b in range(n_batches):
+            batch = docs.filter(F.col("doc_id") % n_batches == b)
+            t0 = time.perf_counter()
+            index.process_batch(batch, b)
+            walls.append(round(time.perf_counter() - t0, 3))
+            if b in (3, 7, 11, 15):
+                files[str(b)] = index.probe_files_touched(spark, probe)
+        banded_rows = index._read_indexed(spark, "banded").count()
+        pairs = index.near_dup_pairs(spark).count()
+        early = sum(walls[1:5]) / 4
+        late = sum(walls[12:16]) / 4
+        return {
+            "n_docs": docs.count(),
+            "per_batch_wall": walls,
+            "probe_files": files,
+            "banded_rows": banded_rows,
+            "pairs": pairs,
+            "wall_late_over_early": round(late / early, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def fit_slope(ns: list[float], ys: list[float]) -> float | None:
     pts = [(n, y) for n, y in zip(ns, ys) if n and y and y > 0]
     if len(pts) < 2:
@@ -268,8 +323,8 @@ def main() -> int:
     # per-SF checkpoint: a multi-SF run is ~20 min end-to-end; caching
     # finished SF rows (keyed by generator version + the metric set)
     # makes interrupted runs resume instead of restarting
-    cache_path = os.path.join(SCALING_ROOT, "curves_cache_r9.json")
-    cache_key = f"g{GEN_VERSION}-m2"
+    cache_path = os.path.join(SCALING_ROOT, "curves_cache_r10.json")
+    cache_key = f"g{GEN_VERSION}-m3"
     cache: dict[str, dict] = {}
     if os.path.exists(cache_path):
         with open(cache_path) as fh:
@@ -316,8 +371,33 @@ def main() -> int:
         )
         slopes[f"wall:{q}"] = fit_slope(base, [per_sf[s]["wall"][q] for s in SFS])
 
-    result = {"per_sf": per_sf, "slopes": slopes, "sfs": SFS}
-    with open(os.path.join(REPO, "SCALING_r9.json"), "w") as fh:
+    # round 10 (VERDICT r9 #5): incremental-LSH per-batch cost curve at
+    # two corpus sizes, 16 batches each — checkpointed like the SF rows
+    stream_lsh: dict[str, dict] = {}
+    for sf_s in ("0.1", "0.3"):
+        ck = f"lsh{sf_s}"
+        if ck in cache:
+            stream_lsh[sf_s] = cache[ck]
+            print(f"[scaling] stream_lsh sf{sf_s}: cached", file=sys.stderr)
+            continue
+        stream_lsh[sf_s] = stream_lsh_curve(
+            spark, os.path.join(SCALING_ROOT, f"sf{sf_s}")
+        )
+        print(
+            f"[scaling] stream_lsh sf{sf_s}: {json.dumps(stream_lsh[sf_s])}",
+            file=sys.stderr,
+        )
+        cache[ck] = stream_lsh[sf_s]
+        with open(cache_path, "w") as fh:
+            json.dump({"key": cache_key, "per_sf": cache}, fh)
+
+    result = {
+        "per_sf": per_sf,
+        "slopes": slopes,
+        "sfs": SFS,
+        "stream_lsh": stream_lsh,
+    }
+    with open(os.path.join(REPO, "SCALING_r10.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
@@ -336,6 +416,16 @@ def main() -> int:
     for q in TIMED_QUERIES:
         vals = " | ".join(f"{per_sf[s]['wall'][q]:.2f}" for s in SFS)
         print(f"| wall:{q} | {vals} | {slopes[f'wall:{q}']} |")
+    print()
+    print("| stream_lsh | n_docs | probe_files b3→b15 | wall late/early | banded_rows |")
+    print("|---|---|---|---|---|")
+    for sf_s, row in stream_lsh.items():
+        pf = row["probe_files"]
+        print(
+            f"| sf{sf_s} | {row['n_docs']} | "
+            f"{pf.get('3')}→{pf.get('15')} | "
+            f"{row['wall_late_over_early']} | {row['banded_rows']} |"
+        )
     spark.stop()
     return 0
 
