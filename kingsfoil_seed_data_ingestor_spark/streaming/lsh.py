@@ -426,39 +426,6 @@ class StreamingLSHIndex:
                 "documents — keep the checkpoint and index directories "
                 "together, or start a fresh index."
             )
-        # fingerprint over the batch's own distinct ids, BEFORE any
-        # filtering — a genuine foreachBatch replay redelivers the same
-        # rows, so it matches; a fresh checkpoint restarting at an id
-        # the store already processed (batch_id == highest, the guard
-        # above can't see it) carries different documents and must not
-        # silently overwrite history (round-10 review fix)
-        fp_row = (
-            docs.select("doc_id")
-            .distinct()
-            .agg(
-                F.count("*").alias("n"),
-                F.coalesce(
-                    F.expr("bit_xor(xxhash64(doc_id))"), F.lit(0)
-                ).alias("x"),
-            )
-            .first()
-        )
-        fingerprint = [int(fp_row["n"]), int(fp_row["x"])]
-        if (
-            highest is not None
-            and batch_id == highest
-            and progress.get("fingerprint") is not None
-            and progress["fingerprint"] != fingerprint
-        ):
-            raise ValueError(
-                f"index at {self.store_dir} already processed batch "
-                f"{batch_id} with different documents (fingerprint "
-                f"{progress['fingerprint']} != {fingerprint}): a fresh "
-                "checkpoint restarted at the stored high-water mark. "
-                "Overwriting would corrupt history — keep the checkpoint "
-                "and index directories together, or start a fresh index."
-            )
-
         # arrival registry: EVERY id of the batch (even shingle-less
         # docs), used for (a) dropping at-least-once re-deliveries of
         # already-seen ids — re-indexing an id would re-emit its pairs
@@ -471,9 +438,47 @@ class StreamingLSHIndex:
         docs_new = docs.join(
             ids_prev.select("doc_id"), "doc_id", "left_anti"
         ).persist()
-        docs_new.select("doc_id").distinct().write.mode("overwrite").parquet(
+        new_ids = docs_new.select("doc_id").distinct()
+
+        # batch fingerprint (count + xor of id hashes) over the batch's
+        # distinct NEW ids — deterministic under a genuine foreachBatch
+        # replay (same delivery, same registry state), so it matches;
+        # a fresh checkpoint restarting at an id the store already
+        # processed (batch_id == highest, the high-water guard can't
+        # see it) carries different documents and must be refused
+        # BEFORE any write touches history (round-10 review fix). The
+        # rare replay path pays one explicit agg job; the common
+        # batch_id > highest path records its fingerprint for free via
+        # an Observation on the registry write below.
+        fp_exprs = (
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(doc_id))"), F.lit(0)).alias(
+                "x"
+            ),
+        )
+        fingerprint: "list[int] | None" = None
+        if highest is not None and batch_id == highest:
+            fp_row = new_ids.agg(*fp_exprs).first()
+            fingerprint = [int(fp_row["n"]), int(fp_row["x"])]
+            stored = progress.get("fingerprint")
+            if stored is not None and stored != fingerprint:
+                raise ValueError(
+                    f"index at {self.store_dir} already processed batch "
+                    f"{batch_id} with different documents (fingerprint "
+                    f"{stored} != {fingerprint}): a fresh checkpoint "
+                    "restarted at the stored high-water mark. Overwriting "
+                    "would corrupt history — keep the checkpoint and "
+                    "index directories together, or start a fresh index."
+                )
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_ids.observe(obs, *fp_exprs).write.mode("overwrite").parquet(
             os.path.join(self._sub("ids"), f"batch_id={batch_id}")
         )
+        if fingerprint is None:
+            fingerprint = [int(obs.get["n"]), int(obs.get["x"])]
 
         posts_new = shingle_hash_table(
             docs_new, self.n, distinct=False
@@ -588,7 +593,6 @@ class StreamingLSHIndex:
                 F.col("batch_id").alias("other_batch"),
             )
         )
-        new_ids = docs_new.select("doc_id").distinct()
         dup_ids = (
             endpoints.join(new_ids, "doc_id", "left_semi")
             .join(other_batch, "other")
