@@ -2018,16 +2018,23 @@ _SQL_EMBED_RHP = f"""
 
 @register(
     "dedup_embed_cosine_rhp",
-    priority=48,  # in-window: the sub-quadratic embedding near-dup family rep
+    # round 10: DEMOTED from the driver window (48 → 72) — the sf1
+    # bench sweep (BENCH_SF1.json) caught this FIXED 4-band×4-bit
+    # family at 75.9 s for 20k vectors: with a constant 16-bucket band,
+    # random collisions are Θ(N²/16) — quadratic with a constant that
+    # stopped being small, the same verdict as the blocked clusters
+    # family. dedup_embed_cosine_rhp_auto (below) is the in-window
+    # successor with the N-aware masked band width. This variant stays
+    # registered as the fixed-band referee, hash-checked in-suite by
+    # test_oracle_parity.
+    priority=72,
     oracle=_SQL_EMBED_RHP,
-    doc="Random-hyperplane LSH pre-blocked embedding near-dup: 16 "
-    "deterministic ±1 hyperplanes → 4 bands × 4 sign bits; only pairs "
-    "colliding in ≥1 band are scored by exact cosine — the "
-    "compute-bounded 100 TB path (the block-grid GEMM bounds memory "
-    "but its O(N²·d) multiply is inherent; LSH banding makes the "
-    "scored-pair count ~linear). The oracle applies the SAME banding "
-    "brute-force, so the check pins candidate generation and "
-    "verification, not just the final filter.",
+    doc="Random-hyperplane LSH pre-blocked embedding near-dup, FIXED "
+    "4 bands × 4 sign bits (deprecated-for-scale; kept as the "
+    "fixed-band referee whose banding appears literally in the "
+    "cross-engine SQL). With constant band width the random collision "
+    "mass grows Θ(N²/2^r); the registered scale path is "
+    "dedup_embed_cosine_rhp_auto.",
 )
 def dedup_embed_cosine_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope = CacheScope()
@@ -2038,6 +2045,96 @@ def dedup_embed_cosine_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=RHP_BANDS,
         dim=RHP_DIM,
         scope=scope,
+    )
+    return scope.attach(
+        pairs.select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+#: N-aware variant: fixed 8-band plane pool of 24-bit words, bucket
+#: masked to r = min{r in [4,24] : 2^r·16 ≥ 8·N} low bits — the same
+#: integer rule (operators/similarity.rhp_mask_bits) the registered
+#: clusters family uses, so the DuckDB oracle derives the identical r
+#: from a COUNT(*) scalar subquery (plans/corpus.py:1089 precedent)
+RHP_AUTO_BANDS, RHP_AUTO_MAX_R, RHP_AUTO_TARGET = 8, 24, 16
+RHP_AUTO_PLANES = SIM.rhp_sign_planes(RHP_AUTO_BANDS * RHP_AUTO_MAX_R, RHP_DIM)
+
+
+def _sql_signed_sum(col: str, plane: "list[float]") -> str:
+    """±1-plane dot product as flat vectorized SQL arithmetic (same
+    form as plans/corpus.py — the list_reduce lambda form is ~200×
+    slower in DuckDB at this plane count)."""
+    terms = "".join(
+        f" {'+' if v > 0 else '-'} {col}[{i + 1}]" for i, v in enumerate(plane)
+    )
+    return f"(0.0{terms})"
+
+
+def _sql_rhp_auto_bucket(b: int) -> str:
+    terms = [
+        f"(CASE WHEN {_sql_signed_sum('embedding', RHP_AUTO_PLANES[b * RHP_AUTO_MAX_R + j])}"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(RHP_AUTO_MAX_R)
+    ]
+    return (
+        f"(({' + '.join(terms)}) & ((CAST(1 AS BIGINT) << (SELECT r FROM params)) - 1))"
+    )
+
+
+@register(
+    "dedup_embed_cosine_rhp_auto",
+    priority=48,  # in-window: the sub-quadratic embedding near-dup family rep
+    oracle=f"""
+    WITH params AS MATERIALIZED (
+        SELECT CAST(COALESCE(MIN(r), {RHP_AUTO_MAX_R}) AS INT) AS r
+        FROM range(4, {RHP_AUTO_MAX_R + 1}) t(r)
+        WHERE (CAST(1 AS BIGINT) << r) * {RHP_AUTO_TARGET}
+              >= {RHP_AUTO_BANDS} * (SELECT COUNT(*) FROM embeddings)
+    ),
+    bits AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               {", ".join(f"{_sql_rhp_auto_bucket(b)} AS b{b}" for b in range(RHP_AUTO_BANDS))}
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS kept_id, b.vec_id AS dup_id,
+               a.embedding AS ei, b.embedding AS ej
+        FROM bits a JOIN bits b
+          ON a.vec_id < b.vec_id
+         AND ({" OR ".join(f"a.b{b} = b.b{b}" for b in range(RHP_AUTO_BANDS))})
+    )
+    SELECT dup_id, kept_id, round({sql_cosine('ei', 'ej')}, 6) AS cosine
+    FROM cand
+    WHERE {sql_cosine('ei', 'ej')} >= {EMBED_DUP_THRESHOLD}
+    """,
+    doc="N-AWARE random-hyperplane embedding near-dup — the registered "
+    "100 TB pairs path (round 10; BENCH_SF1 caught the fixed family at "
+    "75.9 s / 20k vectors). Each of 8 bands hashes a 24-bit sign word "
+    "over a fixed 192-plane pool, masked to its low r bits with "
+    "r = min{r in [4,24] : 2^r·16 ≥ 8·N} — integer arithmetic both "
+    "engines evaluate from COUNT(*) at runtime, so the oracle pins "
+    "candidate generation AND verification of the same family the "
+    "engine runs at any size. Random collision mass stays ≤ 16·N "
+    "candidates by construction (measured family exponent 1.09 over "
+    "100×, SCALING_r10.json rhp_auto_cand).",
+)
+def dedup_embed_cosine_rhp_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scope = CacheScope()
+    emb = load(spark, sf_dir, "embeddings")
+    # sizing count reads parquet metadata — no scan; same COUNT(*)
+    # scalar the oracle computes
+    n = emb.count()
+    r = SIM.rhp_mask_bits(
+        n, RHP_AUTO_BANDS, RHP_AUTO_TARGET, lo=4, hi=RHP_AUTO_MAX_R
+    )
+    pairs = SIM.near_dup_pairs_rhp(
+        emb,
+        EMBED_DUP_THRESHOLD,
+        n_planes=RHP_AUTO_BANDS * RHP_AUTO_MAX_R,
+        bands=RHP_AUTO_BANDS,
+        dim=RHP_DIM,
+        scope=scope,
+        bucket_mask=(1 << r) - 1,
     )
     return scope.attach(
         pairs.select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
