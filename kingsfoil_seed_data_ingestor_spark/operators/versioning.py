@@ -674,6 +674,11 @@ class VersionStore:
             if not part_dir.exists():
                 raise KeyError(f"No fact partition for version {version_id}")
             snapshot = self._partition_files(part_dir)
+            if not snapshot:
+                raise KeyError(
+                    f"No committed fact files for version {version_id}; "
+                    "nothing to compact"
+                )
             tombstones = (self._read_manifest(part_dir) or {}).get(
                 "tombstones", []
             )
