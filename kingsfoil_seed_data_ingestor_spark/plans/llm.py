@@ -1338,18 +1338,54 @@ def _components_chain(
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+#: brute-force hamming ≤ 3 over the 32-bit fingerprint — shared by the
+#: N-aware registered query and the fixed-band referee: the multi-block
+#: pigeonhole banding is LOSSLESS (see operators/text_dedup.
+#: simhash_subset_masks), so both plans define the same answer and the
+#: oracle needs no banding parameter at all.
+_SQL_SIMHASH_PAIRS = f"""
     WITH sh AS ({SQL_SIMHASH_TABLE})
     SELECT a.doc_id AS i, b.doc_id AS j,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
+    """
+
+
+@register(
+    "dedup_simhash_auto",
+    oracle=_SQL_SIMHASH_PAIRS,
     doc="SimHash near-dup pairs at hamming ≤ 3 over the 32-bit "
-    "fingerprint. Spark side generates candidates by 8-bit pigeonhole "
-    "bands (hamming ≤ 3 ⇒ one of 4 bytes equal) — no n² scan.",
+    "fingerprint — N-AWARE candidate generation (VERDICT r10 #1): the "
+    "corpus count picks the pigeonhole block count B (smallest B in "
+    "[4, 8] with C(B,3)·N ≤ 16·2^min_subset_width), and each of C(B,3) "
+    "bands keys on the fingerprint masked to one (B−3)-block subset. "
+    "Every hamming ≤ 3 pair agrees on some clean subset, so the "
+    "banding is lossless and the output equals the brute-force O(n²) "
+    "definition at every N — the oracle IS that definition, unchanged. "
+    "Random candidate mass stays ≤ 16·N by construction vs the fixed "
+    "4×8-bit family's measured Θ(N²/256) (~1.5 pair exponent, 10.0× "
+    "wall on 10× data at sf1); tests/test_scaling_slopes.py gates the "
+    "candidate exponent.",
+)
+def dedup_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_dups_auto(
+        load(spark, sf_dir, "documents"), max_hamming=3
+    ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "dedup_simhash",
+    priority=72,  # fixed-band referee (VERDICT r10 #1): the 4×8-bit
+    # banding has 256 buckets/band — Θ(N²/256) random collisions,
+    # measured ~1.5 pair exponent. Kept as the equivalence referee for
+    # dedup_simhash_auto (identical output by the lossless-banding
+    # argument); the auto variant is the in-window rep.
+    oracle=_SQL_SIMHASH_PAIRS,
+    doc="SimHash near-dup pairs at hamming ≤ 3 over the 32-bit "
+    "fingerprint, FIXED 4×8-bit pigeonhole banding — the referee twin "
+    "of dedup_simhash_auto (same oracle, same answer; quadratic "
+    "candidate mass, so not the scale path).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3).select(
@@ -1359,7 +1395,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash64",
-    priority=55,  # overflow: 64-bit variant (dedup_simhash is the in-window rep)
+    priority=55,  # overflow: 64-bit variant (dedup_simhash_auto is the in-window rep)
     oracle=f"""
     WITH sh AS ({SQL_SIMHASH64_TABLE})
     SELECT a.doc_id AS i, b.doc_id AS j,

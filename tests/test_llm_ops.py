@@ -241,6 +241,49 @@ def test_simhash_near_dups(spark):
     assert (0, 2) in pairs and pairs == brute
 
 
+def test_simhash_auto_equals_fixed_at_every_block_count(spark):
+    """VERDICT r10 #1: the N-aware multi-block banding is LOSSLESS —
+    for every block count B in the ladder, ``simhash_near_dups_auto``
+    must return exactly the fixed 4×8 family's pairs (both equal the
+    brute-force hamming ≤ 3 definition). This is the property that
+    lets the block count scale with the corpus while the registered
+    oracle stays the plain O(n²) SQL."""
+    base = " ".join(f"word{i}" for i in range(60))
+    rows = [(0, base), (1, base.replace("word30", "changed")), (2, base)]
+    rows += [(10 + k, " ".join(f"t{k}w{i}" for i in range(40))) for k in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fixed = {(r.i, r.j, r.hamming) for r in DD.simhash_near_dups(docs, 3).collect()}
+    for n_blocks in (4, 5, 6, 7, 8):
+        auto = {
+            (r.i, r.j, r.hamming)
+            for r in DD.simhash_near_dups_auto(docs, 3, n_blocks=n_blocks).collect()
+        }
+        assert auto == fixed, (n_blocks, auto ^ fixed)
+
+
+def test_simhash_blocks_for_ladder():
+    """The N-aware block rule: monotone in N, anchored at the fixed
+    family's B=4 for tiny corpora, saturating at the 32-bit entropy cap
+    B=8 (beyond which the 64-bit family is the production path)."""
+    assert DD.simhash_blocks_for(100) == 4
+    assert DD.simhash_blocks_for(1024) == 4
+    assert DD.simhash_blocks_for(1025) == 5
+    assert DD.simhash_blocks_for(26214) == 6
+    assert DD.simhash_blocks_for(10**6) == 8
+    prev = 0
+    for n in (10, 100, 1_000, 10_000, 100_000, 1_000_000, 10**8):
+        b = DD.simhash_blocks_for(n)
+        assert b >= prev
+        prev = b
+    # uniform-model bound the ladder enforces: C(B,3)·N ≤ 16·2^min_width
+    from math import comb
+
+    for n in (500, 5_000, 50_000, 250_000):
+        b = DD.simhash_blocks_for(n)
+        min_w = (b - 3) * (32 // b) + max(0, (32 % b) - 3)
+        assert comb(b, 3) * n <= 16 * (1 << min_w), (n, b)
+
+
 def _py_simhash64(text: str) -> int:
     import hashlib
 

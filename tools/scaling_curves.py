@@ -77,6 +77,7 @@ SFS = ["0.03", "0.1", "0.3", "1", "3"]
 TIMED_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_auto",
     "dedup_simhash64",
     "dedup_semantic_clusters_blocked",
     "dedup_semantic_clusters_auto",
@@ -115,6 +116,41 @@ def candidate_counts(spark, sf_dir: str) -> dict:
     out["mh_verified"] = mh_pairs.count()
 
     out["sh64_pairs"] = DD.simhash64_near_dups(docs, max_hamming=3).count()
+
+    # the REGISTERED N-aware 32-bit family (dedup_simhash_auto, r11):
+    # candidate mass of the multi-block pigeonhole banding — the
+    # VERDICT r10 #1 exponent-≤1.3 gate reads this curve's fit
+    blocks = DD.simhash_blocks_for(out["n_docs"])
+    out["sh32_auto_blocks"] = blocks
+    masks = DD.simhash_subset_masks(blocks)
+    sh_banded = (
+        DD.simhash_table(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("band"),
+                            F.col("simhash").bitwiseAND(F.lit(m)).alias("key"),
+                        )
+                        for t, m in enumerate(masks)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.key")
+        .persist()
+    )
+    out["sh32_auto_cand"] = (
+        sh_banded.alias("a")
+        .join(sh_banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+        .count()
+    )
+    sh_banded.unpersist()
 
     # star components over the MinHash edge set: rounds must stay flat
     stats: dict = {}
@@ -336,8 +372,8 @@ def main() -> int:
     # per-SF checkpoint: a multi-SF run is ~20 min end-to-end; caching
     # finished SF rows (keyed by generator version + the metric set)
     # makes interrupted runs resume instead of restarting
-    cache_path = os.path.join(SCALING_ROOT, "curves_cache_r10.json")
-    cache_key = f"g{GEN_VERSION}-m3"
+    cache_path = os.path.join(SCALING_ROOT, "curves_cache_r11.json")
+    cache_key = f"g{GEN_VERSION}-m4"
     cache: dict[str, dict] = {}
     if os.path.exists(cache_path):
         with open(cache_path) as fh:
@@ -370,6 +406,9 @@ def main() -> int:
         "mh_cand": fit_slope(docs_n, [per_sf[s]["mh_cand"] for s in SFS]),
         "mh_verified": fit_slope(docs_n, [per_sf[s]["mh_verified"] for s in SFS]),
         "sh64_pairs": fit_slope(docs_n, [per_sf[s]["sh64_pairs"] for s in SFS]),
+        "sh32_auto_cand": fit_slope(
+            docs_n, [per_sf[s]["sh32_auto_cand"] for s in SFS]
+        ),
         "rhp_fixed_cand": fit_slope(emb_n, [per_sf[s]["rhp_fixed_cand"] for s in SFS]),
         "rhp_tuned_cand": fit_slope(emb_n, [per_sf[s]["rhp_tuned_cand"] for s in SFS]),
         "rhp_auto_cand": fit_slope(emb_n, [per_sf[s]["rhp_auto_cand"] for s in SFS]),
@@ -410,7 +449,7 @@ def main() -> int:
         "sfs": SFS,
         "stream_lsh": stream_lsh,
     }
-    with open(os.path.join(REPO, "SCALING_r10.json"), "w") as fh:
+    with open(os.path.join(REPO, "SCALING_r11.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
@@ -419,6 +458,7 @@ def main() -> int:
     print("|---|" + "---|" * (len(SFS) + 1))
     for key in (
         "n_docs", "n_emb", "mh_cand", "mh_verified", "sh64_pairs",
+        "sh32_auto_blocks", "sh32_auto_cand",
         "star_rounds", "rhp_fixed_cand", "rhp_tuned_cand",
         "rhp_tuned_recall", "rhp_auto_cand", "rhp_auto_r",
         "rhp_auto_recall", "ann_scored_rows",
