@@ -18,6 +18,7 @@ follow strict determinism rules:
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 from dataclasses import dataclass
@@ -84,22 +85,29 @@ def register(name: str, oracle: Optional[str], doc: str = "", priority: int = 50
 #: size of the driver's independent hash-check window (first N of
 #: ``ordered_queries()``)
 DRIVER_WINDOW = 50
-#: rotation policy (round 8, VERDICT r7 #8): without rotation the same
-#: 50 queries pass the driver's oracle forever while the ~70 overflow
-#: queries are only pytest-checked. Each round, ``ROTATION_SLOTS``
-#: overflow representatives are PROMOTED into the window (effective
-#: priority 49 — after every flagship band, before the band-50 tail),
-#: displacing an equal number of long-stable band-≥50 queries past the
-#: cap. The promoted slice slides deterministically by round number, so
-#: over ~9 rounds the driver's independent check touches every overflow
-#: variant. Bands <50 (reference parity, streaming twins, family
-#: flagships) are never displaced — rotation only permutes which
-#: extension variants occupy the window's tail.
+#: rotation policy, round 11 (VERDICT r10 #3, superseding the round-8
+#: 8-slot slide): only the reference-parity band stays pinned; every
+#: other registered query — streaming twins, extension flagships,
+#: band-50 reps, overflow variants, pytest-band referees — rotates
+#: through the window's remaining ``DRIVER_WINDOW − |pinned|`` slots
+#: (~31). The tail is filled NEVER-DRIVER-CHECKED queries first (the
+#: union of all ``CORRECTNESS_r*.json`` artifacts defines "checked", so
+#: each round's driver run feeds the next round's selection and the
+#: 45-query verification backlog burns down at ~31/round), then a
+#: round-sliding slice of the already-checked pool for freshness.
+#: Flagship bands 20–48 became rotation-eligible after ≥ 3 consecutive
+#: green in-window rounds each (r8–r10 artifacts: all full-pass —
+#: ``tests/test_registry_rotation.py`` re-verifies that precondition
+#: from the artifacts themselves).
 #: fallback only — the live value is derived by ``_detect_round`` so a
 #: forgotten manual bump can no longer freeze the window (VERDICT r8 #4)
-_ROTATION_FALLBACK_ROUND = 10
-ROTATION_SLOTS = 8
-_ROTATION_BASE_ROUND = 8  # first round the policy was active
+_ROTATION_FALLBACK_ROUND = 11
+#: only this band is exempt from rotation (reference parity, SURVEY §2)
+PINNED_PRIORITY_MAX = 10
+#: rounds a flagship must have been green in-window before becoming
+#: rotation-eligible (met by all of bands 20–48 as of r11)
+FLAGSHIP_MIN_GREEN_ROUNDS = 3
+_ROTATION_BASE_ROUND = 8  # first round any rotation policy was active
 
 
 def _detect_round() -> int:
@@ -134,29 +142,86 @@ def _detect_round() -> int:
 ROTATION_ROUND = _detect_round()
 
 
-def rotated_in_names() -> list[str]:
-    """The overflow queries promoted into the driver window this round
-    (deterministic in ``ROTATION_ROUND``): a sliding ``ROTATION_SLOTS``-
-    wide wrap-around slice of the stable overflow order."""
-    base = sorted(QUERIES.values(), key=lambda q: (q.priority, q.seq))
-    overflow = [q for q in base[DRIVER_WINDOW:] if q.priority >= 50]
-    if not overflow:
-        return []
-    start = ((ROTATION_ROUND - _ROTATION_BASE_ROUND) * ROTATION_SLOTS) % len(
-        overflow
+def _detect_checked() -> frozenset[str]:
+    """Query names the driver has independently hash-checked at least
+    once: the union of keys across every ``CORRECTNESS_r*.json`` at the
+    repo root. Like ``_detect_round`` this reads the driver's own
+    artifacts, so the selection can't drift from reality — the moment
+    round N's artifact lands, its window drops out of the burn-down
+    pool for round N+1."""
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    return [overflow[(start + i) % len(overflow)].name for i in range(
-        min(ROTATION_SLOTS, len(overflow))
-    )]
+    names: set[str] = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as fh:
+                names.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return frozenset(names)
+
+
+CHECKED_NAMES = _detect_checked()
+
+
+def window_tail_names() -> list[str]:
+    """The rotation-eligible queries occupying the driver window's tail
+    this round (deterministic in ``ROTATION_ROUND`` + the artifact
+    set). Never-checked queries fill first — a wrap-around slice so the
+    start point still advances even if a round's artifact goes missing
+    — then a ``slots``-stride sliding slice of the checked pool keeps
+    previously-verified queries cycling back under the driver's
+    independent gate (full re-coverage every ⌈eligible/slots⌉ ≈ 4
+    rounds in the steady state)."""
+    base = sorted(QUERIES.values(), key=lambda q: (q.priority, q.seq))
+    eligible = [q for q in base if q.priority > PINNED_PRIORITY_MAX]
+    n_pinned = len(base) - len(eligible)
+    slots = DRIVER_WINDOW - n_pinned
+    if slots <= 0 or not eligible:
+        return []
+    unchecked = [q for q in eligible if q.name not in CHECKED_NAMES]
+    checked = [q for q in eligible if q.name in CHECKED_NAMES]
+    k = ROTATION_ROUND - _ROTATION_BASE_ROUND
+    tail: list[str] = []
+    if unchecked:
+        start = (k * slots) % len(unchecked)
+        take = min(slots, len(unchecked))
+        tail += [unchecked[(start + i) % len(unchecked)].name for i in range(take)]
+    rem = slots - len(tail)
+    if rem > 0 and checked:
+        start = (k * slots) % len(checked)
+        tail += [
+            checked[(start + i) % len(checked)].name
+            for i in range(min(rem, len(checked)))
+        ]
+    return tail
+
+
+def rotated_in_names() -> list[str]:
+    """Window members this round that the naive (priority, seq) first-
+    ``DRIVER_WINDOW`` ordering would NOT include — i.e. the queries the
+    rotation actively promoted past their registration rank."""
+    base = sorted(QUERIES.values(), key=lambda q: (q.priority, q.seq))
+    naive = {q.name for q in base[:DRIVER_WINDOW]}
+    pinned = [q.name for q in base if q.priority <= PINNED_PRIORITY_MAX]
+    window = set(pinned) | set(window_tail_names())
+    return [q.name for q in base if q.name in window and q.name not in naive]
 
 
 def ordered_queries() -> list[Query]:
-    """Registry sorted by (priority, insertion order), with this
-    round's rotation slice promoted to effective priority 49 (see
-    ``rotated_in_names``). Within the promoted slice insertion order is
-    kept, so the full ordering stays deterministic."""
-    promoted = set(rotated_in_names())
-    return sorted(
-        QUERIES.values(),
-        key=lambda q: (49 if q.name in promoted else q.priority, q.seq),
-    )
+    """Registry ordered for the driver: the pinned reference-parity
+    band first (registration order), then this round's rotation tail
+    (stable order), then every remaining query in (priority, seq)
+    order. The first ``DRIVER_WINDOW`` entries are exactly
+    pinned + tail, so the driver's capped check covers SURVEY §2 parity
+    every round and the rotating verification slice on top."""
+    base = sorted(QUERIES.values(), key=lambda q: (q.priority, q.seq))
+    tail = set(window_tail_names())
+
+    def rank(q: Query) -> int:
+        if q.priority <= PINNED_PRIORITY_MAX:
+            return 0
+        return 1 if q.name in tail else 2
+
+    return sorted(base, key=lambda q: (rank(q), q.priority, q.seq))

@@ -1,72 +1,162 @@
-"""Driver-window rotation invariants (VERDICT r7 #8).
+"""Driver-window rotation invariants (VERDICT r7 #8, widened r11 per
+VERDICT r10 #3).
 
 The external driver hash-checks only the first ``DRIVER_WINDOW`` of
-``ordered_queries()``. The rotation policy in ``plans/core.py`` slides
-a deterministic slice of overflow queries into that window each round
-so the driver's independent check eventually touches every family
-variant. These tests pin the properties that make rotation safe:
+``ordered_queries()``. Round 11 replaced the 8-slot overflow slide with
+a burn-down policy: only the reference-parity band (priority ≤ 10) is
+pinned; the other ~31 window slots go to NEVER-driver-checked queries
+first (the union of CORRECTNESS_r*.json artifacts defines "checked"),
+then a sliding slice of the checked pool. These tests pin the
+properties that make that safe:
 
-* flagship bands (priority < 50: reference parity, streaming twins,
-  family flagships) are NEVER displaced out of the window;
-* exactly the promoted slice enters; an equal number of band-≥50
-  variants exits (conservation — the window stays full);
-* every promoted query carries a full DuckDB value-hash oracle, so the
-  driver's check on it is the strong form;
-* the rotation is a pure function of ``ROTATION_ROUND`` (deterministic
-  across processes) and over successive rounds covers the whole
-  overflow band (no variant is starved).
+* the reference-parity band is NEVER displaced out of the window;
+* the window stays exactly full and deterministic;
+* every rotated-in query carries a full DuckDB value-hash oracle;
+* the burn-down actually converges: simulating driver feedback (each
+  round's window becomes checked) covers EVERY registered query within
+  three rounds — the VERDICT r10 #3 'Done' criterion;
+* the flagship bands (20–48) that became rotation-eligible really do
+  satisfy the ≥ 3-consecutive-green-rounds precondition, re-verified
+  from the artifacts themselves.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
+
 from kingsfoil_seed_data_ingestor_spark import plans  # noqa: F401 — populates registry
 from kingsfoil_seed_data_ingestor_spark.plans import core
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _base_order():
     return sorted(core.QUERIES.values(), key=lambda q: (q.priority, q.seq))
 
 
-def test_rotation_preserves_flagship_bands():
-    window = {q.name for q in core.ordered_queries()[: core.DRIVER_WINDOW]}
-    for q in _base_order():
-        if q.priority < 50:
-            assert q.name in window, f"flagship {q.name} displaced by rotation"
+def _window():
+    return [q.name for q in core.ordered_queries()[: core.DRIVER_WINDOW]]
 
 
-def test_rotation_conservation_and_oracles():
-    base_window = {q.name for q in _base_order()[: core.DRIVER_WINDOW]}
-    rot_window = {q.name for q in core.ordered_queries()[: core.DRIVER_WINDOW]}
-    assert len(rot_window) == core.DRIVER_WINDOW
-    entered = rot_window - base_window
-    exited = base_window - rot_window
-    assert entered == set(core.rotated_in_names())
-    assert len(entered) == len(exited) == min(
-        core.ROTATION_SLOTS, len(entered) or core.ROTATION_SLOTS
-    )
-    for name in entered:
+def test_rotation_preserves_parity_band():
+    window = set(_window())
+    pinned = [q for q in _base_order() if q.priority <= core.PINNED_PRIORITY_MAX]
+    assert pinned, "registry lost its reference-parity band"
+    for q in pinned:
+        assert q.name in window, f"parity query {q.name} displaced by rotation"
+
+
+def test_window_full_deterministic_and_oracled():
+    w1, w2 = _window(), _window()
+    assert w1 == w2
+    assert len(w1) == len(set(w1)) == core.DRIVER_WINDOW
+    for name in w1:
         assert core.QUERIES[name].oracle is not None, (
-            f"promoted {name} lacks an oracle — rotation must only promote "
-            "hash-checkable queries"
+            f"{name} in the driver window without an oracle — the window "
+            "must only carry hash-checkable queries"
         )
 
 
-def test_rotation_covers_overflow_over_rounds(monkeypatch):
-    overflow = [
-        q.name for q in _base_order()[core.DRIVER_WINDOW :] if q.priority >= 50
-    ]
-    seen: set[str] = set()
-    rounds_needed = -(-len(overflow) // core.ROTATION_SLOTS)  # ceil
-    for rnd in range(
-        core._ROTATION_BASE_ROUND, core._ROTATION_BASE_ROUND + rounds_needed
-    ):
-        monkeypatch.setattr(core, "ROTATION_ROUND", rnd)
-        names = core.rotated_in_names()
-        assert len(names) == len(set(names)) == core.ROTATION_SLOTS
-        seen.update(names)
-    assert seen == set(overflow), (
-        "sliding slice must touch every overflow variant across rounds"
+def test_burndown_prefers_never_checked_queries():
+    """While never-driver-checked queries remain, they get every
+    rotation slot (VERDICT r10 #3: ≥ 16 newly-checked queries in the
+    r11 window — with ~31 free slots and 45 unchecked, the policy
+    fills all of them with fresh ones)."""
+    unchecked = {
+        q.name
+        for q in _base_order()
+        if q.priority > core.PINNED_PRIORITY_MAX
+        and q.name not in core.CHECKED_NAMES
+    }
+    if not unchecked:  # steady state: backlog fully burned down
+        return
+    tail = core.window_tail_names()
+    fresh = [n for n in tail if n in unchecked]
+    expected = min(len(tail), len(unchecked))
+    assert len(fresh) == expected, (
+        f"only {len(fresh)} of {expected} rotation slots went to "
+        f"never-checked queries"
     )
+    assert len(fresh) >= min(16, len(unchecked)), (
+        "VERDICT r10 #3: the round must newly check at least 16 queries"
+    )
+
+
+def test_burndown_covers_every_query_within_three_rounds(monkeypatch):
+    """The 'Done' criterion: simulate the driver feedback loop — each
+    round's window is written to a CORRECTNESS artifact, which the next
+    round's selection reads — and assert EVERY registered query has
+    been driver-checked at least once within three rounds from now
+    (i.e. by round 13 when starting at 11), regardless of the starting
+    artifact state."""
+    checked = set(core.CHECKED_NAMES)
+    start_round = core.ROTATION_ROUND
+    for rnd in range(start_round, start_round + 3):
+        monkeypatch.setattr(core, "ROTATION_ROUND", rnd)
+        monkeypatch.setattr(core, "CHECKED_NAMES", frozenset(checked))
+        window = _window()
+        assert len(window) == core.DRIVER_WINDOW
+        checked.update(window)
+    assert checked >= set(core.QUERIES), (
+        f"{sorted(set(core.QUERIES) - checked)} still unchecked after 3 rounds"
+    )
+
+
+def test_steady_state_rotation_keeps_cycling(monkeypatch):
+    """Once the backlog is empty, the tail must keep sliding so
+    long-stable queries cycle back under the driver's independent gate
+    — every eligible query re-checked within ⌈eligible/slots⌉ rounds."""
+    monkeypatch.setattr(core, "CHECKED_NAMES", frozenset(core.QUERIES))
+    eligible = [
+        q.name for q in _base_order() if q.priority > core.PINNED_PRIORITY_MAX
+    ]
+    slots = core.DRIVER_WINDOW - (len(core.QUERIES) - len(eligible))
+    rounds_needed = -(-len(eligible) // slots)  # ceil
+    seen: set[str] = set()
+    for rnd in range(core.ROTATION_ROUND, core.ROTATION_ROUND + rounds_needed):
+        monkeypatch.setattr(core, "ROTATION_ROUND", rnd)
+        tail = core.window_tail_names()
+        assert len(tail) == len(set(tail)) == slots
+        seen.update(tail)
+    assert seen == set(eligible), (
+        "steady-state slide must touch every eligible query across rounds"
+    )
+
+
+def test_flagships_met_green_precondition_before_becoming_eligible():
+    """VERDICT r10 #3 allowed making bands 20–48 rotation-eligible
+    'once they have ≥ 3 consecutive green window rounds (they all
+    do)' — re-verify that claim from the artifacts instead of trusting
+    it: each flagship must appear with a full pass in the last
+    FLAGSHIP_MIN_GREEN_ROUNDS driver artifacts that predate the policy
+    change (r8–r10)."""
+    arts = {}
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            with open(p) as fh:
+                arts[int(m.group(1))] = json.load(fh)
+    need = [r for r in (8, 9, 10) if r in arts]
+    if len(need) < core.FLAGSHIP_MIN_GREEN_ROUNDS:
+        return  # fresh checkout without the historical artifacts
+    flagships = [
+        q.name
+        for q in _base_order()
+        if core.PINNED_PRIORITY_MAX < q.priority < 50
+    ]
+    for name in flagships:
+        rows = [arts[rnd][name] for rnd in need if name in arts[rnd]]
+        # flagships registered mid-history (the r9/r10 _auto families)
+        # have shorter windows — the operative requirement is green in
+        # EVERY driver appearance to date, with at least one appearance
+        assert rows, f"flagship {name} has never been driver-checked"
+        for row in rows:
+            assert row.get("hash_match") and not row.get("err"), (
+                f"{name} was not green in a pre-eligibility round: {row}"
+            )
 
 
 def test_rotation_round_tracks_artifacts(monkeypatch):
@@ -74,14 +164,9 @@ def test_rotation_round_tracks_artifacts(monkeypatch):
     override wins; else the newest CORRECTNESS_r{N}.json implies round
     N+1; and the fallback constant must never lag the artifacts (the
     staleness this guard exists to catch)."""
-    import glob
-    import os
-    import re
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     artifact_rounds = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
     if artifact_rounds:
@@ -93,17 +178,21 @@ def test_rotation_round_tracks_artifacts(monkeypatch):
         # artifacts here (VERDICT r9 #1): when artifacts exist the live
         # round is derived from them (the assert above proves tracking),
         # and the constant only matters on artifact-less fresh checkouts
-        # — where this branch doesn't run. Asserting it here made the
-        # suite go red by construction the moment a round's driver wrote
-        # its CORRECTNESS artifact.
+        # — where this branch doesn't run.
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "123")
     assert core._detect_round() == 123
     monkeypatch.delenv("SPARK_GRAFT_ROUND")
     assert core._detect_round() == core.ROTATION_ROUND
 
 
-def test_rotation_deterministic():
-    assert core.rotated_in_names() == core.rotated_in_names()
-    a = [q.name for q in core.ordered_queries()]
-    b = [q.name for q in core.ordered_queries()]
-    assert a == b
+def test_checked_names_track_artifacts():
+    """CHECKED_NAMES is the union of all driver artifacts — spot-check
+    a few names every artifact carries, and that window names from the
+    newest artifact are all considered checked."""
+    arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not arts:
+        assert core.CHECKED_NAMES == frozenset()
+        return
+    with open(arts[-1]) as fh:
+        newest = set(json.load(fh))
+    assert newest <= core.CHECKED_NAMES
