@@ -43,6 +43,7 @@ from kingsfoil_seed_data_ingestor_spark.plans.llm import (
     _SQL_EMBED_COS as LLM_SQL_EMBED_COS,
     _SQL_QUALITY,
     EMBED_DUP_THRESHOLD as LLM_EMBED_DUP_THRESHOLD,
+    REFEREE_CAP_N as LLM_REFEREE_CAP_N,
     PACK_BUDGET,
     SQL_NORMALIZED,
     SQL_TOKENS,
@@ -818,12 +819,16 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_semantic_clusters",
-    oracle=f"""
-    WITH RECURSIVE pairs AS MATERIALIZED (
+def _sql_sem_exact_referee(cap: int) -> str:
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import _sql_referee_src
+
+    return f"""
+    WITH RECURSIVE src AS MATERIALIZED (
+        SELECT * FROM {_sql_referee_src(cap)}
+    ),
+    pairs AS MATERIALIZED (
         SELECT i.vec_id AS i, j.vec_id AS j
-        FROM embeddings i JOIN embeddings j ON i.vec_id < j.vec_id
+        FROM src i JOIN src j ON i.vec_id < j.vec_id
         WHERE {LLM_SQL_EMBED_COS} >= {LLM_EMBED_DUP_THRESHOLD}
     ),
     edges AS MATERIALIZED (
@@ -840,7 +845,33 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS vec_id, MIN(lbl) AS cluster_id
     FROM reach GROUP BY node
-    """,
+    """
+
+
+def _sem_exact_referee(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+    from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
+    from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import (
+        EMBED_DUP_THRESHOLD,
+        referee_capped,
+    )
+
+    scope = CacheScope()
+    pairs = SIM.near_dup_pairs_exact(
+        referee_capped(load(spark, sf_dir, "embeddings"), cap),
+        EMBED_DUP_THRESHOLD,
+        scope=scope,
+    ).select(F.col("kept_id").alias("i"), F.col("dup_id").alias("j"))
+    out = CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
+        F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
+    )
+    return scope.attach(out)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_sql_sem_exact_referee(LLM_REFEREE_CAP_N),
     doc="Semantic duplicate clusters: connected components over the "
     "EMBEDDING near-dup graph — text-side components "
     "(dedup_components) catch lexical copies; this catches "
@@ -850,24 +881,15 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operator, so only the composition is new. The oracle recomputes "
     "the closure over the brute-force cosine graph (recursive CTE, "
     "pair table MATERIALIZED). This is the EXACT REFEREE; the "
-    "registered 100 TB path is dedup_semantic_clusters_blocked, which "
-    "swaps pair generation to RHP-banded candidates — same downstream "
-    "closure, recall pinned against this variant in pytest.",
+    "registered 100 TB path is dedup_semantic_clusters_auto, which "
+    "swaps pair generation to N-aware banded candidates — same "
+    "downstream closure, recall pinned against this variant in pytest. "
+    "Input capped to the REFEREE_CAP_N lowest vec_ids identically in "
+    "both engines (VERDICT r10 #4): O(1)-in-sf referee cost, no bite "
+    "at driver SFs.",
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
-    from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
-    from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
-    from kingsfoil_seed_data_ingestor_spark.plans.llm import EMBED_DUP_THRESHOLD
-
-    scope = CacheScope()
-    pairs = SIM.near_dup_pairs_exact(
-        load(spark, sf_dir, "embeddings"), EMBED_DUP_THRESHOLD, scope=scope
-    ).select(F.col("kept_id").alias("i"), F.col("dup_id").alias("j"))
-    out = CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
-        F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
-    )
-    return scope.attach(out)
+    return _sem_exact_referee(spark, sf_dir, LLM_REFEREE_CAP_N)
 
 
 # ----------------------------------------------------------------------
@@ -930,11 +952,19 @@ _SQL_SEM_TWIN_B = (
 )
 
 
-def semantic_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_augmented(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """The planted-twin table: originals (cast to double) plus two
     deterministic scaled twins per vector, ids offset so min-label
-    components label each cluster with its original vec_id."""
+    components label each cluster with its original vec_id. ``cap``
+    restricts the BASE table to the lowest-id rows before augmentation
+    (the referee-cap path, VERDICT r10 #4)."""
     emb = load(spark, sf_dir, "embeddings")
+    if cap is not None:
+        from kingsfoil_seed_data_ingestor_spark.plans.llm import referee_capped
+
+        emb = referee_capped(emb, cap)
     base = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
@@ -961,27 +991,19 @@ def semantic_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_semantic_clusters_blocked",
-    # round 9 demoted this from the driver window (45 → 55); round 10
-    # (VERDICT r9 #2) pushes it to the pytest-only band (55 → 72): the
-    # round-8 scaling curves (SCALING_r8.json) measured this FIXED
-    # 4-band×8-bit family's candidate mass at growth exponent 2.00 —
-    # correct at every oracle SF but a driver-window slot spent
-    # re-proving a known-quadratic family is a slot not spent on a
-    # production path. dedup_semantic_clusters_auto is the in-window
-    # successor: same augmentation/rescore/closure, band width derived
-    # from COUNT(*) identically in both engines. This variant stays
-    # registered as the fixed-band referee, hash-checked in-suite by
-    # test_oracle_parity.
-    priority=72,
-    oracle=f"""
-    WITH RECURSIVE aug AS MATERIALIZED (
-        SELECT vec_id, {_SQL_SEM_BASE} AS embedding FROM embeddings
+def _sql_sem_blocked_referee(cap: int) -> str:
+    from kingsfoil_seed_data_ingestor_spark.plans.llm import _sql_referee_src
+
+    return f"""
+    WITH RECURSIVE src AS MATERIALIZED (
+        SELECT * FROM {_sql_referee_src(cap)}
+    ),
+    aug AS MATERIALIZED (
+        SELECT vec_id, {_SQL_SEM_BASE} AS embedding FROM src
         UNION ALL
-        SELECT vec_id + {SEM_TWIN_A}, {_SQL_SEM_TWIN_A} FROM embeddings
+        SELECT vec_id + {SEM_TWIN_A}, {_SQL_SEM_TWIN_A} FROM src
         UNION ALL
-        SELECT vec_id + {SEM_TWIN_B}, {_SQL_SEM_TWIN_B} FROM embeddings
+        SELECT vec_id + {SEM_TWIN_B}, {_SQL_SEM_TWIN_B} FROM src
     ),
     bits AS MATERIALIZED (
         SELECT vec_id, embedding,
@@ -1009,7 +1031,49 @@ def semantic_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS vec_id, MIN(lbl) AS cluster_id
     FROM reach GROUP BY node
-    """,
+    """
+
+
+def _sem_blocked_referee(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+    from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
+
+    scope = CacheScope()
+    # persist the augmented table: the banding scan and the normed
+    # rejoin scan would otherwise each recompute the per-element twin
+    # transforms (interpreted HOF lambdas — see rhp_banded's note)
+    aug = scope.persist(semantic_augmented(spark, sf_dir, cap=cap))
+    pairs = SIM.near_dup_pairs_rhp(
+        aug,
+        SEM_THRESHOLD,
+        n_planes=SEM_N_PLANES,
+        bands=SEM_BANDS,
+        dim=SEM_DIM,
+        scope=scope,
+    ).select(F.col("kept_id").alias("i"), F.col("dup_id").alias("j"))
+    out = CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
+        F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
+    )
+    return scope.attach(out)
+
+
+@register(
+    "dedup_semantic_clusters_blocked",
+    # round 9 demoted this from the driver window (45 → 55); round 10
+    # (VERDICT r9 #2) pushes it to the pytest-only band (55 → 72): the
+    # round-8 scaling curves (SCALING_r8.json) measured this FIXED
+    # 4-band×8-bit family's candidate mass at growth exponent 2.00 —
+    # correct at every oracle SF but a driver-window slot spent
+    # re-proving a known-quadratic family is a slot not spent on a
+    # production path. dedup_semantic_clusters_auto is the in-window
+    # successor: same augmentation/rescore/closure, band width derived
+    # from COUNT(*) identically in both engines. This variant stays
+    # registered as the fixed-band referee, hash-checked in-suite by
+    # test_oracle_parity; round 11 (VERDICT r10 #4) caps its input to
+    # the REFEREE_CAP_N lowest vec_ids in both engines so referee cost
+    # is O(1) in sf.
+    priority=72,
+    oracle=_sql_sem_blocked_referee(LLM_REFEREE_CAP_N),
     doc="Sub-quadratic semantic duplicate clustering — the 100 TB "
     "composition: RHP-banded LSH candidates (32 deterministic ±1 "
     "hyperplanes → 4 bands × 8 sign bits) + exact cosine rescore feed "
@@ -1024,34 +1088,18 @@ def semantic_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     "banding, rescore, and recursive closure brute-force, so candidate "
     "generation, verification, and clustering are all hash-pinned; "
     "pytest additionally pins edge recall ≥0.9 and cluster refinement "
-    "vs the exact GEMM referee.",
+    "vs the exact GEMM referee. Input capped to the REFEREE_CAP_N "
+    "lowest vec_ids identically in both engines (VERDICT r10 #4): "
+    "O(1)-in-sf referee cost, no bite at driver SFs.",
 )
 def dedup_semantic_clusters_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
-    from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
-
-    scope = CacheScope()
-    # persist the augmented table: the banding scan and the normed
-    # rejoin scan would otherwise each recompute the per-element twin
-    # transforms (interpreted HOF lambdas — see rhp_banded's note)
-    aug = scope.persist(semantic_augmented(spark, sf_dir))
-    pairs = SIM.near_dup_pairs_rhp(
-        aug,
-        SEM_THRESHOLD,
-        n_planes=SEM_N_PLANES,
-        bands=SEM_BANDS,
-        dim=SEM_DIM,
-        scope=scope,
-    ).select(F.col("kept_id").alias("i"), F.col("dup_id").alias("j"))
-    # adaptive components (min-label prefix → star fallback): the
-    # planted twin graph is near-clique, so the prefix converges in its
-    # init hop; the star fallback guarantees bounded rounds if a real
-    # corpus ever produces chained clusters (see dedup_components_chain
-    # for the pure-star path under the driver's oracle gate)
-    out = CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
-        F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
-    )
-    return scope.attach(out)
+    # adaptive components (min-label prefix → star fallback) inside the
+    # referee helper: the planted twin graph is near-clique, so the
+    # prefix converges in its init hop; the star fallback guarantees
+    # bounded rounds if a real corpus ever produces chained clusters
+    # (see dedup_components_chain for the pure-star path under the
+    # driver's oracle gate)
+    return _sem_blocked_referee(spark, sf_dir, LLM_REFEREE_CAP_N)
 
 
 # ----------------------------------------------------------------------

@@ -2012,6 +2012,33 @@ def dedup_embed_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embed_dedup(spark, sf_dir, block_rows=96)
 
 
+#: deterministic input cap for the QUADRATIC REFEREE queries (VERDICT
+#: r10 #4): the fixed-band/exact-GEMM referees exist to pin the scale
+#: families' semantics, not to be re-measured at every corpus size —
+#: uncapped, the two worst burned 227 s (43 %) of the sf1 full-suite
+#: sweep and would make an sf3 sweep impractical. Each referee now runs
+#: on the ``REFEREE_CAP_N`` LOWEST vec_ids — a deterministic, engine-
+#: independent sample derived identically in the Spark plan
+#: (``referee_capped``) and the DuckDB oracle (ORDER BY vec_id LIMIT) —
+#: so referee cost is O(1) in sf while oracle hashes keep matching at
+#: every sf. 5 000 = the full sf0.1 table: no driver-SF result changes,
+#: the cap bites only at sf ≥ 1 (cross-engine bite semantics are pinned
+#: by tests/test_llm_ops.py::test_referee_cap_bites_identically).
+REFEREE_CAP_N = 5000
+
+
+def referee_capped(emb: DataFrame, cap: int = REFEREE_CAP_N) -> DataFrame:
+    """The ``cap`` lowest-``vec_id`` rows — TakeOrderedAndProject keeps
+    the id selection distributed; the broadcast semi-join keeps the
+    embedding scan pruned (ids only cross the wire twice)."""
+    ids = emb.select("vec_id").orderBy("vec_id").limit(cap)
+    return emb.join(F.broadcast(ids), "vec_id", "left_semi")
+
+
+def _sql_referee_src(cap: int) -> str:
+    return f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {cap})"
+
+
 #: random-hyperplane LSH family for the compute-bounded embed-dedup
 #: path — the ±1 plane matrix is a deterministic public constant
 #: (md5-parity), so both engines are generated from the same literals
@@ -2033,11 +2060,12 @@ def _sql_rhp_bucket(b: int) -> str:
     return " + ".join(terms)
 
 
-_SQL_EMBED_RHP = f"""
+def _sql_embed_rhp_referee(cap: int) -> str:
+    return f"""
     WITH bits AS (
         SELECT vec_id, embedding,
                {", ".join(f"{_sql_rhp_bucket(b)} AS b{b}" for b in range(RHP_BANDS))}
-        FROM embeddings
+        FROM {_sql_referee_src(cap)}
     ),
     cand AS (
         SELECT a.vec_id AS kept_id, b.vec_id AS dup_id,
@@ -2052,6 +2080,21 @@ _SQL_EMBED_RHP = f"""
     """
 
 
+def _embed_rhp_referee(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    scope = CacheScope()
+    pairs = SIM.near_dup_pairs_rhp(
+        referee_capped(load(spark, sf_dir, "embeddings"), cap),
+        EMBED_DUP_THRESHOLD,
+        n_planes=RHP_N_PLANES,
+        bands=RHP_BANDS,
+        dim=RHP_DIM,
+        scope=scope,
+    )
+    return scope.attach(
+        pairs.select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 @register(
     "dedup_embed_cosine_rhp",
     # round 10: DEMOTED from the driver window (48 → 72) — the sf1
@@ -2064,27 +2107,19 @@ _SQL_EMBED_RHP = f"""
     # registered as the fixed-band referee, hash-checked in-suite by
     # test_oracle_parity.
     priority=72,
-    oracle=_SQL_EMBED_RHP,
+    oracle=_sql_embed_rhp_referee(REFEREE_CAP_N),
     doc="Random-hyperplane LSH pre-blocked embedding near-dup, FIXED "
     "4 bands × 4 sign bits (deprecated-for-scale; kept as the "
     "fixed-band referee whose banding appears literally in the "
     "cross-engine SQL). With constant band width the random collision "
     "mass grows Θ(N²/2^r); the registered scale path is "
-    "dedup_embed_cosine_rhp_auto.",
+    "dedup_embed_cosine_rhp_auto. Input capped to the REFEREE_CAP_N "
+    "lowest vec_ids identically in both engines (VERDICT r10 #4) so "
+    "the referee costs O(1) in sf — no bite at driver SFs, sf ≥ 1 "
+    "sweeps stay runnable.",
 )
 def dedup_embed_cosine_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scope = CacheScope()
-    pairs = SIM.near_dup_pairs_rhp(
-        load(spark, sf_dir, "embeddings"),
-        EMBED_DUP_THRESHOLD,
-        n_planes=RHP_N_PLANES,
-        bands=RHP_BANDS,
-        dim=RHP_DIM,
-        scope=scope,
-    )
-    return scope.attach(
-        pairs.select("dup_id", "kept_id", F.round("cosine", 6).alias("cosine"))
-    )
+    return _embed_rhp_referee(spark, sf_dir, REFEREE_CAP_N)
 
 
 #: N-aware variant: fixed 8-band plane pool of 24-bit words, bucket

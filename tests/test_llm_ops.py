@@ -12,6 +12,7 @@ from kingsfoil_seed_data_ingestor_spark.functions import text as TX
 from kingsfoil_seed_data_ingestor_spark.operators import multimodal as MM
 from kingsfoil_seed_data_ingestor_spark.operators import similarity as SIM
 from kingsfoil_seed_data_ingestor_spark.operators import text_dedup as DD
+from kingsfoil_seed_data_ingestor_spark.plans.tables import load
 
 
 def one(spark, text):
@@ -1494,6 +1495,48 @@ def test_semantic_blocked_registered_query_shape(spark):
         assert cid < SEM_TWIN_A
         assert members <= {cid, cid + SEM_TWIN_A, cid + SEM_TWIN_B}
         assert 2 <= len(members) <= 3
+
+
+def test_referee_cap_bites_identically(spark):
+    """VERDICT r10 #4: the quadratic referees run on the REFEREE_CAP_N
+    lowest vec_ids. At driver SFs the cap is larger than the table (no
+    bite), so the registered oracle gate never exercises the bite —
+    this test runs all three capped referees with a cap SMALLER than
+    sf0.001's 50 vectors and hash-compares Spark vs DuckDB, pinning
+    that both engines select the identical sample."""
+    from kingsfoil_seed_data_ingestor_spark.plans import corpus as CP
+    from kingsfoil_seed_data_ingestor_spark.plans import llm as L
+    from kingsfoil_seed_data_ingestor_spark.plans.verify import (
+        compare_frames,
+        duck_connection,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duck_connection(sf_dir)
+    cap = 20
+    n_emb = load(spark, sf_dir, "embeddings").count()
+    assert cap < n_emb, "cap must bite for this test to mean anything"
+    cases = {
+        "rhp": (L._embed_rhp_referee(spark, sf_dir, cap), L._sql_embed_rhp_referee(cap)),
+        "exact": (CP._sem_exact_referee(spark, sf_dir, cap), CP._sql_sem_exact_referee(cap)),
+        "blocked": (
+            CP._sem_blocked_referee(spark, sf_dir, cap),
+            CP._sql_sem_blocked_referee(cap),
+        ),
+    }
+    for name, (sdf, sql) in cases.items():
+        problems = compare_frames(sdf.toPandas(), con.execute(sql).fetchdf())
+        assert not problems, (name, problems)
+    # and the capped referee is a genuine subset restriction: ids in
+    # the capped exact-clusters output never exceed the cap boundary
+    ids = {
+        r.vec_id
+        for r in cases["exact"][0].collect()
+    }
+    cutoff = sorted(
+        r.vec_id for r in load(spark, sf_dir, "embeddings").select("vec_id").collect()
+    )[cap - 1]
+    assert all(i <= cutoff for i in ids), (ids, cutoff)
 
 
 def test_minhash_gate_sets_parity(spark):
