@@ -495,7 +495,13 @@ class VersionStore:
     def _manifest_path(part_dir: Path) -> Path:
         return part_dir / "_manifest.json"
 
+    #: diagnostic counter — per-partition manifest JSON parses; the
+    #: root-cache witness (test_ingest) asserts a warm-cache plan build
+    #: performs ZERO of these (deterministic, unlike wall clocks)
+    manifest_reads: int = 0
+
     def _read_manifest(self, part_dir: Path) -> "dict | None":
+        self.manifest_reads += 1
         try:
             with open(self._manifest_path(part_dir)) as fh:
                 doc = json.load(fh)
@@ -679,9 +685,6 @@ class VersionStore:
                     f"No committed fact files for version {version_id}; "
                     "nothing to compact"
                 )
-            tombstones = (self._read_manifest(part_dir) or {}).get(
-                "tombstones", []
-            )
 
         # Phase 2 (unlocked, long): read the snapshot's files and write
         # the staged replacement. Readers and other writers proceed
@@ -730,6 +733,15 @@ class VersionStore:
                     f"Partition changed during compaction of version {version_id}; "
                     "discarded staged copy — retry"
                 )
+            # tombstones are re-read HERE, under the phase-3 lock — not
+            # reused from the phase-1 snapshot (ADVICE r10): a vacuum()
+            # interleaved during the unlocked phase-2 rewrite prunes
+            # expired stones, and writing the stale phase-1 list back
+            # would resurrect stones for already-deleted files (a later
+            # vacuum then over-reports and the manifest re-inflates)
+            tombstones = (self._read_manifest(part_dir) or {}).get(
+                "tombstones", []
+            )
             new_names = []
             for f in sorted(staged.glob("*.parquet")):
                 os.replace(f, part_dir / f"{prefix}-{f.name}")
@@ -762,31 +774,94 @@ class VersionStore:
         facts = self._list_facts(source)
         return facts.filter(F.col("data_version_id").isin(ids))
 
+    # ---------------- root manifest cache (round 11, VERDICT r10 #5) --
+    #
+    # `_list_facts` used to open + JSON-parse every partition's
+    # `_manifest.json` under the meta lock on EVERY plan build — at
+    # thousands of versions that serializes all readers behind
+    # O(partitions) parses. The per-partition manifests remain the
+    # source of TRUTH; a root `_manifests.json` caches each partition's
+    # committed file list keyed by a stat stamp of its manifest
+    # (mtime_ns, size). A plan build now does one directory scan plus
+    # one os.stat per partition (no JSON parse) and re-reads only
+    # partitions whose stamp moved — zero manifest parses in the steady
+    # state (witnessed by the `manifest_reads` counter). The cache is
+    # rewritten opportunistically by the reader under the same lock, so
+    # writers need no extra commit step and a crash can never leave a
+    # LYING cache: a stale entry is detected by its stamp, and a
+    # missing/corrupt cache just degrades to the pre-cache behavior.
+
+    def _fact_cache_path(self, source: Source) -> Path:
+        return Path(self.fact_path(source)) / "_manifests.json"
+
+    def _load_fact_cache(self, source: Source) -> dict:
+        try:
+            with open(self._fact_cache_path(source)) as fh:
+                doc = json.load(fh)
+            if isinstance(doc.get("parts"), dict):
+                return doc["parts"]
+        except (OSError, ValueError):
+            pass
+        return {}
+
+    @staticmethod
+    def _manifest_stamp(part_dir: Path) -> "list | None":
+        try:
+            st = os.stat(part_dir / "_manifest.json")
+            return [st.st_mtime_ns, st.st_size]
+        except OSError:
+            return None
+
     def _list_facts(self, source: Source) -> DataFrame:
         """Fact-table read built from the per-partition MANIFESTS
         (round 10, VERDICT r9 #7), gathered under the meta writer lock
         so a reader can never observe a compactor's mid-flip state.
-        Snapshot isolation is now complete: the manifest flip is the
-        only commit point, and retired files stay on disk (tombstoned)
-        until ``vacuum``, so a plan that captured pre-compaction file
-        names reads the OLD byte-identical content instead of raising
-        FileNotFoundException — old-or-new, never an error, never the
-        pre-r10 loud-retry residual. Pre-manifest (legacy) partitions
-        fall back to their directory listing; an empty table keeps the
-        plain directory read so schema/partition-column inference
-        behaves exactly as before. Lock cost is O(partitions) small
-        JSON reads per plan construction, never held across job
-        execution. A transactional table format (Delta/Iceberg)
-        subsumes this layer on a shared cluster."""
+        Snapshot isolation is complete: the manifest flip is the only
+        commit point, and retired files stay on disk (tombstoned) until
+        ``vacuum``, so a plan that captured pre-compaction file names
+        reads the OLD byte-identical content instead of raising
+        FileNotFoundException — old-or-new, never an error. Pre-manifest
+        (legacy) partitions fall back to their directory listing (and
+        are never cached — the directory is their only truth); an empty
+        table keeps the plain directory read so schema/partition-column
+        inference behaves exactly as before. Plan-build cost under the
+        lock is one scandir + one stat per partition via the root
+        manifest cache (see above) — flat in version count in manifest
+        PARSES, never held across job execution. A transactional table
+        format (Delta/Iceberg) subsumes this layer on a shared
+        cluster."""
         root = Path(self.fact_path(source))
         with self._meta_lock():
+            cache = self._load_fact_cache(source)
+            fresh: dict = {}
+            dirty = False
             files: list[str] = []
             for part_dir in sorted(root.glob("data_version_id=*")):
-                if part_dir.is_dir():
-                    files += [
-                        str(part_dir / n)
-                        for n in self._partition_files(part_dir)
-                    ]
+                if not part_dir.is_dir():
+                    continue
+                stamp = self._manifest_stamp(part_dir)
+                hit = cache.get(part_dir.name)
+                if (
+                    stamp is not None
+                    and hit is not None
+                    and hit.get("stamp") == stamp
+                ):
+                    names = hit["files"]
+                else:
+                    names = self._partition_files(part_dir)
+                    dirty = True
+                if stamp is not None:
+                    fresh[part_dir.name] = {"stamp": stamp, "files": names}
+                files += [str(part_dir / n) for n in names]
+            if dirty or set(fresh) != set(cache):
+                path = self._fact_cache_path(source)
+                try:
+                    tmp = path.with_name(path.name + ".tmp")
+                    with open(tmp, "w") as fh:
+                        json.dump({"parts": fresh}, fh)
+                    os.replace(tmp, path)
+                except OSError:
+                    pass  # cache is an optimization, never truth
             if not files:
                 return self.spark.read.parquet(str(root))
             return (

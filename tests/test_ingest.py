@@ -841,6 +841,105 @@ def test_compact_version_preserves_content(spark, store, tmp_path):
     assert v["record_count"] == 6 and v["part_count"] == 2  # meta untouched
 
 
+def test_fact_cache_zero_manifest_parses_when_warm(spark, store, tmp_path):
+    """VERDICT r10 #5: `_list_facts` used to JSON-parse every
+    partition manifest under the meta lock on every plan build. With
+    the root manifest cache, a warm plan build performs ZERO manifest
+    parses (stat-stamp validation only — the deterministic witness;
+    wall clocks on this host are noise), a compaction invalidates
+    EXACTLY the touched partition, and the cached read returns the
+    identical file set."""
+    from pathlib import Path
+
+    for i, q in enumerate(["2024-Q1", "2024-Q2", "2024-Q3"]):
+        p = tmp_path / f"v{i}.csv"
+        p.write_text(PFS_RVU_CSV.replace("1,234.56", f"{i + 1}.00"))
+        assert ingest_file(spark, store, "PFS_RVU", str(p), q)["success"]
+    src = get_source("PFS_RVU")
+
+    def file_set():
+        return set(store._list_facts(src).inputFiles())
+
+    cold = file_set()  # seeds the cache
+    assert (Path(store.fact_path(src)) / "_manifests.json").exists()
+    store.manifest_reads = 0
+    assert file_set() == cold
+    assert store.manifest_reads == 0, "warm plan build re-parsed manifests"
+    # content sanity through the cache
+    assert store.current_view(src).count() > 0
+
+    # compaction flips one partition's manifest: exactly one re-parse
+    vid = int(store.find_version("PFS_RVU", "2024-Q3")["version_id"])
+    store.compact_version(src, vid, target_files=1)
+    store.manifest_reads = 0
+    warm_after = file_set()
+    assert store.manifest_reads == 1, "stamp invalidation must be per-partition"
+    assert warm_after != cold  # the compacted partition's files changed
+    store.manifest_reads = 0
+    assert file_set() == warm_after
+    assert store.manifest_reads == 0
+
+    # the cache is an optimization, never truth: deleting it degrades
+    # to full parses with the identical result
+    (Path(store.fact_path(src)) / "_manifests.json").unlink()
+    store.manifest_reads = 0
+    assert file_set() == warm_after
+    assert store.manifest_reads == 3
+
+
+def test_compact_does_not_resurrect_vacuumed_tombstones(
+    spark, store, tmp_path, monkeypatch
+):
+    """ADVICE r10: a ``vacuum`` interleaved during compaction's
+    UNLOCKED phase-2 rewrite prunes expired tombstones; phase 3 must
+    re-read the current stone list under its lock instead of writing
+    the stale phase-1 snapshot back — otherwise stones for
+    already-deleted files are resurrected and a later vacuum
+    over-reports. The interleave is forced deterministically by
+    hijacking the phase-2 layout hook."""
+    import kingsfoil_seed_data_ingestor_spark.operators.layout as LAY
+    from pathlib import Path
+
+    part1 = tmp_path / "t1.txt"
+    part1.write_text(PTP_TXT)
+    ingest_file(spark, store, "NCCI_PTP", str(part1), "2024-Q1", variant="practitioner")
+    part2 = tmp_path / "t2.txt"
+    part2.write_text(PTP_TXT.replace("00100", "22222"))
+    ingest_file(spark, store, "NCCI_PTP", str(part2), "2024-Q1", variant="practitioner")
+    src = get_source("NCCI_PTP")
+    part_dir = Path(store.root) / "facts" / src.target_table / "data_version_id=1"
+
+    # first compaction: tombstones the two original part files
+    store.compact_version(src, 1, target_files=1)
+    m = store._read_manifest(part_dir)
+    assert len(m["tombstones"]) == 2
+    snapshot2 = list(m["files"])  # what the second compaction will retire
+
+    # second compaction with a vacuum interleaved mid-phase-2
+    col = store.current_view(src, variant="practitioner").columns[0]
+    orig = LAY.range_layout
+
+    def hijack(df, c, n):
+        # runs during the UNLOCKED phase 2 — exactly the window the
+        # advice describes; grace 0 expires the first compaction's stones
+        assert store.vacuum(src, grace_seconds=0) == 2
+        return orig(df, c, n)
+
+    monkeypatch.setattr(LAY, "range_layout", hijack)
+    store.compact_version(src, 1, target_files=1, cluster_cols=[col])
+
+    m2 = store._read_manifest(part_dir)
+    stone_names = {n for n, _ in m2["tombstones"]}
+    assert stone_names == set(snapshot2), (
+        "phase 3 resurrected vacuumed tombstones" if stone_names > set(snapshot2)
+        else m2
+    )
+    # a later vacuum reports exactly the live stones, no over-count
+    assert store.vacuum(src, grace_seconds=0) == len(snapshot2)
+    # content intact throughout
+    assert store.current_view(src, variant="practitioner").count() == 6
+
+
 def test_current_view_partition_pruning(spark, store, tmp_path):
     # the point of partitioning facts by data_version_id: a current-view
     # read must touch ONLY the live version's directory, no matter how
