@@ -409,9 +409,10 @@ def test_stream_lsh_per_batch_cost_flat_in_index_size(spark, dirs, tmp_path):
             files_lsm[b] = lsm.probe_files_touched(spark, probe)
             files_flat[b] = flat.probe_files_touched(spark, probe)
 
-    # control grows ~linearly (3x the batches); LSM stays flat
+    # control grows ~linearly (3x the batches); LSM stays near-flat
+    # (bounded by chunk grid × the O(log batches) tiered-run count)
     assert files_flat[11] >= 2 * files_flat[3], (files_flat, files_lsm)
-    assert files_lsm[11] <= files_lsm[3] + lsm.chunks, (files_lsm, files_flat)
+    assert files_lsm[11] <= files_lsm[3] + 2 * lsm.chunks, (files_lsm, files_flat)
     assert files_lsm[11] < files_flat[11]
 
     # per-batch wall: late window (index ~2-4x the early window's) vs

@@ -1402,9 +1402,12 @@ def test_streaming_lsh_probe_files_flat(spark, tmp_path):
     # control: the flat layout's probe grows with the index (3x the
     # batches => ~3x the files; demand at least 2x to stay noise-proof)
     assert flat_curve[1] >= 2 * flat_curve[0], (flat_curve, lsm_curve)
-    # gate: the LSM layout's probe is flat — bounded by the chunk grid
-    # + the L0 tail, REGARDLESS of how many batches were indexed
-    assert lsm_curve[1] <= lsm_curve[0] + lsm.chunks, (lsm_curve, flat_curve)
+    # gate: the LSM layout's probe is near-flat — bounded by the chunk
+    # grid × the O(log batches) tiered-run count + the L0 tail,
+    # REGARDLESS of how many batches were indexed (r11: size-tiered
+    # compaction keeps several runs live instead of one, trading a
+    # logarithmic probe fan-out for bounded write amplification)
+    assert lsm_curve[1] <= lsm_curve[0] + 2 * lsm.chunks, (lsm_curve, flat_curve)
     # and strictly better than the control at the same index size
     assert lsm_curve[1] < flat_curve[1], (lsm_curve, flat_curve)
 
@@ -1435,8 +1438,252 @@ def test_streaming_lsh_fingerprint_guard(spark, tmp_path):
     # fresh-checkpoint collision: same batch id, DIFFERENT documents
     with pytest.raises(ValueError, match="different documents"):
         index.process_batch(other, 0)
-    # history untouched by the refused batch
+    # ADVICE r10: the SAME ids with DIFFERENT text must also be refused
+    # — the fingerprint now folds a content term, so an id-only match
+    # can no longer smuggle changed documents past the guard
+    tampered = b0.withColumn("text", F.concat(F.col("text"), F.lit(" tampered")))
+    with pytest.raises(ValueError, match="different documents"):
+        index.process_batch(tampered, 0)
+    # history untouched by the refused batches
     assert index.seen_ids(spark).count() == b0.count()
+
+
+def test_streaming_lsh_write_amplification_bounded(spark, tmp_path):
+    """VERDICT r10 #2 'Done' gate: under size-tiered compaction the
+    TOTAL rows rewritten by folds + tier merges over ≥24 batches stays
+    a small multiple of the L0 rows ingested (each row is rewritten at
+    most ~log_fanout(batches) times), at BOTH corpus sizes — where the
+    pre-r11 fold-everything design rewrote ~batches/(2·compact_every)
+    times the corpus (measured ≳4× on this schedule, growing without
+    bound). Also pins that a fold reads only the NEW L0 range: the last
+    fold's row count is bounded by the batches it folded, not the
+    corpus."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import StreamingLSHIndex
+
+    n_batches = 24
+    ratios = {}
+    for label, n_docs in (("small", 120), ("large", 240)):
+        docs = load(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+            F.col("doc_id") < n_docs
+        )
+        batches = [
+            docs.filter(F.col("doc_id") % n_batches == i) for i in range(n_batches)
+        ]
+        ix = StreamingLSHIndex(
+            str(tmp_path / f"wa-{label}"),
+            threshold=0.8,
+            chunks=4,
+            compact_every=3,
+            tier_fanout=4,
+        )
+        for b, df in enumerate(batches):
+            ix.process_batch(df, b)
+        log = ix.write_log()
+        l0_rows = sum(e["banded_rows"] for e in log if e["event"] == "batch")
+        compacts = [e for e in log if e["event"] == "compact"]
+        assert len(compacts) >= 5, "cadence must actually have fired"
+        rewritten = sum(e["fold_rows"] + e["merge_rows"] for e in compacts)
+        assert l0_rows > 0
+        ratios[label] = rewritten / l0_rows
+        # bounded amplification: ≤ 3× at this schedule (1× L1 creation
+        # + ≤ ~1× of tier merging + slack), vs fold-everything's ≥ 4×
+        assert ratios[label] <= 3.0, (label, ratios[label], compacts)
+        # a fold reads only its new L0 range — last fold ≤ the rows of
+        # the ≤ compact_every+1 batches it folded (with 2× slack), not
+        # the corpus
+        per_batch = l0_rows / n_batches
+        assert compacts[-1]["fold_rows"] <= 2 * (ix.compact_every + 1) * per_batch, (
+            compacts[-1],
+            per_batch,
+        )
+        # the run set stays logarithmic, never one-per-fold
+        assert compacts[-1]["n_runs"] <= 6, compacts[-1]
+    # not growing with corpus: doubling the docs must not inflate the
+    # amplification ratio beyond noise
+    assert ratios["large"] <= ratios["small"] + 0.5, ratios
+
+
+def test_streaming_lsh_vacuum_grace_retains_then_removes(spark, tmp_path):
+    """ADVICE r10: compaction must NOT delete superseded runs / folded
+    L0 dirs at the marker flip — a lazy DataFrame built before the fold
+    still references those files. With a grace window the old files
+    survive the fold (and the lazy read still executes); an explicit
+    ``vacuum(0)`` then removes them."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import StreamingLSHIndex
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 60
+    )
+    batches = _split_batches(docs, 4)
+    ix = StreamingLSHIndex(
+        str(tmp_path / "store"), threshold=0.8, chunks=4, compact_every=0,
+        retain_grace_s=3600.0,
+    )
+    for b, df in enumerate(batches[:3]):
+        ix.process_batch(df, b)
+    # lazy readers built BEFORE the fold (capture the pre-fold file set)
+    lazy_seen = ix.seen_ids(spark)
+    lazy_pairs = ix.near_dup_pairs(spark)
+    assert ix.compact(spark) is True
+    ix.process_batch(batches[3], 3)
+    # the pre-fold lazy frames still execute — no FileNotFound
+    assert lazy_seen.count() == sum(b.count() for b in batches[:3])
+    lazy_pairs.count()
+    # the folded L0 dirs survived the flip (grace window)
+    l0_banded = tmp_path / "store" / "banded"
+    folded = [p for p in l0_banded.iterdir() if p.name.startswith("batch_id=")]
+    assert len(folded) == 4  # 0..2 retained by grace + live batch 3
+    # explicit zero-grace vacuum removes the superseded storage
+    removed = ix.vacuum(0)
+    assert removed >= 3
+    folded_after = sorted(
+        int(p.name.split("=")[1])
+        for p in l0_banded.iterdir()
+        if p.name.startswith("batch_id=")
+    )
+    # the fold covered batches ≤ upto = 1 (batch 2 was the highest at
+    # fold time and stays replayable L0, batch 3 arrived after)
+    assert folded_after == [2, 3]
+    # and committed readers are untouched by the cleanup
+    assert ix.seen_ids(spark).count() == docs.count()
+
+
+def test_streaming_lsh_within_batch_duplicate_ids(spark, tmp_path):
+    """ADVICE r10: a doc_id duplicated WITHIN one micro-batch must be
+    indexed and retained exactly once — the keeper row chosen
+    deterministically — so the corpus never holds duplicate rows for
+    one id."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import (
+        StreamingLSHIndex,
+        stream_lsh_corpus,
+    )
+
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 20
+    )
+    dup_same = base.filter(F.col("doc_id") < 10)  # exact duplicate rows
+    dup_other = base.filter(F.col("doc_id") >= 10).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" trailing-variant"))
+    )  # same id, different text
+    feed = base.unionByName(dup_same).unionByName(dup_other)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    feed.write.parquet(str(src / "d0.parquet"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    index = StreamingLSHIndex(str(tmp_path / "store"), threshold=0.8)
+    q = stream_lsh_corpus(
+        stream, index, str(tmp_path / "ckpt"), str(tmp_path / "corpus")
+    )
+    assert q.awaitTermination(300)
+
+    assert index.seen_ids(spark).count() == base.count()
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    per_id = corpus.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    assert per_id == 0, "corpus holds duplicate rows for one id"
+    # the retained text is the deterministic keeper (min (xxhash64(
+    # text), text) per id — the rule the index and corpus share)
+    kept = {r.doc_id: r.text for r in corpus.collect()}
+    choice = (
+        feed.withColumn("_h", F.xxhash64("text"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("_h", "text")).alias("m"))
+        .select("doc_id", F.col("m.text").alias("text"))
+    )
+    want = {r.doc_id: r.text for r in choice.collect()}
+    for did, text in kept.items():
+        assert text == want[did], did
+    # corpus ids = the novelty verdicts (the filter IS novel_ids)
+    novel = {r.doc_id for r in index.novel_ids(spark).collect()}
+    assert set(kept) == novel
+
+
+def test_streaming_lsh_corpus_restart_with_compaction_interleave(spark, tmp_path):
+    """VERDICT r10 #7: kill/restart mid-feed with a compaction firing
+    BETWEEN the restarts — the retained corpus (rows, not just ids),
+    the pair set, and the novelty verdicts must be identical to an
+    uninterrupted run over the same feed."""
+    from kingsfoil_seed_data_ingestor_spark.streaming.lsh import (
+        StreamingLSHIndex,
+        stream_lsh_corpus,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    clones = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 7000
+    )
+    drops = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        clones,
+    ]
+
+    def feed_dir(name):
+        d = tmp_path / name
+        d.mkdir()
+        return d
+
+    def run(src, store, ckpt, corpus, compact_every):
+        schema = spark.read.option("recursiveFileLookup", "true").parquet(
+            str(src)
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        index = StreamingLSHIndex(
+            str(store), threshold=0.8, chunks=4, compact_every=compact_every
+        )
+        q = stream_lsh_corpus(stream, index, str(ckpt), str(corpus))
+        assert q.awaitTermination(300)
+        return index
+
+    # interrupted path: drain drop 0, explicit compaction while the
+    # stream is DOWN, then resume the same checkpoint with the rest
+    src_a = feed_dir("feed_a")
+    drops[0].write.parquet(str(src_a / "d0.parquet"))
+    ix_a = run(src_a, tmp_path / "store_a", tmp_path / "ckpt_a",
+               tmp_path / "corpus_a", compact_every=0)
+    assert ix_a.compact(spark) is False  # only batch 0 exists (still replayable)
+    drops[1].write.parquet(str(src_a / "d1.parquet"))
+    ix_a = run(src_a, tmp_path / "store_a", tmp_path / "ckpt_a",
+               tmp_path / "corpus_a", compact_every=0)
+    assert ix_a.compact(spark) is True  # compaction between restarts
+    drops[2].write.parquet(str(src_a / "d2.parquet"))
+    ix_a = run(src_a, tmp_path / "store_a", tmp_path / "ckpt_a",
+               tmp_path / "corpus_a", compact_every=0)
+
+    # uninterrupted control: all three drops, one run, no compaction
+    src_b = feed_dir("feed_b")
+    for i, d in enumerate(drops):
+        d.write.parquet(str(src_b / f"d{i}.parquet"))
+    ix_b = run(src_b, tmp_path / "store_b", tmp_path / "ckpt_b",
+               tmp_path / "corpus_b", compact_every=0)
+
+    def corpus_rows(p):
+        return sorted(
+            (r.doc_id, r.text) for r in spark.read.parquet(str(p)).collect()
+        )
+
+    assert corpus_rows(tmp_path / "corpus_a") == corpus_rows(tmp_path / "corpus_b")
+    assert sorted(
+        (r.i, r.j, r.jaccard) for r in ix_a.near_dup_pairs(spark).collect()
+    ) == sorted((r.i, r.j, r.jaccard) for r in ix_b.near_dup_pairs(spark).collect())
+    assert {r.doc_id for r in ix_a.novel_ids(spark).collect()} == {
+        r.doc_id for r in ix_b.novel_ids(spark).collect()
+    }
+    # non-vacuous: pairs exist and the compaction really interleaved
+    assert ix_a.near_dup_pairs(spark).count() >= clones.count()
+    assert ix_a._compaction() is not None
 
 
 def test_streaming_lsh_corpus_end_to_end(spark, tmp_path):

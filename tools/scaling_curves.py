@@ -293,15 +293,19 @@ def wall_times(spark, sf_dir: str, sf: float) -> dict:
     return out
 
 
-def stream_lsh_curve(spark, sf_dir: str, n_batches: int = 16) -> dict:
+def stream_lsh_curve(spark, sf_dir: str, n_batches: int = 24) -> dict:
     """Per-batch cost of the incremental LSH index as the index grows
-    (VERDICT r9 #5): feed ``n_batches`` equal fixed-size batches — so
-    the index is 16× larger under the last batch than the first — and
-    record per-batch wall, the probe's files-touched at four
-    checkpoints (flat under the LSM layout: compacted chunk grid +
-    ≤ compact_every L0 dirs), and the final index row count. Run at
-    two corpus sizes so per-batch wall is attributable to BATCH size,
-    not index size."""
+    (VERDICT r9 #5; widened to 24 batches + write accounting per r10
+    #2): feed ``n_batches`` equal fixed-size batches — so the index is
+    24× larger under the last batch than the first — and record
+    per-batch wall, the probe's files-touched at four checkpoints
+    (near-flat under the tiered-LSM layout: chunk grid × O(log)
+    runs + ≤ compact_every L0 dirs), the final index row count, and
+    the WRITE-AMPLIFICATION witness (rows/bytes rewritten by folds +
+    tier merges vs L0 rows ingested — bounded under size-tiering,
+    O(batches/compact_every)× under r10's fold-everything). Run at two
+    corpus sizes so per-batch wall and the amplification ratio are
+    attributable to BATCH size, not index size."""
     import shutil
     import tempfile
 
@@ -338,12 +342,16 @@ def stream_lsh_curve(spark, sf_dir: str, n_batches: int = 16) -> dict:
             # `first_run_walls` keeps the compaction-inclusive walls
             walls.append(round(min(runs), 3))
             first_walls.append(round(runs[0], 3))
-            if b in (3, 7, 11, 15):
+            if b in (3, 9, 16, 23):
                 files[str(b)] = index.probe_files_touched(spark, probe)
         banded_rows = index._read_indexed(spark, "banded").count()
         pairs = index.near_dup_pairs(spark).count()
         early = sum(walls[1:5]) / 4
-        late = sum(walls[12:16]) / 4
+        late = sum(walls[-4:]) / 4
+        log = index.write_log()
+        l0_rows = sum(e["banded_rows"] for e in log if e["event"] == "batch")
+        compacts = [e for e in log if e["event"] == "compact"]
+        rewritten = sum(e["fold_rows"] + e["merge_rows"] for e in compacts)
         return {
             "n_docs": docs.count(),
             "per_batch_wall": walls,
@@ -352,6 +360,12 @@ def stream_lsh_curve(spark, sf_dir: str, n_batches: int = 16) -> dict:
             "banded_rows": banded_rows,
             "pairs": pairs,
             "wall_late_over_early": round(late / early, 3),
+            "l0_rows": l0_rows,
+            "compact_rewritten_rows": rewritten,
+            "write_amplification": round(rewritten / l0_rows, 3) if l0_rows else None,
+            "n_compactions": len(compacts),
+            "final_runs": compacts[-1]["n_runs"] if compacts else 0,
+            "last_fold_rows": compacts[-1]["fold_rows"] if compacts else 0,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -470,14 +484,18 @@ def main() -> int:
         vals = " | ".join(f"{per_sf[s]['wall'][q]:.2f}" for s in SFS)
         print(f"| wall:{q} | {vals} | {slopes[f'wall:{q}']} |")
     print()
-    print("| stream_lsh | n_docs | probe_files b3→b15 | wall late/early | banded_rows |")
-    print("|---|---|---|---|---|")
+    print(
+        "| stream_lsh | n_docs | probe_files b3→b23 | wall late/early "
+        "| banded_rows | write_amp | runs |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for sf_s, row in stream_lsh.items():
         pf = row["probe_files"]
         print(
             f"| sf{sf_s} | {row['n_docs']} | "
-            f"{pf.get('3')}→{pf.get('15')} | "
-            f"{row['wall_late_over_early']} | {row['banded_rows']} |"
+            f"{pf.get('3')}→{pf.get('23')} | "
+            f"{row['wall_late_over_early']} | {row['banded_rows']} | "
+            f"{row.get('write_amplification')} | {row.get('final_runs')} |"
         )
     spark.stop()
     return 0
