@@ -236,6 +236,26 @@ def generate(out_dir: str, sf: float, seed: int = 42) -> dict:
     return counts
 
 
+def uniform_docs(spark, n: int, tokens: int = 24):
+    """A structure-free document table: ``n`` docs of ``tokens``
+    md5-derived tokens each, no shared vocabulary between documents —
+    so simhash fingerprints are ~uniform and ALL band collisions are
+    the random term. This is the corpus the N-aware banding's
+    uniform-model bound speaks about; the planted scaling corpus
+    deliberately carries near-dup clusters whose pair count (the
+    ANSWER) is itself superlinear, which would drown the random term
+    any gate tries to measure."""
+    from pyspark.sql import functions as F
+
+    toks = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{i}")))
+        for i in range(tokens)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text")
+    )
+
+
 def main() -> int:
     import argparse
 

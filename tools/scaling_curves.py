@@ -127,6 +127,7 @@ def candidate_counts(spark, sf_dir: str) -> dict:
         DD.simhash_table(docs)
         .select(
             "doc_id",
+            "simhash",
             F.explode(
                 F.array(
                     *[
@@ -139,18 +140,82 @@ def candidate_counts(spark, sf_dir: str) -> dict:
                 )
             ).alias("bk"),
         )
-        .select("doc_id", "bk.band", "bk.key")
+        .select("doc_id", "simhash", "bk.band", "bk.key")
         .persist()
     )
-    out["sh32_auto_cand"] = (
+    sh_cand = (
         sh_banded.alias("a")
         .join(sh_banded.alias("b"), ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.simhash").alias("h_i"),
+            F.col("b.simhash").alias("h_j"),
+        )
         .distinct()
-        .count()
+        .persist()
     )
+    out["sh32_auto_cand"] = sh_cand.count()
+    # true hamming<=3 pairs are the ANSWER (a data property — this
+    # corpus plants near-dup clusters, answer exponent ~1.5); the
+    # algorithmic claim is about the WASTE term the ladder bounds
+    out["sh32_auto_pairs"] = sh_cand.filter(
+        F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j"))) <= 3
+    ).count()
+    out["sh32_auto_waste"] = out["sh32_auto_cand"] - out["sh32_auto_pairs"]
+    sh_cand.unpersist()
     sh_banded.unpersist()
+
+    # the ladder's own claim — random collision mass ≤ ~target/doc — is
+    # only measurable where randomness is the only term: a structure-
+    # free corpus of the SAME size (the planted corpus's cluster
+    # structure inflates answer and near-miss collisions quadratically,
+    # for any lossless banding)
+    from tools.gen_scaling_data import uniform_docs
+
+    udocs = uniform_docs(spark, out["n_docs"])
+    ush = DD.simhash_table(udocs).persist()
+    u_banded = (
+        ush.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("band"),
+                            F.col("simhash").bitwiseAND(F.lit(m)).alias("key"),
+                        )
+                        for t, m in enumerate(masks)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "simhash", "bk.band", "bk.key")
+        .persist()
+    )
+    u_cand = (
+        u_banded.alias("a")
+        .join(u_banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.simhash").alias("h_i"),
+            F.col("b.simhash").alias("h_j"),
+        )
+        .distinct()
+        .persist()
+    )
+    uc = u_cand.count()
+    up = u_cand.filter(
+        F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j"))) <= 3
+    ).count()
+    out["sh32_uniform_waste"] = uc - up
+    u_cand.unpersist()
+    u_banded.unpersist()
+    ush.unpersist()
 
     # star components over the MinHash edge set: rounds must stay flat
     stats: dict = {}
@@ -423,6 +488,15 @@ def main() -> int:
         "sh32_auto_cand": fit_slope(
             docs_n, [per_sf[s]["sh32_auto_cand"] for s in SFS]
         ),
+        "sh32_auto_pairs": fit_slope(
+            docs_n, [per_sf[s]["sh32_auto_pairs"] for s in SFS]
+        ),
+        "sh32_auto_waste": fit_slope(
+            docs_n, [per_sf[s]["sh32_auto_waste"] for s in SFS]
+        ),
+        "sh32_uniform_waste": fit_slope(
+            docs_n, [per_sf[s]["sh32_uniform_waste"] for s in SFS]
+        ),
         "rhp_fixed_cand": fit_slope(emb_n, [per_sf[s]["rhp_fixed_cand"] for s in SFS]),
         "rhp_tuned_cand": fit_slope(emb_n, [per_sf[s]["rhp_tuned_cand"] for s in SFS]),
         "rhp_auto_cand": fit_slope(emb_n, [per_sf[s]["rhp_auto_cand"] for s in SFS]),
@@ -472,7 +546,8 @@ def main() -> int:
     print("|---|" + "---|" * (len(SFS) + 1))
     for key in (
         "n_docs", "n_emb", "mh_cand", "mh_verified", "sh64_pairs",
-        "sh32_auto_blocks", "sh32_auto_cand",
+        "sh32_auto_blocks", "sh32_auto_cand", "sh32_auto_pairs",
+        "sh32_auto_waste", "sh32_uniform_waste",
         "star_rounds", "rhp_fixed_cand", "rhp_tuned_cand",
         "rhp_tuned_recall", "rhp_auto_cand", "rhp_auto_r",
         "rhp_auto_recall", "ann_scored_rows",
