@@ -335,18 +335,10 @@ def candidate_counts(spark, sf_dir: str) -> dict:
 def wall_times(spark, sf_dir: str, sf: float) -> dict:
     out = {}
     for name in TIMED_QUERIES:
-        if name == "dedup_semantic_clusters_blocked" and sf >= 3:
-            # the DEPRECATED fixed-band family is measured quadratic
-            # (100.7 s at sf1, SCALING_r8.json); at sf3 a single rep is
-            # ~15 min for a point the sf0.03-1 curve already proves.
-            # Logged, not silent: -2 marks "skipped, known-quadratic".
-            print(
-                f"[scaling] {name} SKIPPED at sf{sf} (known-quadratic "
-                "family, exponent 2.00 pinned by the sf0.03-1 curve)",
-                file=sys.stderr,
-            )
-            out[name] = -2.0
-            continue
+        # (r11: the pre-cap skip of dedup_semantic_clusters_blocked at
+        # sf >= 3 is gone — the referee runs on the REFEREE_CAP_N lowest
+        # vec_ids in both engines now, so its cost is O(1) in sf and the
+        # full sweep is runnable at any size: VERDICT r10 #4's 'Done'.)
         q = QUERIES[name]
         try:
             drain(q.spark(spark, sf_dir))  # cold (codegen) pass
