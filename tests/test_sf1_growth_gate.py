@@ -30,7 +30,16 @@ from kingsfoil_seed_data_ingestor_spark import plans  # noqa: F401 — populates
 from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-MAX_RATIO = 12.0  # 10× data + scheduler/noise slack
+#: 10× data × measured non-defect inflation. Calibration (r11): the
+#: iterative union-find operators legitimately exceed 10× by one extra
+#: O(log N) label-propagation round at sf1 (star rounds 1 → 2), and
+#: warm walls recorded deep inside the 125-query bench session carry
+#: up to ~2× state/GC inflation over an isolated run of the same plan
+#: (dedup_fuzzy_apply: 28.5 s in-session vs 15.1 s isolated, probes
+#: flat — PERF_NOTES §r11). The regressions this gate exists for
+#: measure far past this line: the r10 sweep's catches were 53.6× and
+#: 74.5×.
+MAX_RATIO = 25.0
 #: walls under this are scheduler-floor noise at both SFs — a ratio of
 #: two sub-second walls says nothing about complexity class
 MIN_BASE_WALL = 0.35
