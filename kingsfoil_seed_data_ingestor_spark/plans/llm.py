@@ -1375,6 +1375,60 @@ def dedup_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_groups",
+    priority=55,  # same-family variant: dedup_simhash_auto is the pairs rep
+    oracle=f"""
+    WITH RECURSIVE sh AS MATERIALIZED ({SQL_SIMHASH_TABLE}),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    edges AS MATERIALIZED (
+        SELECT i AS src, j AS dst FROM pairs
+        UNION ALL
+        SELECT j AS src, i AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl AS lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS group_id
+    FROM reach GROUP BY node
+    """,
+    doc="SimHash near-dup GROUPS — the linear-output form a large-scale "
+    "pipeline consumes: hamming ≤ 3 pairs from the N-aware multi-block "
+    "banding (dedup_simhash_auto's candidate stage) closed into "
+    "connected components, returning (doc_id, group_id = smallest "
+    "member) for every document in any group — ≤ N rows REGARDLESS of "
+    "cluster structure. On templated corpora the pair SET itself is "
+    "Θ(cluster²) (a data property — SCALING_r11 measures the answer "
+    "exponent at 2.0), so downstream keeper selection / dedup filters "
+    "should join this group map, never the edge list; the quadratic "
+    "mass stays internal to the banded join and is never handed to a "
+    "consumer. Oracle recomputes the closure over the brute-force "
+    "hamming graph via a recursive CTE.",
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    scope = CacheScope()
+    pairs = scope.persist(
+        DD.simhash_near_dups_auto(
+            load(spark, sf_dir, "documents"), max_hamming=3, scope=scope
+        ).select("i", "j")
+    )
+    return scope.attach(
+        CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
+            "doc_id", F.col("component_id").alias("group_id")
+        )
+    )
+
+
+@register(
     "dedup_simhash",
     priority=72,  # fixed-band referee (VERDICT r10 #1): the 4×8-bit
     # banding has 256 buckets/band — Θ(N²/256) random collisions,
