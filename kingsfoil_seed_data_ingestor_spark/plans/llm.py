@@ -1468,6 +1468,57 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
 
 
+@register(
+    "dedup_simhash64_groups",
+    priority=55,  # same-family variant: pairs reps carry the window slots
+    oracle=f"""
+    WITH RECURSIVE sh AS MATERIALIZED ({SQL_SIMHASH64_TABLE}),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+    ),
+    edges AS MATERIALIZED (
+        SELECT i AS src, j AS dst FROM pairs
+        UNION ALL
+        SELECT j AS src, i AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl AS lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS group_id
+    FROM reach GROUP BY node
+    """,
+    doc="64-bit SimHash near-dup GROUPS — the production pairing at "
+    "corpus scale: the wide fingerprint's 16-bit pigeonhole bands keep "
+    "candidate generation fine-grained at billion-document corpora "
+    "(65 536 buckets/band), and the group-map interface keeps the "
+    "OUTPUT linear (≤ N rows) no matter how large the duplicate "
+    "clusters grow — downstream keeper selection joins this, never the "
+    "Θ(cluster²) edge list. Connected components close the hamming ≤ 3 "
+    "graph by min-label propagation; the oracle recomputes the closure "
+    "over the brute-force 64-bit hamming graph.",
+)
+def dedup_simhash64_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    scope = CacheScope()
+    pairs = scope.persist(
+        DD.simhash64_near_dups(
+            load(spark, sf_dir, "documents"), max_hamming=3, scope=scope
+        ).select("i", "j")
+    )
+    return scope.attach(
+        CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
+            "doc_id", F.col("component_id").alias("group_id")
+        )
+    )
+
+
 #: hot-bucket guard for the capped simhash query — deliberately BITES
 #: at every oracle SF (uncapped→capped pairs: 20→17 at sf0.001, 14→13
 #: at sf0.01, 227→90 at sf0.1), so the cap's exact semantics — which
