@@ -5,6 +5,7 @@ submodule registers its queries via the ``@register`` decorator.
 """
 
 from kingsfoil_seed_data_ingestor_spark.plans import (  # noqa: F401
+    cdc,
     corpus,
     coverage,
     events,

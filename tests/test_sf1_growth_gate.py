@@ -53,6 +53,47 @@ def _load(name: str) -> dict | None:
         return None
 
 
+#: sf3 vs sf0.1 is 30× data; gating against sf0.1 rather than sf1
+#: maximizes class separation (a quadratic reads ~900×, the gate line
+#: 30× × 2.5 slack = 75×) so host noise can't blur the verdict the way
+#: it could on a 3×-data ratio
+MAX_RATIO_SF3 = 75.0
+
+
+def test_sf3_growth_within_bound():
+    """Full-suite sf3 sweep gate (r11): the referee caps made a
+    whole-registry sf3 run practical for the first time — when its
+    artifact (``BENCH_SF3_FULL.json``, from ``tools/gen_bench_sf1.py
+    3`` data) is present, every non-referee query must stay within
+    ``MAX_RATIO_SF3`` of its sf0.1 warm wall."""
+    base = _load("BENCH_FULL.json")
+    sf3 = _load("BENCH_SF3_FULL.json")
+    if not base or not sf3:
+        pytest.skip("sf3 bench artifact absent — run the sf3 sweep")
+    if float(sf3.get("sf", 0)) != 3.0 or float(base.get("sf", 0)) != 0.1:
+        pytest.skip("artifacts not at the expected sf pair (0.1 vs 3.0)")
+    offenders = []
+    checked = 0
+    for name, q in QUERIES.items():
+        if q.priority >= 70:
+            continue
+        b = base["queries"].get(name, {}).get("warm")
+        s = sf3["queries"].get(name, {}).get("warm")
+        if b is None or s is None or b <= 0 or s <= 0:
+            continue
+        checked += 1
+        if b < MIN_BASE_WALL and s < MAX_RATIO_SF3 * MIN_BASE_WALL:
+            continue
+        ratio = s / max(b, MIN_BASE_WALL)
+        if ratio > MAX_RATIO_SF3:
+            offenders.append((name, round(b, 2), round(s, 2), round(ratio, 1)))
+    assert checked >= 50, "artifacts cover too few queries to mean anything"
+    assert not offenders, (
+        "queries grew faster than 30× data + slack at sf3 "
+        f"(name, sf0.1 warm, sf3 warm, ratio): {offenders}"
+    )
+
+
 def test_sf1_growth_within_bound():
     base = _load("BENCH_FULL.json")
     sf1 = _load("BENCH_SF1_FULL.json")

@@ -20,9 +20,15 @@ table. Construction:
   10-clone group and quadratically distort the near-dup families'
   work, which is exactly what the bench must not do).
 
-Output dir: ``.scaling/bench_sf1`` (~1.1 GB). Usage:
+Output dir: ``.scaling/bench_sf1`` (~1.1 GB). Since r11 the same
+construction generalizes to any integer multiple of sf0.1 — replica
+sub-universes stay disjoint for ANY replica count because each key
+family's stride exceeds its real maximum — so ``scale=3.0`` builds
+``.scaling/bench_sf3`` (30 replicas + fresh sf3 docs/vectors/events)
+for the sf3 full-suite sweep the capped referees made runnable
+(PERF_NOTES §r11). Usage:
 
-    python tools/gen_bench_sf1.py
+    python tools/gen_bench_sf1.py [scale]
     SPARK_GRAFT_SF_DIR=.scaling/bench_sf1 python bench.py | tee /tmp/b.json
     # → BENCH_SF1.json (top-level artifact, PERF_NOTES §r10 table)
 """
@@ -42,6 +48,12 @@ SRC = "/root/testdata/sf0.1"
 OUT = os.path.join(REPO, ".scaling", "bench_sf1")
 REPLICAS = 10
 
+
+def _out_dir(scale: float) -> str:
+    label = int(scale) if float(scale).is_integer() else scale
+    return os.path.join(REPO, ".scaling", f"bench_sf{label}")
+
+
 #: key columns to shift per table; stride = 10^ceil(log10(max_key+1))
 #: per key FAMILY so a replica's keys can never collide with another's
 KEY_FAMILIES = {
@@ -54,22 +66,30 @@ REPLICATED = ["customer", "supplier", "part", "orders", "lineitem"]
 SHARED_DIMS = ["region", "nation"]
 
 
-def generate(spark=None) -> str:
+def generate(spark=None, scale: float = 1.0) -> str:
+    """Build the full-suite bench dataset at ``scale``×sf1 (10·scale
+    replicas of the sf0.1 relational tables + fresh scaling-generator
+    docs/vectors/events at sf=scale). ``scale`` must make the replica
+    count integral."""
+    replicas = int(round(REPLICAS * scale))
+    if abs(replicas - REPLICAS * scale) > 1e-9 or replicas < 1:
+        raise ValueError(f"scale {scale} needs an integral replica count")
+    out = _out_dir(scale)
     own_session = spark is None
     if spark is None:
         from kingsfoil_seed_data_ingestor_spark.session import get_spark
 
         spark = get_spark(app_name="gen-bench-sf1")
-    os.makedirs(OUT, exist_ok=True)
-    marker = os.path.join(OUT, "GENERATED.json")
-    spec = {"replicas": REPLICAS, "src": SRC, "version": 1}
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "GENERATED.json")
+    spec = {"replicas": replicas, "src": SRC, "version": 1}
     if os.path.exists(marker):
         with open(marker) as fh:
             if json.load(fh) == spec:
-                print(f"[gen_bench_sf1] {OUT}: up to date", file=sys.stderr)
+                print(f"[gen_bench_sf1] {out}: up to date", file=sys.stderr)
                 if own_session:
                     spark.stop()
-                return OUT
+                return out
 
     # per-family strides from the real key maxima
     strides: dict[str, int] = {}
@@ -94,43 +114,47 @@ def generate(spark=None) -> str:
     for table in SHARED_DIMS:
         spark.read.parquet(f"{SRC}/{table}.parquet").coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{OUT}/{table}.parquet")
+        ).parquet(f"{out}/{table}.parquet")
 
     for table in REPLICATED:
         base = spark.read.parquet(f"{SRC}/{table}.parquet")
         shift_cols = [c for c in base.columns if c in col_stride]
         # one replica per value of a generated replica index — a single
-        # distributed job per table, no driver-side unions of 10 plans
+        # distributed job per table, no driver-side unions of N plans
         rep = base.crossJoin(
-            spark.range(REPLICAS).select(F.col("id").alias("__r"))
+            spark.range(replicas).select(F.col("id").alias("__r"))
         )
         for c in shift_cols:
             rep = rep.withColumn(
                 c, (F.col(c) + F.col("__r") * F.lit(col_stride[c])).cast("long")
             )
         rep.drop("__r").write.mode("overwrite").parquet(
-            f"{OUT}/{table}.parquet"
+            f"{out}/{table}.parquet"
         )
-        print(f"[gen_bench_sf1] {table}: replicated ×{REPLICAS}", file=sys.stderr)
+        print(f"[gen_bench_sf1] {table}: replicated ×{replicas}", file=sys.stderr)
 
-    # fresh (not replicated) docs/vectors/events at sf1
+    # fresh (not replicated) docs/vectors/events at sf=scale
     from tools.gen_scaling_data import generate as gen_scaling
 
-    sf1_src = os.path.join(REPO, ".scaling", "sf1")
-    gen_scaling(sf1_src, 1.0)
+    scaling_label = int(scale) if float(scale).is_integer() else scale
+    scaling_src = os.path.join(REPO, ".scaling", f"sf{scaling_label}")
+    gen_scaling(scaling_src, float(scale))
     for table in ("documents", "embeddings", "events"):
-        src = os.path.join(sf1_src, f"{table}.parquet")
-        dst = os.path.join(OUT, f"{table}.parquet")
+        src = os.path.join(scaling_src, f"{table}.parquet")
+        dst = os.path.join(out, f"{table}.parquet")
         spark.read.parquet(src).write.mode("overwrite").parquet(dst)
-        print(f"[gen_bench_sf1] {table}: from scaling sf1", file=sys.stderr)
+        print(
+            f"[gen_bench_sf1] {table}: from scaling sf{scaling_label}",
+            file=sys.stderr,
+        )
 
     with open(marker, "w") as fh:
         json.dump(spec, fh)
     if own_session:
         spark.stop()
-    return OUT
+    return out
 
 
 if __name__ == "__main__":
-    generate()
-    print(OUT)
+    _scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    print(generate(scale=_scale))
