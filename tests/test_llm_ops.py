@@ -1140,7 +1140,8 @@ def test_connected_components_star_logarithmic_on_adversarial_chain(spark):
     }
     assert got2 == {i: 0 for i in range(n + 1)}
     # the prefix observes budget+1 changing rounds before giving up
-    assert stats2["fast_rounds"] == 3 and stats2["rounds"] >= 1, stats2
+    # (default budget is 3 since the round-11 pointer-jumping change)
+    assert stats2["fast_rounds"] == 4 and stats2["rounds"] >= 1, stats2
     assert stats2["rounds"] <= 2 * math.ceil(math.log2(n)) + 4, stats2
 
 
