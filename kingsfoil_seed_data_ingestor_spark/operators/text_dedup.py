@@ -654,13 +654,24 @@ def simhash64_near_dups(
     scope, own = scope_or_own(scope)
     banded = scope.persist(banded)
     if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
+        # window-count cap (optimization round 11; previously a
+        # groupBy-count + left-semi join): one exchange on
+        # (band, bucket) computes the bucket size AND leaves the kept
+        # rows partitioned exactly as the candidate self-join needs
+        # them, so both join sides reuse that exchange instead of
+        # paying the aggregate's shuffle plus a re-shuffle of banded
+        # through the semi join (plan: 10 → 6 exchanges). Also robust
+        # at corpus scale: the semi-join's under-cap bucket list grows
+        # with the corpus (most buckets are small) and would stop
+        # broadcasting, while the window is always exactly one
+        # full-banded shuffle. Semantics identical: keep rows whose
+        # (band, bucket) holds ≤ max_bucket_size fingerprints.
+        w_cap = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w_cap))
             .filter(F.col("_bsz") <= max_bucket_size)
-            .select("band", "bucket")
+            .drop("_bsz")
         )
-        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     left = banded.select(
         F.col("doc_id").alias("i"), F.col("simhash64").alias("h_i"), "band", "bucket"
     )
