@@ -393,17 +393,36 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and two small aggregates join on source at the end.",
 )
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
+
+    scope = CacheScope()
     docs = load(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "source",
-        TX.content_fingerprint(F.col("text")).alias("fp"),
-        F.size(TX.tokens(F.col("text"))).alias("n_tok"),
-        TX.quality_score(F.col("text")).alias("score"),
+    # persisted (optimization round 11): the projection below is the
+    # expensive part of the whole pipeline — md5 fingerprint over
+    # normalized text, tokenization, and the quality-score regexes,
+    # all corpus-wide — and the un-persisted diamond (base feeds the
+    # keeper aggregate AND the rejoin; staged feeds the stage counts
+    # AND the survivor filter) re-evaluated it up to 4×. Both cached
+    # tables are NARROW (ids + smallints, never text), so the
+    # spillable cache holds ~40 B/row at any corpus size while saving
+    # three corpus-wide text passes (measured sf0.1: 1.9 → 1.2 s
+    # warm; formatted plan: 6 parquet scans → 1).
+    base = scope.persist(
+        docs.select(
+            "doc_id",
+            "source",
+            TX.content_fingerprint(F.col("text")).alias("fp"),
+            F.size(TX.tokens(F.col("text"))).alias("n_tok"),
+            TX.quality_score(F.col("text")).alias("score"),
+        )
     )
     keepers = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    staged = base.join(keepers, "fp").withColumn(
-        "is_keeper", F.col("doc_id") == F.col("keeper")
+    # keeper resolution stays the hot-key-safe groupBy + rejoin (AQE
+    # splits a skewed fp at the join; a min-over-fp window could not)
+    staged = scope.persist(
+        base.join(keepers, "fp").withColumn(
+            "is_keeper", F.col("doc_id") == F.col("keeper")
+        )
     )
     stages = staged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_raw"),
@@ -429,13 +448,15 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("bin_id")).alias("n_bins"),
         )
     )
-    return stages.join(packed, "source", "left").select(
-        "source",
-        "n_raw",
-        "n_unique",
-        "n_final",
-        F.coalesce("final_tokens", F.lit(0)).alias("final_tokens"),
-        F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+    return scope.attach(
+        stages.join(packed, "source", "left").select(
+            "source",
+            "n_raw",
+            "n_unique",
+            "n_final",
+            F.coalesce("final_tokens", F.lit(0)).alias("final_tokens"),
+            F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+        )
     )
 
 
