@@ -518,11 +518,15 @@ CMS_TOP = 15
     "hash-checked cross-engine including the ESTIMATES — the "
     f"frequency companion to the HLL/KMV/quantile sketches. D={CMS_D} "
     f"independent hash rows (hash j of key k = 60-bit md5('j:k') mod "
-    f"W={CMS_W}); the sketch is the (d, bucket) → count table, built "
-    "with ONE map-side-combinable shuffle whose reduced size is ≤ D·W "
-    "counters per partition regardless of input volume — counters are "
-    "SUMS, so partial sketches merge by addition across 100 TB "
-    "partitions (and across days: CMS is the standard mergeable "
+    f"W={CMS_W}); the sketch is the (d, bucket) → count table. Since "
+    "this report also carries exact per-key counts as witnesses, the "
+    "counters are built as a WEIGHTED CMS over that (already-required) "
+    "key-count table — counter = Σ count(key) over keys hashing there, "
+    "definitionally equal to counting raw rows, with the D hashes "
+    "computed once per DISTINCT key instead of once per event row. "
+    "The one corpus-wide shuffle is the map-side-combinable key count; "
+    "counters are SUMS, so partial sketches merge by addition across "
+    "100 TB partitions (and across days: CMS is the standard mergeable "
     "frequency summary). A key's estimate = min over its D counters; "
     "CMS never underestimates, so the per-row ``overestimate`` "
     "witness is provably ≥ 0 — an invariant the oracle hash check "
@@ -557,24 +561,35 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CMS_W
         ).alias("bucket")
 
-    counters = (
-        ev.select("user_id", dvals)
-        .select("d", bucket_expr())
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # optimization round 11: the query already pays one corpus-wide
+    # groupBy(user_id) for its exact-count witness columns, so the
+    # sketch is built FROM that table as a weighted CMS — counter
+    # (d, bucket) = Σ exact_count over the keys hashing there, which
+    # is definitionally the same value as counting raw event rows.
+    # The 4 md5 hashes per ROW become 4 per DISTINCT KEY, the three
+    # event scans (counters / distinct probes / exact) collapse into
+    # one, and the only corpus-wide shuffle left is the partial-
+    # aggregated user count (measured sf0.1: 1.20 → 0.63 s warm,
+    # sf1: 8.6 → 2.0 s; plan: 3 scans → 1, 3 exchanges → 2).
+    from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
+
+    scope = CacheScope()
+    exact = scope.persist(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    probes = (
-        ev.distinct()
-        .select("user_id", dvals)
-        .select("user_id", "d", bucket_expr())
+    hashed = exact.select("user_id", "exact_count", dvals).select(
+        "user_id", "exact_count", "d", bucket_expr()
+    )
+    counters = hashed.groupBy("d", "bucket").agg(
+        F.sum("exact_count").alias("c")
     )
     est = (
-        probes.join(F.broadcast(counters), ["d", "bucket"])
+        hashed.select("user_id", "d", "bucket")
+        .join(F.broadcast(counters), ["d", "bucket"])
         .groupBy("user_id")
         .agg(F.min("c").alias("est_count"))
     )
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
-    return (
+    return scope.attach(
         est.join(exact, "user_id")
         .select(
             "user_id",

@@ -824,9 +824,16 @@ class StreamingLSHIndex:
         )
         other_ids = endpoints.select(F.col("other").alias("doc_id")).distinct()
         # re-delivery filtering makes ids unique across batches, so the
-        # registry row IS the arrival key — no aggregate needed
+        # registry row IS the arrival key — no aggregate needed. The
+        # registry view is built from frames already in hand
+        # (optimization round 11): ids_prev (everything before this
+        # batch) ∪ this batch's new ids — identical rows to a fresh
+        # ``_read_indexed(spark, "ids")``, minus one store listing +
+        # run/L0 scan per batch (the listing grows O(runs + L0 dirs)).
         other_batch = (
-            self._read_indexed(spark, "ids")
+            ids_prev.unionByName(
+                new_ids.withColumn("batch_id", F.lit(int(batch_id)))
+            )
             .join(F.broadcast(other_ids), "doc_id", "left_semi")
             .select(
                 F.col("doc_id").alias("other"),
