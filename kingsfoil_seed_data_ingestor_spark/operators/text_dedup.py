@@ -681,9 +681,32 @@ def simhash64_near_dups(
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("i") < F.col("j"))
-        .select("i", "j", "h_i", "h_j")
-        .distinct()
     )
+    if max_bucket_size is None:
+        # first-agreeing-band guard (optimization round 11, the
+        # simhash_near_dups_auto treatment): both fingerprints ride
+        # every candidate row, so each row decides locally whether its
+        # band is the pair's lowest agreeing band and the multi-band
+        # ``.distinct()`` exchange disappears. NOT applicable under the
+        # hot-bucket cap: a dropped bucket can silence the lowest
+        # agreeing band and the pair must then survive via a colder
+        # one, which this local test cannot see — the capped path
+        # keeps the distinct.
+        def _agree(start: int, w: int):
+            mask = F.lit((1 << w) - 1) if w < 64 else F.lit(-1)
+            return (
+                F.shiftrightunsigned(F.col("h_i"), start).bitwiseAND(mask)
+                == F.shiftrightunsigned(F.col("h_j"), start).bitwiseAND(mask)
+            )
+
+        first_agree = F.lit(0)
+        for t in range(len(spans) - 1, -1, -1):
+            first_agree = F.when(_agree(*spans[t]), F.lit(t)).otherwise(first_agree)
+        pairs = pairs.filter(F.col("band") == first_agree).select(
+            "i", "j", "h_i", "h_j"
+        )
+    else:
+        pairs = pairs.select("i", "j", "h_i", "h_j").distinct()
     hamming = F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j")))
     out = (
         pairs.withColumn("hamming", hamming)
@@ -834,11 +857,26 @@ def simhash_near_dups_auto(
     right = banded.select(
         F.col("doc_id").alias("j"), F.col("simhash").alias("h_j"), "band", "key"
     )
+    # first-agreeing-band guard (optimization round 11): a pair that
+    # agrees on k of the C(B,d) masked subsets used to surface k times
+    # and pay a corpus-wide ``.distinct()`` exchange to dedup. Both
+    # fingerprints ride every candidate row, so each row can decide
+    # locally whether ITS band is the pair's lowest agreeing band —
+    # a chain of bitwise mask comparisons inside codegen — and emit
+    # exactly once. The distinct's full shuffle of the multi-band
+    # candidate mass disappears (the largest exchange of this plan
+    # after the banded self-join itself).
+    first_agree = F.lit(0)
+    for t in range(len(masks) - 1, -1, -1):
+        m = F.lit(masks[t])
+        first_agree = F.when(
+            F.col("h_i").bitwiseAND(m) == F.col("h_j").bitwiseAND(m), F.lit(t)
+        ).otherwise(first_agree)
     pairs = (
         left.join(right, ["band", "key"])
         .filter(F.col("i") < F.col("j"))
+        .filter(F.col("band") == first_agree)
         .select("i", "j", "h_i", "h_j")
-        .distinct()
     )
     hamming = F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j")))
     out = (
