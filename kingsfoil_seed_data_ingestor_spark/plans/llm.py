@@ -1369,9 +1369,19 @@ _SQL_SIMHASH_PAIRS = f"""
     "candidate exponent.",
 )
 def dedup_simhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_near_dups_auto(
-        load(spark, sf_dir, "documents"), max_hamming=3
-    ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+    # wrapper owns the scope because it derives from the operator's
+    # result (the _embed_dedup precedent; optimization round 11): an
+    # attach on the operator's inner frame dies with that frame once
+    # this .select wraps it, silently unpersisting the banded table —
+    # both self-join sides then recompute the per-token md5
+    # fingerprint aggregation (seen in the formatted plan as two full
+    # scan subtrees instead of InMemoryTableScans).
+    scope = CacheScope()
+    return scope.attach(
+        DD.simhash_near_dups_auto(
+            load(spark, sf_dir, "documents"), max_hamming=3, scope=scope
+        ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+    )
 
 
 @register(
@@ -1463,9 +1473,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the O(n²) definition over the same two-digest construction.",
 )
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash64_near_dups(
-        load(spark, sf_dir, "documents"), max_hamming=3
-    ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+    # wrapper owns the scope (see dedup_simhash_auto)
+    scope = CacheScope()
+    return scope.attach(
+        DD.simhash64_near_dups(
+            load(spark, sf_dir, "documents"), max_hamming=3, scope=scope
+        ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+    )
 
 
 @register(
@@ -1566,11 +1580,16 @@ SIMHASH64_BUCKET_CAP = 3
     "bit-identical.",
 )
 def dedup_simhash64_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash64_near_dups(
-        load(spark, sf_dir, "documents"),
-        max_hamming=3,
-        max_bucket_size=SIMHASH64_BUCKET_CAP,
-    ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+    # wrapper owns the scope (see dedup_simhash_auto)
+    scope = CacheScope()
+    return scope.attach(
+        DD.simhash64_near_dups(
+            load(spark, sf_dir, "documents"),
+            max_hamming=3,
+            max_bucket_size=SIMHASH64_BUCKET_CAP,
+            scope=scope,
+        ).select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+    )
 
 
 # ----------------------------------------------------------------------
@@ -2022,12 +2041,20 @@ def embed_ann_recall_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROZEN_IVF_SF0_01,
     )
 
+    # wrapper owns the scope because the recall comparison derives
+    # from the ANN result (the _embed_dedup precedent): an attach on
+    # the inner frame would die with it and unpersist the scored base
+    # before this plan drains
+    scope = CacheScope()
     vectors = load(spark, sf_dir, "embeddings")
     ann = SIM.knn_ivf_frozen(
-        vectors, FROZEN_IVF_SF0_01, KNN_QUERY_IDS, k=10, nprobe=FROZEN_NPROBE
+        vectors, FROZEN_IVF_SF0_01, KNN_QUERY_IDS, k=10, nprobe=FROZEN_NPROBE,
+        scope=scope,
     )
-    return SIM.recall_vs_bruteforce(
-        vectors, ann, KNN_QUERY_IDS, k=10, nprobe=FROZEN_NPROBE
+    return scope.attach(
+        SIM.recall_vs_bruteforce(
+            vectors, ann, KNN_QUERY_IDS, k=10, nprobe=FROZEN_NPROBE
+        )
     )
 
 
