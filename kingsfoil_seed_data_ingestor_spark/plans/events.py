@@ -569,8 +569,8 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 4 md5 hashes per ROW become 4 per DISTINCT KEY, the three
     # event scans (counters / distinct probes / exact) collapse into
     # one, and the only corpus-wide shuffle left is the partial-
-    # aggregated user count (measured sf0.1: 1.20 → 0.63 s warm,
-    # sf1: 8.6 → 2.0 s; plan: 3 scans → 1, 3 exchanges → 2).
+    # aggregated user count (measured: sf0.1 flat — overhead floor —
+    # and sf1 8.55 → 0.96 s warm; plan: 3 event scans → 1).
     from kingsfoil_seed_data_ingestor_spark.operators.caching import CacheScope
 
     scope = CacheScope()
