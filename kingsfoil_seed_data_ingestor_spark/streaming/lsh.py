@@ -632,17 +632,26 @@ class StreamingLSHIndex:
         # once, or the corpus holds duplicate rows for one id. The
         # keeper is chosen deterministically (min (xxhash64(text), text)
         # per id) so a foreachBatch replay rewrites byte-identical rows.
-        w_dedup = Window.partitionBy("doc_id").orderBy(
-            F.xxhash64(self.text_col), self.text_col
-        )
+        # Computed as an argmin AGGREGATE (optimization round 11), not a
+        # ranking window: the struct minimum is the same keeper the
+        # window's orderBy picks — ties on (hash, text) carry equal text
+        # — but partial map-side aggregation shuffles one candidate per
+        # id per map task instead of sorting every raw row (guide §2.3;
+        # ``stream_lsh_corpus`` keeps its window form because it must
+        # keep the id's FULL row, not just the (doc_id, text) the index
+        # stores).
         docs = (
-            batch_docs.withColumn("_rn", F.row_number().over(w_dedup))
-            .filter(F.col("_rn") == 1)
-            .select(
+            batch_docs.select(
                 F.col(self.id_col).cast("long").alias("doc_id"),
                 F.col(self.text_col).alias("text"),
             )
-            .persist()
+            .groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.struct(F.xxhash64("text").alias("h"), F.col("text"))
+                ).alias("_w")
+            )
+            .select("doc_id", F.col("_w.text").alias("text"))
         )
 
         progress = self._progress()
@@ -814,43 +823,38 @@ class StreamingLSHIndex:
         # Chains stay greedy-by-arrival on purpose: C pairing only with
         # the duplicate B is still a duplicate (B is indexed either
         # way), exactly as a batch greedy-by-arrival pass decides.
-        # Arrival keys come from the narrow ids registry, semi-joined
-        # down to the verified endpoints — never a corpus-wide
-        # aggregate over the banded index.
-        endpoints = verified.select(
-            F.col("i").alias("doc_id"), F.col("j").alias("other")
-        ).unionByName(
-            verified.select(F.col("j").alias("doc_id"), F.col("i").alias("other"))
+        # Decided from NEW-MEMBERSHIP alone (optimization round 11):
+        # every pair this batch emits has ≥1 endpoint among this batch's
+        # new ids (the probe property — ``banded_new`` joins the index),
+        # and re-delivery filtering makes ids unique across batches, so
+        # per pair (i < j):
+        #   both endpoints new → same arrival batch, j (larger id) is
+        #   the pair's duplicate; exactly one endpoint new → the old
+        #   one arrived in an earlier batch, so the NEW one is the
+        #   duplicate. Two broadcast flag joins of the in-hand batch id
+        #   set replace the previous arrival-key formulation (an ids-
+        #   registry view + a 5-stage shuffle join per batch — the most
+        #   expensive phase of a warm micro-batch, for a verdict that
+        #   never needed the registry at all).
+        flag_i = F.broadcast(
+            new_ids.select(F.col("doc_id").alias("i"), F.lit(True).alias("_in"))
         )
-        other_ids = endpoints.select(F.col("other").alias("doc_id")).distinct()
-        # re-delivery filtering makes ids unique across batches, so the
-        # registry row IS the arrival key — no aggregate needed. The
-        # registry view is built from frames already in hand
-        # (optimization round 11): ids_prev (everything before this
-        # batch) ∪ this batch's new ids — identical rows to a fresh
-        # ``_read_indexed(spark, "ids")``, minus one store listing +
-        # run/L0 scan per batch (the listing grows O(runs + L0 dirs)).
-        other_batch = (
-            ids_prev.unionByName(
-                new_ids.withColumn("batch_id", F.lit(int(batch_id)))
-            )
-            .join(F.broadcast(other_ids), "doc_id", "left_semi")
-            .select(
-                F.col("doc_id").alias("other"),
-                F.col("batch_id").alias("other_batch"),
-            )
+        flag_j = F.broadcast(
+            new_ids.select(F.col("doc_id").alias("j"), F.lit(True).alias("_jn"))
         )
         dup_ids = (
-            endpoints.join(new_ids, "doc_id", "left_semi")
-            .join(other_batch, "other")
-            .filter(
-                (F.col("other_batch") < F.lit(batch_id))
-                | (
-                    (F.col("other_batch") == F.lit(batch_id))
-                    & (F.col("other") < F.col("doc_id"))
+            verified.join(flag_i, "i", "left")
+            .join(flag_j, "j", "left")
+            .select(
+                F.when(
+                    F.coalesce(F.col("_in"), F.lit(False))
+                    & F.coalesce(F.col("_jn"), F.lit(False)),
+                    F.col("j"),
                 )
+                .when(F.coalesce(F.col("_in"), F.lit(False)), F.col("i"))
+                .otherwise(F.col("j"))
+                .alias("doc_id")
             )
-            .select("doc_id")
             .distinct()
         )
         novel = new_ids.join(dup_ids, "doc_id", "left_anti")
@@ -862,7 +866,6 @@ class StreamingLSHIndex:
         posts_new.unpersist()
         banded_new.unpersist()
         docs_new.unpersist()
-        docs.unpersist()
         # write accounting: this batch's L0 footprint, for the
         # write-amplification witness (compact() logs its own entry)
         self._log_write(
