@@ -33,7 +33,11 @@ applies ``label(n) ← label(label(n))``, doubling label reach per round
 — a diameter-d graph converges in ~log₂ d changing rounds instead of
 d, so chains of near-dup clusters up to diameter ~15 stay inside the
 cheap prefix; measured on the sf0.1 32-bit simhash pair graph,
-diameter ≈ 9: 5.2 s → 3.5 s warm), and
+diameter ≈ 9: 5.2 s → 3.5 s warm) and DELTA PROPAGATION (optimization
+round 11, second pass: each round pushes only the labels that changed
+last round — semi-naive evaluation with per-round label states
+provably identical to the naive hop, so round counts are unchanged
+while per-round volume decays with the frontier), and
 on non-convergence contracts the graph by the partial labels and
 finishes with the star algorithm, whose round count is logarithmic no
 matter what the input looks like.
@@ -103,6 +107,7 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ).select("_e.a", "_e.b")
 
 
+
 def _minlabel_phase(
     edges: DataFrame,
     src: str,
@@ -120,72 +125,98 @@ def _minlabel_phase(
     operator falls through to the star algorithm, the pure min-label
     wrapper raises).
 
+    Two execution-shape properties (optimization round 11) keep the
+    per-round cost node-sized instead of edge-sized, without changing
+    any round's label state (so round counts, convergence behavior and
+    the budget semantics are exactly the pre-change ones):
+
+    * **Delta propagation (semi-naive):** each round pushes only the
+      labels that CHANGED last round. A label that did not change was
+      pushed in full the round it last changed, so re-pushing it cannot
+      lower any neighbor's min — per-round hop volume decays with the
+      frontier instead of staying O(nodes): the hop's build side (the
+      labels the planner broadcasts at bench scale) and the matched-row
+      aggregate both shrink with the frontier. The per-row ``changed``
+      flag (new < previous label — labels only ever decrease) doubles
+      as the convergence witness: no flag set ⟺ fixpoint. Its count
+      rides the checkpoint materialization as an ``Observation``, one
+      Spark job per round (the pre-r11 decimal label-sum witness,
+      specialized: sum unchanged ⟺ no flag set).
+    * **The symmetrized edge table is persisted pre-partitioned (and
+      pre-sorted) on the probe key ``b``.** At bench scale this is
+      ~neutral (the labels side broadcasts, so the cached edges are
+      never exchanged either way — verified in the hop plan); it is a
+      SCALE-shape decision: once the label table outgrows the broadcast
+      threshold the hop becomes a sort-merge join, and the cached
+      hash-partitioning + sort order mean only the node-sized side is
+      ever shuffled or sorted per round — the edge table is laid out
+      once at cache fill (guide §2.4: operations keyed the same way
+      share one exchange).
+
     ``jump`` (optimization round 11) appends a POINTER-JUMPING shortcut
     to every round — Shiloach-Vishkin style: after the neighbor hop,
-    ``label(n) ← label(label(n))``. Labels are monotone (``label(x) ≤
-    x``), so the jump is sound (``label(n)``'s label is an id in the
-    same component) and DOUBLES the label's reach per round: a node's
-    label covers ~2^r hops after r rounds instead of r. Real dup graphs
-    — chains of near-clique clusters, measured diameter ≈ 9 on the
-    sf0.1 32-bit simhash pair graph — converge inside the adaptive
-    prefix's small budget instead of falling through to the star phase
-    (measured there: 5.2 s adaptive+star → 2.9 s prefix-with-jump warm).
-    The extra cost is one labels⋈labels hash join per round — node-
-    sized, no edge shuffle, and the join key is the label column the
-    round already produced. Kept OFF for the pure referee wrapper so
+    ``label(n) ← label(label(n))``. Labels are monotone
+    (``label(x) ≤ x``), so the jump is sound (``label(n)``'s label is
+    an id in the same component) and DOUBLES the label's reach per
+    round: a diameter-d graph converges in ~log₂ d changing rounds
+    instead of d. The extra cost is one node-sized hash join per round
+    (no edge shuffle). Kept OFF for the pure referee wrapper so
     ``connected_components_minlabel`` stays the independent O(diameter)
-    formulation the parity tests pin the fast paths against."""
+    formulation the parity tests pin the fast paths against.
+    """
     if reliable_checkpoints:
         _ensure_checkpoint_dir(edges.sparkSession)
 
     from pyspark.sql import Observation
 
-    # the convergence witness: labels only ever DECREASE (least of own
-    # and neighbor min), so the label total is a strictly decreasing
-    # witness — sum unchanged ⟺ no label changed. Since optimization
-    # round 11 it rides the checkpoint materialization as an
-    # ``Observation`` instead of a separate aggregate job: one Spark
-    # job per round where the round previously paid two (checkpoint
-    # write + convergence aggregate — ~0.2-0.3 s of pure scheduling
-    # per round on local[32], and one fewer full barrier per round on
-    # a cluster). decimal: exact far beyond int64 at billion-node ×
-    # wide-id scale.
-    _SUM = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    _PENDING = F.sum(F.col("changed").cast("long")).alias("c")
 
-    def _ckpt_with_sum(df: DataFrame):
+    def _ckpt_with_pending(df: DataFrame):
         if reliable_checkpoints:
             # eager: a lazy reliable checkpoint recomputes the plan a
-            # second time for the checkpoint write; the observed sum is
-            # collected by the same materialization job
+            # second time for the checkpoint write; the observed count
+            # is collected by the same materialization job
             obs = Observation()
-            out = df.observe(obs, _SUM).checkpoint(eager=True)
-            return out, obs.get["s"]
-        # lazy local checkpoint: the observed convergence sum right
-        # after this call materializes the blocks AND computes the sum
-        # in ONE job — eager=True would spend a separate job per
-        # iteration just materializing
+            out = df.observe(obs, _PENDING).checkpoint(eager=True)
+            return out, obs.get["c"]
+        # lazy local checkpoint: the observed pending count right after
+        # this call materializes the blocks AND computes the count in
+        # ONE job — eager=True would spend a separate job per iteration
+        # just materializing
         out = df.localCheckpoint(eager=False)
-        return out, out.agg(_SUM).first()[0]
+        return out, out.agg(_PENDING).first()[0]
 
-    sym = scope.persist(_symmetrize(edges, src, dst))
+    sym = scope.persist(
+        _symmetrize(edges, src, dst)
+        .repartition(F.col("b"))
+        .sortWithinPartitions("b")
+    )
     # eager checkpoint per iteration: truncates BOTH the Catalyst plan
     # and the RDD lineage, so iteration cost stays flat instead of the
     # tree doubling every round; nothing stays pinned in executor
     # memory (checkpoints are files, cleaned with the checkpoint dir)
     # init with the first propagation hop pre-applied: label(n) =
     # min(n, neighbors(n)) comes straight off the edge aggregation,
-    # saving one full join+checkpoint round
+    # saving one full join+checkpoint round. Every node starts dirty:
+    # its init label is unpushed information for all its neighbors.
+    # (A pointer jump at init was tried and REJECTED by measurement:
+    # jump trajectories are not pointwise comparable — accelerating
+    # one node can leave another's label a round behind — and on the
+    # sf0.1 simhash graph the init-jump variant needed 4 changing
+    # rounds where the plain init needs 3.)
     labels = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))
-    )
-    labels, prev_sum = _ckpt_with_sum(labels)
+    ).withColumn("changed", F.lit(True))
+    labels, pending = _ckpt_with_pending(labels)
     changing_rounds = 0
     converged = True
     while True:
-        # min label among each node's neighbors, then keep min(own, that)
+        # min label among each node's CHANGED neighbors (delta push),
+        # then keep min(own, that)
+        delta = labels.filter("changed").select("node", "label")
         neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(delta, sym.b == delta.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -194,6 +225,7 @@ def _minlabel_phase(
             .join(neighbor_min.alias("n"), "node", "left")
             .select(
                 "node",
+                F.col("l.label").alias("_prev"),
                 F.least(
                     F.col("l.label"), F.coalesce(F.col("n.nbr_label"), F.col("l.label"))
                 ).alias("label"),
@@ -206,7 +238,9 @@ def _minlabel_phase(
             # ``labels``; the left join + coalesce only defends the
             # self-plan reference. Monotonicity (label(x) ≤ x) makes
             # the composed value a further decrease within the same
-            # component — the label-sum convergence witness is intact.
+            # component — the changed-flag convergence witness is
+            # intact (the jump can only lower ``label`` further below
+            # ``_prev``).
             ptr = labels.select(
                 F.col("node").alias("_pn"), F.col("label").alias("_pl")
             )
@@ -214,18 +248,21 @@ def _minlabel_phase(
                 labels.join(ptr, labels.label == F.col("_pn"), "left")
                 .select(
                     "node",
+                    "_prev",
                     F.coalesce(F.col("_pl"), F.col("label")).alias("label"),
                 )
             )
-        labels, new_sum = _ckpt_with_sum(labels)
-        if new_sum == prev_sum:
+        labels = labels.select(
+            "node", "label", (F.col("label") < F.col("_prev")).alias("changed")
+        )
+        labels, pending = _ckpt_with_pending(labels)
+        if not pending:
             break
         changing_rounds += 1
         if changing_rounds > budget:
             converged = False
             break
-        prev_sum = new_sum
-    return labels, converged, changing_rounds
+    return labels.select("node", "label"), converged, changing_rounds
 
 
 def connected_components_minlabel(
