@@ -495,6 +495,20 @@ QSK_PROBS = (0.10, 0.50, 0.90, 0.99)
     "floor 0.12 ≈ 1.4/sqrt(k)).",
 )
 def text_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plan slimming (optimization round 11, guide §5/§2.4): the two
+    # SMALL derived frames each feed two branches — the ranked sample
+    # (ks + est) and the distinct-length histogram (exact + rank-err) —
+    # and recomputing either costs a full corpus scan; scoped persists
+    # cut the before-plan's NINE parquet scans to three. The 2-column
+    # BASE is deliberately NOT cached: measured at sf0.1, caching it
+    # (and the 7-row est) cost more in fill barriers than the saved
+    # pruned-column scans (~2.7 s vs ~1.9 s) — the remaining scans are
+    # pushdown-pruned 2-column reads. The p-keyed assembly joins are
+    # ≤7-row frames whose derived-plan size estimates the planner gets
+    # wrong — explicit broadcast hints replace the two SortMergeJoins
+    # the before-plan paid on them (values identical, hash-matched at
+    # 3 SFs).
+    scope = CacheScope()
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     tot = docs.agg(F.count(F.lit(1)).alias("n"))
     hv = docs.select(
@@ -507,23 +521,25 @@ def text_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed top-k by hash (TakeOrderedAndProject): the sketch
     samp = hv.orderBy("h", "doc_id").limit(QSK_K).select("n_chars")
     # rank inside the sample: ≤ k rows, the single-partition window is
-    # bounded by construction
-    sr = samp.select(
-        "n_chars", F.row_number().over(W.orderBy("n_chars")).alias("r")
+    # bounded by construction; persisted — ks and est both read it
+    sr = scope.persist(
+        samp.select(
+            "n_chars", F.row_number().over(W.orderBy("n_chars")).alias("r")
+        )
     )
     ks = sr.agg(F.max("r").cast("long").alias("k_sample"))
     probs = spark.createDataFrame([(p,) for p in QSK_PROBS], "p double")
     est = (
         probs.crossJoin(F.broadcast(ks))
         .join(
-            sr,
+            F.broadcast(sr),
             F.col("r") == F.ceil(F.col("p") * F.col("k_sample")),
         )
         .select("p", "k_sample", F.col("n_chars").alias("est_len"))
     )
     # exact referee: distinct-value histogram + running count — the
     # window is over DISTINCT lengths (bounded), never the raw rows
-    hist = (
+    hist = scope.persist(
         docs.groupBy("n_chars")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
@@ -538,14 +554,14 @@ def text_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n_chars").alias("exact_len"))
     )
     cle = (
-        est.alias("e")
+        F.broadcast(est).alias("e")
         .join(hist.alias("h2"), F.col("h2.n_chars") <= F.col("e.est_len"), "left")
         .groupBy("e.p")
         .agg(F.coalesce(F.max("h2.cum"), F.lit(0)).alias("c"))
     )
-    return (
-        est.join(exact, "p")
-        .join(cle, "p")
+    return scope.attach(
+        est.join(F.broadcast(exact), "p")
+        .join(F.broadcast(cle), "p")
         .crossJoin(F.broadcast(tot))
         .select(
             "p",
