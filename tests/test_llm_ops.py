@@ -1165,6 +1165,39 @@ def test_connected_components_adaptive_prefix_handles_clique_graphs(spark):
     assert stats["rounds"] == 0, stats
 
 
+def test_connected_components_prefix_extends_on_collapsing_frontier(spark):
+    """The geometric-collapse budget extension (optimization round 11,
+    closing session): a graph whose changed-label frontier HALVES at
+    the over-budget rounds must converge inside the min-label prefix
+    (star rounds == 0) instead of paying contraction + star for a
+    frontier one hop from done. Fixture: a spider of legs with doubling
+    lengths (1, 2, 4, 8, 16, 32) off node 0 — measured pending
+    trajectory 64 → 57 → 44 → 28 → 10 → 0, so with the default budget 3
+    the over-budget round 4 (pending 10 vs 28) halves and the extension
+    fires; round 5 confirms the fixpoint. The complementary fallback
+    pin lives in test_connected_components_star_logarithmic_on_
+    adversarial_chain: the 200-path's arithmetic decay (… 190 → 178)
+    fails the halving test at round 4 and still gives up exactly at the
+    budget (fast_rounds == 4, star rounds ≥ 1)."""
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    edges, nid = [], 1
+    for leg in (1, 2, 4, 8, 16, 32):
+        prev = 0
+        for _ in range(leg):
+            edges.append((prev, nid))
+            prev, nid = nid, nid + 1
+    df = spark.createDataFrame(edges, "i long, j long")
+    stats: dict = {}
+    got = {
+        r.doc_id: r.component_id
+        for r in CC.connected_components(df, stats=stats).collect()
+    }
+    assert got == {n: 0 for n in range(nid)}
+    assert stats["rounds"] == 0, stats          # star phase skipped
+    assert stats["fast_rounds"] == 4, stats     # one extended round ran
+
+
 def test_connected_components_star_self_loops_and_singletons(spark):
     """Self-loop-only nodes must still appear, labeled by themselves —
     the exact min-label contract (its sym table includes them)."""
