@@ -717,14 +717,9 @@ class StreamingLSHIndex:
                     "index directories together, or start a fresh index."
                 )
 
-        from pyspark.sql import Observation
+        from concurrent.futures import ThreadPoolExecutor
 
-        obs = Observation()
-        docs_new.observe(obs, *fp_exprs).select("doc_id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self._sub("ids"), f"batch_id={batch_id}"))
-        if fingerprint is None:
-            fingerprint = [int(obs.get["n"]), int(obs.get["x"])]
+        from pyspark.sql import Observation
 
         posts_new = shingle_hash_table(
             docs_new, self.n, distinct=False
@@ -740,16 +735,44 @@ class StreamingLSHIndex:
         )
 
         # idempotent per-batch writes: a foreachBatch replay overwrites
-        # the same subdirectory with identical rows
+        # the same subdirectory with identical rows. The three index
+        # writes are INDEPENDENT sinks over the persisted batch frames,
+        # so they run CONCURRENTLY from a driver thread pool
+        # (optimization round 12, guide §2.6 "overlap independent
+        # jobs"): a warm micro-batch's wall is almost pure per-sink job
+        # floor, and overlapping collapses three floors into one.
+        # Concurrent first-actions racing to fill the docs_new /
+        # posts_new / banded_new caches are safe AND compute-once:
+        # Spark's BlockManager takes a per-partition loading lock, so
+        # one thread computes a block and the others read it. Crash
+        # semantics are unchanged — a batch with SOME sinks written was
+        # already possible sequentially; the replay overwrites every
+        # sink before progress is recorded.
+        obs = Observation()
         obs_banded = Observation()
-        banded_new.observe(
-            obs_banded, F.count(F.lit(1)).alias("rows")
-        ).write.mode("overwrite").parquet(
-            os.path.join(self._sub("banded"), f"batch_id={batch_id}")
-        )
-        posts_new.select("doc_id", "sh").write.mode("overwrite").parquet(
-            os.path.join(self._sub("posts"), f"batch_id={batch_id}")
-        )
+
+        def _w_ids() -> None:
+            docs_new.observe(obs, *fp_exprs).select("doc_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self._sub("ids"), f"batch_id={batch_id}"))
+
+        def _w_banded() -> None:
+            banded_new.observe(
+                obs_banded, F.count(F.lit(1)).alias("rows")
+            ).write.mode("overwrite").parquet(
+                os.path.join(self._sub("banded"), f"batch_id={batch_id}")
+            )
+
+        def _w_posts() -> None:
+            posts_new.select("doc_id", "sh").write.mode("overwrite").parquet(
+                os.path.join(self._sub("posts"), f"batch_id={batch_id}")
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [pool.submit(w) for w in (_w_ids, _w_banded, _w_posts)]:
+                fut.result()
+        if fingerprint is None:
+            fingerprint = [int(obs.get["n"]), int(obs.get["x"])]
 
         # probe: every candidate pair has ≥1 endpoint in THIS batch, so
         # a pair is emitted exactly once — by the batch that completes
@@ -812,9 +835,6 @@ class StreamingLSHIndex:
             .agg(F.collect_set("sh").alias("shset"))
         )
         verified = verify_candidates_from_sets(sets, cands, self.threshold).persist()
-        verified.write.mode("overwrite").parquet(
-            os.path.join(self._sub("pairs"), f"batch_id={batch_id}")
-        )
 
         # novelty verdict for THIS batch (the ingestion filter): a new
         # document is a near-DUPLICATE iff it verified-pairs with any
@@ -858,9 +878,23 @@ class StreamingLSHIndex:
             .distinct()
         )
         novel = new_ids.join(dup_ids, "doc_id", "left_anti")
-        novel.write.mode("overwrite").parquet(
-            os.path.join(self._sub("novel"), f"batch_id={batch_id}")
-        )
+
+        # pairs + novel are the batch's last two independent sinks —
+        # overlapped like the phase-A trio (both read the persisted
+        # ``verified``; the block-loading lock fills it exactly once)
+        def _w_pairs() -> None:
+            verified.write.mode("overwrite").parquet(
+                os.path.join(self._sub("pairs"), f"batch_id={batch_id}")
+            )
+
+        def _w_novel() -> None:
+            novel.write.mode("overwrite").parquet(
+                os.path.join(self._sub("novel"), f"batch_id={batch_id}")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(w) for w in (_w_pairs, _w_novel)]:
+                fut.result()
         verified.unpersist()
         cand_docs.unpersist()
         posts_new.unpersist()
