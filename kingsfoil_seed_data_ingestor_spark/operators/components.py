@@ -117,6 +117,7 @@ def _minlabel_phase(
     reliable_checkpoints: bool = True,
     jump: bool = False,
     extend: bool = False,
+    fuse: int = 1,
 ) -> tuple[DataFrame, bool, int]:
     """Bounded min-label propagation: returns ``(labels, converged,
     changing_rounds)`` with ``labels = (node, label)`` for every node
@@ -185,28 +186,71 @@ def _minlabel_phase(
     (no edge shuffle). Kept OFF for the pure referee wrapper so
     ``connected_components_minlabel`` stays the independent O(diameter)
     formulation the parity tests pin the fast paths against.
+
+    ``fuse`` (optimization round 12) runs ``fuse`` consecutive rounds
+    inside ONE checkpointed plan. The decision sequence is byte-equal
+    to the unfused loop: the fused frame carries each inner round's
+    ``(label, changed)`` beside the final one, a single ``Observation``
+    on the one materialization job yields every inner round's pending
+    count, and the budget / geometric-collapse / convergence checks
+    replay those counts in order — when the unfused loop would have
+    stopped after an inner round, the fused loop returns THAT round's
+    carried label state. **Measured and REJECTED as the default**
+    (kept as an option so the negative result stays reproducible —
+    ``tools/exp_fused_rounds.py``): each round's subtree is referenced
+    up to 4× by the next round's plan (delta filter, keep-own side,
+    and twice via the pointer self-join), and those references are NOT
+    deduplicated — the fused plan for two rounds carries 16 checkpoint
+    scans / 22 BroadcastExchanges with zero ReusedExchange nodes, and
+    under AQE every one of them is a separately-scheduled stage job.
+    Measured: spider fixture 74 jobs (fuse=2) vs 42 (fuse=1) at equal
+    wall; the 5-consumer component suite 46–129 jobs/query fused vs
+    23–63 unfused with wall 1.3–1.4× WORSE. The per-round checkpoint
+    is precisely what caps the reference blowup — removing it trades
+    one scheduling barrier for O(refs^rounds) duplicated stages.
     """
     if reliable_checkpoints:
         _ensure_checkpoint_dir(edges.sparkSession)
 
     from pyspark.sql import Observation
 
-    _PENDING = F.sum(F.col("changed").cast("long")).alias("c")
+    def _ckpt_with_pendings(df: DataFrame, flag_cols: list):
+        """Checkpoint one round and return ``(df, [counts...])`` — one
+        pending count per boolean flag column, all collected by the
+        SAME materialization job (the fused loop observes every inner
+        round's pending count here).
 
-    def _ckpt_with_pending(df: DataFrame):
+        A parquet write + read-back instead of the eager reliable
+        checkpoint was tried and REJECTED by measurement (optimization
+        round 12): the checkpoint's second pass (the RDD checkpoint
+        write re-running the plan) reuses the round's shuffle files and
+        already-materialized broadcasts, so it is nearly free, while
+        the parquet route pays the file-committer protocol + listing
+        per round — the 5-consumer component suite measured 14.3–15.7 s
+        (checkpoint) vs 22.4–30.2 s (parquet) best-of-3 interleaved."""
+        aggs = [
+            F.sum(F.col(c).cast("long")).alias(f"c{i}")
+            for i, c in enumerate(flag_cols)
+        ]
         if reliable_checkpoints:
             # eager: a lazy reliable checkpoint recomputes the plan a
-            # second time for the checkpoint write; the observed count
-            # is collected by the same materialization job
+            # second time for the checkpoint write; the observed counts
+            # are collected by the same materialization job
             obs = Observation()
-            out = df.observe(obs, _PENDING).checkpoint(eager=True)
-            return out, obs.get["c"]
+            out = df.observe(obs, *aggs).checkpoint(eager=True)
+            got = obs.get
+            return out, [got[f"c{i}"] for i in range(len(flag_cols))]
         # lazy local checkpoint: the observed pending count right after
         # this call materializes the blocks AND computes the count in
         # ONE job — eager=True would spend a separate job per iteration
         # just materializing
         out = df.localCheckpoint(eager=False)
-        return out, out.agg(_PENDING).first()[0]
+        row = out.agg(*aggs).first()
+        return out, list(row)
+
+    def _ckpt_with_pending(df: DataFrame):
+        out, counts = _ckpt_with_pendings(df, ["changed"])
+        return out, counts[0]
 
     sym = scope.persist(
         _symmetrize(edges, src, dst)
@@ -231,26 +275,30 @@ def _minlabel_phase(
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))
     ).withColumn("changed", F.lit(True))
     labels, pending = _ckpt_with_pending(labels)
-    prev_pending = pending
-    changing_rounds = 0
-    converged = True
-    while True:
-        # min label among each node's CHANGED neighbors (delta push),
-        # then keep min(own, that)
-        delta = labels.filter("changed").select("node", "label")
+
+    def _one_round(cur: DataFrame, carry: list) -> DataFrame:
+        """One min-label round over ``cur`` (node, label, changed,
+        *carry): min label among each node's CHANGED neighbors (delta
+        push), then keep min(own, that), then the optional pointer
+        jump. Returns (node, *carry, label, changed); ``carry`` columns
+        pass through untouched — the fused loop uses them to keep every
+        inner round's state beside the final one."""
+        delta = cur.filter("changed").select("node", "label")
         neighbor_min = (
             sym.join(delta, sym.b == delta.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.alias("l")
+        out = (
+            cur.alias("l")
             .join(neighbor_min.alias("n"), "node", "left")
             .select(
                 "node",
+                *[F.col(f"l.{c}").alias(c) for c in carry],
                 F.col("l.label").alias("_prev"),
                 F.least(
-                    F.col("l.label"), F.coalesce(F.col("n.nbr_label"), F.col("l.label"))
+                    F.col("l.label"),
+                    F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
                 ).alias("label"),
             )
         )
@@ -258,34 +306,77 @@ def _minlabel_phase(
             # pointer-jumping shortcut: label(n) ← label(label(n)).
             # Every label value is itself a node incident to an edge
             # (it is min of a neighborhood ∪ self), so it has a row in
-            # ``labels``; the left join + coalesce only defends the
-            # self-plan reference. Monotonicity (label(x) ≤ x) makes
-            # the composed value a further decrease within the same
-            # component — the changed-flag convergence witness is
+            # the label table; the left join + coalesce only defends
+            # the self-plan reference. Monotonicity (label(x) ≤ x)
+            # makes the composed value a further decrease within the
+            # same component — the changed-flag convergence witness is
             # intact (the jump can only lower ``label`` further below
             # ``_prev``).
-            ptr = labels.select(
+            ptr = out.select(
                 F.col("node").alias("_pn"), F.col("label").alias("_pl")
             )
-            labels = (
-                labels.join(ptr, labels.label == F.col("_pn"), "left")
+            out = (
+                out.join(ptr, out.label == F.col("_pn"), "left")
                 .select(
                     "node",
+                    *carry,
                     "_prev",
                     F.coalesce(F.col("_pl"), F.col("label")).alias("label"),
                 )
             )
-        labels = labels.select(
-            "node", "label", (F.col("label") < F.col("_prev")).alias("changed")
+        return out.select(
+            "node",
+            *carry,
+            "label",
+            (F.col("label") < F.col("_prev")).alias("changed"),
         )
-        labels, pending = _ckpt_with_pending(labels)
-        if not pending:
+
+    prev_pending = pending
+    changing_rounds = 0
+    converged = True
+    hops = max(1, int(fuse))
+    done = False
+    while not done:
+        # ``hops`` rounds built into ONE plan; inner-round states ride
+        # along as carried (_l{i}, _c{i}) columns so one checkpoint job
+        # materializes everything and one Observation reports every
+        # inner round's pending count
+        frame = labels
+        flags = []
+        for h in range(hops - 1):
+            frame = _one_round(frame, [c for pair in flags for c in pair])
+            lc = (f"_l{h}", f"_c{h}")
+            frame = frame.withColumn(lc[0], F.col("label")).withColumn(
+                lc[1], F.col("changed")
+            )
+            flags.append(lc)
+        frame = _one_round(frame, [c for pair in flags for c in pair])
+        flag_cols = [c for _, c in flags] + ["changed"]
+        labels, pendings = _ckpt_with_pendings(frame, flag_cols)
+        # replay the unfused loop's decision sequence over the inner
+        # rounds' pending counts, in order; when the unfused loop would
+        # have stopped after inner round ``h``, adopt THAT round's
+        # carried label state (byte-equal results and round counts)
+        for h, pending in enumerate(pendings):
+            if not pending:
+                done = True
+            elif changing_rounds + 1 > budget and not (
+                extend and pending * 2 <= prev_pending
+            ):
+                changing_rounds += 1
+                converged = False
+                done = True
+            else:
+                changing_rounds += 1
+                prev_pending = pending
+                continue
+            if h < hops - 1:  # stopped at an inner round: restore it
+                labels = labels.select(
+                    "node",
+                    F.col(f"_l{h}").alias("label"),
+                    F.col(f"_c{h}").alias("changed"),
+                )
             break
-        changing_rounds += 1
-        if changing_rounds > budget and not (extend and pending * 2 <= prev_pending):
-            converged = False
-            break
-        prev_pending = pending
     return labels.select("node", "label"), converged, changing_rounds
 
 
