@@ -526,6 +526,7 @@ def compact_line(
     sf,
     probe: float,
     probe_mc: float = -1.0,
+    detail: str = "BENCH_FULL.json",
 ) -> str:
     """Build the stdout line under LINE_BUDGET chars: headline totals +
     as many of the slowest per-query warm timings as fit."""
@@ -539,7 +540,7 @@ def compact_line(
         "cpu_probe": probe,
         "cpu_probe_mc": probe_mc,
         "streaming": streaming,
-        "detail": "BENCH_FULL.json",
+        "detail": detail,
         "queries": {},
         "queries_omitted": 0,
     }
@@ -597,8 +598,10 @@ def main() -> int:
     finally:
         sys.stdout = real_stdout
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 1))
     full = {
         "sf": sf,
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         "warm_total": round(sum(t for t in warm.values() if t >= 0), 4),
         "cold_total": round(sum(t for t in cold.values() if t >= 0), 4),
         "queries": {
@@ -612,11 +615,19 @@ def main() -> int:
         "cold_retries": retry_log["cold"],
         "jvm": jvm,
     }
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # BENCH_FULL.json keeps its round-over-round last-run semantics (the
+    # driver comparison reads it), but every run ALSO lands in a
+    # per-(sf, cpus) detail file so a later sweep at another scale
+    # factor or core count can never clobber this one's table
+    # (optimization round 12, VERDICT r11 "What's wrong" #4) — the
+    # stdout line's ``detail`` names the collision-free file.
+    detail = f"BENCH_FULL_sf{sf}_c{cpus}.json"
+    for fname in ("BENCH_FULL.json", detail):
+        with open(os.path.join(here, fname), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
 
-    print(compact_line(warm, cold, streaming, sf, probe, probe_mc))
+    print(compact_line(warm, cold, streaming, sf, probe, probe_mc, detail=detail))
     return 0
 
 
