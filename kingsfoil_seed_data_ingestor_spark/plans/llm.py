@@ -1608,6 +1608,79 @@ def dedup_simhash64_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_simhash64_groups_capped",
+    priority=55,  # same-family variant: the uncapped groups query is the rep
+    oracle=f"""
+    WITH RECURSIVE sh AS MATERIALIZED ({SQL_SIMHASH64_TABLE}),
+    banded AS MATERIALIZED (
+        SELECT doc_id, simhash64, b.band,
+               (simhash64 >> (b.band * 16)) & 65535 AS bucket
+        FROM sh, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    ok AS (
+        SELECT band, bucket FROM banded
+        GROUP BY band, bucket HAVING count(*) <= {SIMHASH64_BUCKET_CAP}
+    ),
+    kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bucket)),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+    ),
+    edges AS MATERIALIZED (
+        SELECT i AS src, j AS dst FROM pairs
+        UNION ALL
+        SELECT j AS src, i AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl AS lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS group_id
+    FROM reach GROUP BY node
+    """,
+    doc="The skew-guarded group map (optimization round 12, VERDICT r11 "
+    "'What's wrong' #5): dedup_simhash64_groups' pair mass is "
+    "Θ(cluster²) INTERNALLY on template-heavy corpora — correct but "
+    "expensive when one boilerplate cluster dominates. This twin "
+    "closes the HOT-BUCKET-CAPPED pair set (band buckets larger than "
+    f"{SIMHASH64_BUCKET_CAP} fingerprints dropped from candidate "
+    "generation, the dedup_simhash64_capped semantics) into connected "
+    "components, so candidate mass is bounded by bands·N·cap — linear "
+    "by construction (the capped pair slope is gated in "
+    "tests/test_scaling_slopes.py) — and the group map stays ≤ N rows "
+    "with a bounded-work interior. Dropping edges can only SPLIT "
+    "groups (each capped group is contained in exactly one uncapped "
+    "group — pinned in pytest), which is the documented trade: a "
+    "giant template cluster may surface as several groups whose "
+    "representatives survive dedup, in exchange for a candidate join "
+    "no single hot fingerprint can blow up. Oracle reproduces the "
+    "banding, the cap, and the closure brute-force.",
+)
+def dedup_simhash64_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingsfoil_seed_data_ingestor_spark.operators import components as CC
+
+    scope = CacheScope()
+    pairs = scope.persist(
+        DD.simhash64_near_dups(
+            load(spark, sf_dir, "documents"),
+            max_hamming=3,
+            max_bucket_size=SIMHASH64_BUCKET_CAP,
+            scope=scope,
+        ).select("i", "j")
+    )
+    return scope.attach(
+        CC.connected_components(pairs, src="i", dst="j", scope=scope).select(
+            "doc_id", F.col("component_id").alias("group_id")
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # similarity search
 # ----------------------------------------------------------------------

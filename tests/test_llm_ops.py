@@ -2293,3 +2293,32 @@ def test_alaw_codec_full_range_parity_and_dispatch():
     wide = np.array([40000, 1 << 20, -40000, -(1 << 20)], dtype=np.int64)
     top = codecs.alaw_compress(np.array([32767, 32767, -32768, -32768]))
     assert np.array_equal(codecs.alaw_compress(wide), top)
+
+
+def test_simhash64_capped_groups_refine_uncapped(spark):
+    """The skew-guarded group map (optimization round 12): dropping
+    hot-bucket edges can only SPLIT components, so every capped group
+    must be contained in exactly ONE uncapped group (and every capped
+    node must appear in the uncapped map — a capped pair is a
+    hamming ≤ 3 pair that agreed on an under-cap bucket, hence also in
+    the uncapped pair set). The cap must also BITE at the fixture SF
+    (otherwise this pins nothing)."""
+    from kingsfoil_seed_data_ingestor_spark.plans.core import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    capped = QUERIES["dedup_simhash64_groups_capped"].spark(spark, sf).collect()
+    full = {
+        r.doc_id: r.group_id
+        for r in QUERIES["dedup_simhash64_groups"].spark(spark, sf).collect()
+    }
+    assert capped, "capped group map is empty at the fixture SF"
+    by_group: dict = {}
+    for r in capped:
+        by_group.setdefault(r.group_id, set()).add(r.doc_id)
+    for gid, members in by_group.items():
+        assert gid == min(members)  # label = smallest member
+        parents = {full[d] for d in members}
+        assert len(parents) == 1, (gid, parents)
+    # the cap bites: the capped map must differ from the uncapped one
+    capped_map = {r.doc_id: r.group_id for r in capped}
+    assert capped_map != full
