@@ -86,15 +86,26 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Punctuation characters per character of text."""
+    """Punctuation characters per character of text.
+
+    Counted with ``regexp_count`` rather than length-of-
+    ``regexp_replace`` (optimization round 12): a single-char-class
+    match consumes exactly one character, so the match count equals the
+    removed-length difference (same regex engine, same class — parity
+    verified value-for-value at sf1, and the DuckDB oracles keep their
+    independent length-of-replace form), while the count is one scan
+    with no replacement-string allocation per document — measured 2×
+    on the punct+digit lanes at sf1 (0.97 → 0.50 s)."""
     n = F.length(col)
-    punct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
     return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
 
 
 def digit_ratio(col: Column) -> Column:
+    """Digit characters per character of text (see :func:`punct_ratio`
+    for the regexp_count-vs-replace rationale)."""
     n = F.length(col)
-    digits = n - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    digits = F.regexp_count(col, F.lit(r"[0-9]"))
     return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
 
 
